@@ -1,0 +1,78 @@
+"""Engine configuration — the analog of Europa's ``SearchParameters``
+(``/root/reference/Core/Entities/SearchParameters/SearchParameters.cs:6-34``),
+validated up-front like ``SearchParametersValidator``
+(``/root/reference/Api/Controllers/SearchParametersValidator.cs:11-46``).
+
+All signature parameters are frozen at the north-rule config by default:
+5-gram shingles, 128-permutation MinHash, LSH b=16 r=8, 64-bit SimHash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- input predicates (FileFilter semantics, FileFilter.cs:7-28) ---
+    include_langs: tuple[str, ...] = ()   # empty = all; include-list wins
+    exclude_langs: tuple[str, ...] = ()   # only applied when include empty
+    min_size: int | None = None           # bounds on len(content), inclusive
+    max_size: int | None = None
+
+    # --- signature config (north rule) ---
+    shingle_k: int = 5                    # 5-gram token shingles
+    num_perm: int = 128                   # MinHash permutations
+    lsh_bands: int = 16                   # b
+    lsh_rows: int = 8                     # r  (b * r == num_perm)
+    simhash_bits: int = 64
+    seed: int = 42
+
+    # --- thresholds ---
+    jaccard_threshold: float = 0.72       # ≈ (1/b)^(1/r) for b=16, r=8
+    simhash_max_hamming: int = 3          # Europa's degreeOfSimilarity analog:
+    #   score threshold hashSize − degree − 1 ⇔ Hamming ≤ degree
+    #   (QdrantRepository.cs:192)
+    substr_window: int = 16               # w-gram width for substring pass
+    substr_min_tokens: int = 256          # min shared-substring length (tokens)
+    substr_sample_mod: int = 8            # winnow: keep w-grams with h % mod == 0
+
+    # --- skew / capacity guards ---
+    max_band_size: int = 256              # all-pairs within a band up to this
+    pair_window: int = 8                  # windowed pairing for oversize bands
+    max_pairs_per_band: int = 40_000      # analog of ANN top-100 cap (K1)
+
+    # --- execution ---
+    batch_size: int = 512                 # rows per signature batch
+    sig_concurrency: int | tuple[int, int] = 4  # actor pool size for signature stage
+    two_pass: bool = False                # 10%-prefix pre-pass (A2) — IO saver in
+    #   the reference; correctness-neutral here (tested)
+    cc_driver_max_edges: int = 5_000_000  # driver union-find below this, else
+    #   distributed min-label propagation
+
+    def __post_init__(self) -> None:
+        # SearchParametersValidator.cs:13-46 analog: fail fast on bad config.
+        if self.shingle_k < 1:
+            raise ValueError("shingle_k must be >= 1")
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) must equal num_perm ({self.num_perm})"
+            )
+        if not (0.0 < self.jaccard_threshold <= 1.0):
+            raise ValueError("jaccard_threshold must be in (0, 1]")
+        if not (0 <= self.simhash_max_hamming <= self.simhash_bits):
+            # degree ≤ hash bits, as the validator enforces degree ≤ 64 for
+            # 64-bit algorithms (SearchParametersValidator.cs:28-39)
+            raise ValueError("simhash_max_hamming must be within [0, simhash_bits]")
+        if self.simhash_bits != 64:
+            raise ValueError("only 64-bit SimHash is supported")
+        if self.min_size is not None and self.max_size is not None and self.min_size > self.max_size:
+            raise ValueError("min_size must be <= max_size")
+        if self.include_langs and self.exclude_langs:
+            # include-list wins over exclude-list (DirectoryReader.cs:80-82) —
+            # normalize by ignoring exclude when include present; keep both
+            # fields but document precedence (enforced in filters.apply_filters).
+            pass
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,152 @@
+"""MinHash / SimHash signature kernels and LSH band keys (pure NumPy).
+
+MinHash-128 is the engine's "wide" signature — the analog of Europa's
+961-bit BlockMeanHash (``/root/reference/Api/Implementations/SimilarImages/
+ImageHashs/BlockMeanHash.cs:31-99``); SimHash-64 is the analog of the 64-bit
+DCT pHash (``PerceptualHash.cs:63-120``): dense transform → fixed bit
+signature, thresholded comparison.
+
+The permutation family is h_j(x) = splitmix64(x ^ seed_j) — one independent
+64-bit hash per permutation, a standard MinHash construction. All kernels
+operate on *flat* per-batch shingle arrays with row offsets and use
+``np.minimum.reduceat`` / ``np.add.reduceat`` so there is no Python loop over
+rows in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from europa_ray.util import mix64, splitmix64
+
+_U64 = np.uint64
+
+
+def make_perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    """Deterministic per-permutation seeds (held in actor state, the analog of
+    the DCT coefficient matrix computed once per process,
+    ``PerceptualHash.cs:24-61``)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, np.iinfo(np.int64).max, size=num_perm).astype(np.uint64)
+
+
+# Sentinel for "no shingles" (empty row) — also the identity for min.
+EMPTY_SIG = np.iinfo(np.uint64).max
+
+
+def minhash_signatures(
+    sh_flat: np.ndarray,
+    sh_offsets: np.ndarray,
+    perm_seeds: np.ndarray,
+    *,
+    max_chunk_cells: int = 64_000_000,
+) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash signatures.
+
+    Rows are processed in slices so the intermediate (shingles × perms)
+    matrix stays under ``max_chunk_cells`` — keeps peak memory bounded
+    regardless of batch shingle counts (wide-row safety, FIXTURES.md §1.6).
+    Empty rows get the EMPTY_SIG sentinel in every slot.
+    """
+    n_rows = sh_offsets.shape[0] - 1
+    p = perm_seeds.shape[0]
+    out = np.full((n_rows, p), EMPTY_SIG, dtype=_U64)
+    if sh_flat.shape[0] == 0 or n_rows == 0:
+        return out
+
+    rows_per_chunk_target = max(1, max_chunk_cells // p)
+    r0 = 0
+    while r0 < n_rows:
+        # grow the row slice until its shingle count would exceed the target
+        r1 = int(np.searchsorted(sh_offsets, sh_offsets[r0] + rows_per_chunk_target, side="right")) - 1
+        r1 = max(r1, r0 + 1)
+        r1 = min(r1, n_rows)
+        s0, s1 = sh_offsets[r0], sh_offsets[r1]
+        if s1 > s0:
+            seg = sh_flat[s0:s1]
+            mixed = splitmix64(seg[:, None] ^ perm_seeds[None, :])  # (m, p)
+            starts = (sh_offsets[r0:r1] - s0).astype(np.int64)
+            mins = np.minimum.reduceat(mixed, starts, axis=0)
+            # reduceat is wrong for empty segments (returns the element at the
+            # start index) — mask them back to the sentinel
+            nonempty = np.diff(sh_offsets[r0 : r1 + 1]) > 0
+            out[r0:r1][nonempty] = mins[nonempty]
+        r0 = r1
+    return out
+
+
+def simhash_signatures(sh_flat: np.ndarray, sh_offsets: np.ndarray) -> np.ndarray:
+    """(n_rows,) uint64 SimHash over the shingle hash multiset.
+
+    bit_j = sign of the sum over shingles of (±1 according to bit_j of the
+    shingle hash). Empty rows → 0.
+    """
+    n_rows = sh_offsets.shape[0] - 1
+    out = np.zeros(n_rows, dtype=_U64)
+    if sh_flat.shape[0] == 0 or n_rows == 0:
+        return out
+    shifts = np.arange(64, dtype=_U64)
+    bits = ((sh_flat[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int32)  # (m, 64)
+    starts = sh_offsets[:-1].astype(np.int64)
+    sums = np.add.reduceat(bits, starts, axis=0)  # ones count per row/bit
+    lens = np.diff(sh_offsets)[:, None]
+    nonempty = (lens > 0).ravel()
+    # sign(2*ones - m) >= 0  ⇒ bit set
+    setbits = (2 * sums >= lens) & (lens > 0)
+    packed = (setbits.astype(_U64) << shifts[None, :]).sum(axis=1, dtype=_U64)
+    out[nonempty] = packed[nonempty]
+    return out
+
+
+def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_rows, bands) uint64 LSH band keys from (n_rows, bands*rows) sigs.
+
+    Each key mixes the band index so identical row-values in different bands
+    never collide. This is the engine's Qdrant-index analog: candidate
+    retrieval becomes a ``groupby(band_key)`` shuffle
+    (``/root/reference/Api/Client/QdrantRepository.cs:184-206`` →
+    SURVEY.md §2.4 J3).
+    """
+    n = sig.shape[0]
+    if n == 0:
+        return np.empty((0, bands), dtype=_U64)
+    r = sig.reshape(n, bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, bands), dtype=_U64)
+        poly = _U64(0x100000001B3)
+        for j in range(rows):
+            acc = acc * poly + r[:, :, j]
+        acc = acc + (np.arange(bands, dtype=_U64) + _U64(1)) * _U64(0x9E3779B97F4A7C15)
+    return splitmix64(acc)
+
+
+def simhash_band_keys(simhash: np.ndarray, pieces: int = 4) -> np.ndarray:
+    """(n, pieces) band keys from 64-bit SimHash split into 16-bit pieces.
+
+    Pigeonhole: Hamming distance ≤ pieces-1 guarantees at least one piece
+    matches exactly — with pieces=4 this retrieves all pairs within Hamming 3
+    (the default ``simhash_max_hamming``), matching the reference's
+    threshold rule Hamming ≤ degree (``QdrantRepository.cs:192``).
+    """
+    n = simhash.shape[0]
+    width = 64 // pieces
+    mask = _U64((1 << width) - 1)
+    out = np.empty((n, pieces), dtype=_U64)
+    for i in range(pieces):
+        piece = (simhash >> _U64(i * width)) & mask
+        out[:, i] = mix64(piece, seed=0x51AA_0000 + i)
+    return out
+
+
+def minhash_jaccard_matrix(sigs: np.ndarray) -> np.ndarray:
+    """All-pairs estimated Jaccard for a small group: fraction of matching
+    signature components. (n, n) float64; used inside per-band pairing."""
+    eq = sigs[:, None, :] == sigs[None, :, :]
+    return eq.mean(axis=2)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) over uint64 arrays."""
+    x = (np.asarray(a, dtype=_U64) ^ np.asarray(b, dtype=_U64)).view(np.uint8)
+    x = x.reshape(-1, 8)
+    return np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)

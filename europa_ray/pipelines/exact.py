@@ -1,0 +1,132 @@
+"""Exact duplicate detection — SURVEY.md §3.1 re-expressed Ray-Data-first.
+
+Reference pipeline (``/root/reference/Api/Implementations/DuplicatesByHash/
+DuplicateByHashFinder.cs:29-77``): hash every file, group by digest, keep
+groups with >1 member, order members within group, emit clusters.
+
+Engine shape::
+
+    read_parquet → filters → map_batches(sha256, drop content)
+        → groupby(sha256).count → keep n>1 → hash-join members
+        → sort(cluster_id, commit, repo, path) → clusters
+
+Only *metadata + digest* rows ever enter the shuffle — content is projected
+away in the hash stage, so the groupby moves ~100 bytes/row regardless of
+file size (the 100 TB design constraint). The "keep groups >1" step is a
+count-aggregate + hash join rather than ``map_groups`` so no per-group Python
+function runs over millions of singleton groups.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from europa_ray.config import DEFAULT_CONFIG, EngineConfig
+from europa_ray.stages.filters import apply_filters
+from europa_ray.stages.hash_stage import add_prefix_key, add_sha256
+
+
+def _empty_like(ds: ray.data.Dataset, extra: dict[str, pa.DataType] | None = None) -> ray.data.Dataset:
+    """Zero-row Dataset with ``ds``'s schema plus ``extra`` columns."""
+    schema = ds.schema().base_schema
+    for name, typ in (extra or {}).items():
+        schema = schema.append(pa.field(name, typ))
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def _dup_sha_counts(hashed: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    """(sha256, n_members) for digests appearing more than once (A1/A7:
+    singleton suppression, ``DuplicateByHashFinder.cs:52,73``).
+
+    The result is materialized: it is aggregate-sized (one row per *duplicated*
+    digest, ≪ corpus), lives in the object store (not the driver), and
+    materializing sidesteps a Ray 2.49 hash-shuffle planning bug where a
+    pipelined groupby→filter→join diamond loses the right side's schema in
+    empty aggregator partitions.
+    """
+    counts = hashed.groupby("sha256").count().rename_columns({"count()": "n_members"})
+    return counts.filter(expr="n_members > 1").materialize()
+
+
+def exact_dup_clusters(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Cluster table: one row per member of each exact-duplicate group.
+
+    Columns: ``cluster_id`` (= sha256 hex, canonical), ``sha256``,
+    ``n_members``, plus ``id_cols``. Deterministically sorted — the reference
+    emits groups in nondeterministic channel order (SURVEY.md K3); we sort for
+    reproducible golden tests.
+    """
+    ds = apply_filters(files, cfg)
+    hashed = ds.map_batches(
+        add_sha256, fn_kwargs={"keep_cols": id_cols}, batch_format="pyarrow"
+    )
+    if cfg.two_pass:
+        hashed = _two_pass_filter(files, hashed, cfg, id_cols)
+    dups = _dup_sha_counts(hashed, num_partitions)
+    if dups.count() == 0:
+        # Zero duplicate groups: short-circuit (a zero-row join side crashes
+        # Ray 2.49's hash-shuffle with schema-less empty partitions, and the
+        # answer is known anyway).
+        return _empty_like(hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()})
+    members = hashed.join(
+        dups, join_type="inner", num_partitions=num_partitions, on=("sha256",)
+    )
+    def _add_cluster_id(b):
+        return b.append_column("cluster_id", b["sha256"])
+
+    members = members.map_batches(_add_cluster_id, batch_format="pyarrow")
+    return members.sort(["cluster_id", *id_cols])
+
+
+def _two_pass_filter(files, hashed, cfg: EngineConfig, id_cols):
+    """Two-pass pruning (A2, ``DuplicateByHashFinder.cs:42-76``).
+
+    Pass 1 groups on the cheap ``(size, 10%-prefix-sha)`` key; only members of
+    pass-1 groups with >1 member proceed to the full-hash grouping. In the
+    reference this saves IO (90% of bytes unhashed for unique files); here it
+    is correctness-neutral (tested) and kept for semantic parity. The
+    surviving-key set is an aggregate (one row per *duplicate-candidate* key,
+    ≪ corpus), joined back — not broadcast — so it scales.
+    """
+    pass1 = files.map_batches(add_prefix_key, batch_format="pyarrow")
+    survivors = (
+        pass1.groupby("prefix_key")
+        .count()
+        .rename_columns({"count()": "pk_n"})
+        .filter(expr="pk_n > 1")
+        .materialize()  # aggregate-sized; see _dup_sha_counts note
+    )
+    if survivors.count() == 0:
+        return _empty_like(hashed)
+    keyed = (
+        pass1.join(survivors, join_type="inner", num_partitions=8, on=("prefix_key",))
+        .select_columns(list(id_cols))
+        .materialize()  # duplicate-candidate members only; see _dup_sha_counts note
+    )
+    # Semi-join the fully-hashed rows down to pass-1 survivors on identity.
+    return hashed.join(keyed, join_type="inner", num_partitions=8, on=tuple(id_cols))
+
+
+def dedup_representatives(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "path",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """The training-data 'exact dedup' op: one representative row per distinct
+    content (minimum ``id_col``), i.e. the deduplicated dataset manifest.
+    Output: (sha256, id_col) sorted by sha256."""
+    ds = apply_filters(files, cfg)
+    hashed = ds.map_batches(
+        add_sha256, fn_kwargs={"keep_cols": (id_col,)}, batch_format="pyarrow"
+    )
+    agg = hashed.groupby("sha256").min(id_col)
+    return agg.rename_columns({f"min({id_col})": id_col}).sort("sha256")

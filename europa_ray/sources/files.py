@@ -1,0 +1,57 @@
+"""Sources: the ``files`` corpus table and adapters.
+
+The corpus *is* the listing — ``ray.data.read_parquet`` plays the role of
+Europa's ``DirectoryReader.GetAllFilesFromFolderAsync``
+(``/root/reference/Api/Implementations/Commons/DirectoryReader.cs:25-68``).
+Column pruning at the read (``columns=[...]``) is the engine's version of
+"only open what you need".
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import ray.data
+
+FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_files(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Read a ``files(repo,path,commit,lang,content)`` parquet table/dir."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def _docs_to_files(batch):
+    """documents(doc_id,text,lang,source,n_chars) → files shape.
+
+    Mapping per FIXTURES.md §3: text→content, source→repo, doc_id→path,
+    lang→lang; ``commit`` synthesized deterministically from doc_id. doc_id
+    is retained so driver queries can emit doc-level results.
+    """
+    import pyarrow as pa
+
+    doc_id = batch["doc_id"]
+    commit = pc.utf8_lpad(pc.cast(doc_id, pa.string()), 40, "0")
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "repo": batch["source"],
+            "path": pc.binary_join_element_wise(
+                pc.cast(doc_id, pa.string()), pa.scalar(".txt"), ""
+            ),
+            "commit": commit,
+            "lang": batch["lang"],
+            "content": batch["text"],
+        }
+    )
+
+
+def read_documents_as_files(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Adapter: the driver's ``documents`` table in ``files`` shape
+    (keeps ``doc_id`` as an identity column)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = ds.map_batches(_docs_to_files, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

@@ -1,0 +1,100 @@
+"""Low-level deterministic hashing primitives (NumPy-vectorized).
+
+The reference uses Blake3 for content identity and XxHash3-64 for compact
+ids / dict hashcodes (``/root/reference/Core/Entities/Commons/HashComparer.cs:16-19``,
+``Api/Client/QdrantRepository.cs:84``). This engine keeps the *semantics* —
+a cryptographic content digest (sha256, per the driver invariant) plus a fast
+64-bit mixing hash for band keys and compact ids — implemented with public
+algorithms only: sha256 via :mod:`hashlib`, 64-bit mixing via the public-domain
+splitmix64 finalizer, and string hashing via ``pandas.util.hash_array`` (stable
+for a fixed ``hash_key``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+# Stable key for pandas' SipHash-based string hashing (must never change:
+# signatures are persisted in checkpoint manifests).
+HASH_KEY = "europa-ray-v1-00"  # must be exactly 16 bytes
+assert len(HASH_KEY.encode()) == 16
+
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
+_MIX1 = _U64(0xBF58476D1CE4E5B9)
+_MIX2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """Public-domain splitmix64 finalizer, vectorized over uint64 arrays.
+
+    Used wherever the reference uses XxHash3-64 (compact point ids, band-key
+    hashing): a fast, well-mixed, deterministic 64-bit hash.
+    """
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=_U64) + _GOLDEN
+        z = (z ^ (z >> _U64(30))) * _MIX1
+        z = (z ^ (z >> _U64(27))) * _MIX2
+        return z ^ (z >> _U64(31))
+
+
+def mix64(x: np.ndarray, seed: int | np.uint64 = 0) -> np.ndarray:
+    """Seeded 64-bit mix: ``splitmix64(x ^ seed)`` (vectorized)."""
+    return splitmix64(np.asarray(x, dtype=_U64) ^ _U64(seed))
+
+
+def hash_strings(strings, *, seed_key: str = HASH_KEY) -> np.ndarray:
+    """Deterministic uint64 hash of a sequence of Python strings.
+
+    ``pd.util.hash_array`` is C-speed and stable across processes for a fixed
+    ``hash_key`` (unlike builtin ``hash``, which is salted per process).
+    """
+    arr = np.asarray(strings, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, hash_key=seed_key).astype(np.uint64)
+
+
+def sha256_hex(texts) -> list[str | None]:
+    """Per-row sha256 hex digest of UTF-8 encoded text.
+
+    Mirrors ``HashGenerator.GenerateHash`` (``/root/reference/Api/Implementations/
+    DuplicatesByHash/HashGenerator.cs:14-47``): empty content yields ``None``
+    (the reference returns null for empty files and excludes them, ``:18-19``).
+
+    hashlib releases the GIL into C code; the per-row loop is acceptable here
+    because sha256 itself dominates and batches parallelize across Ray tasks.
+    """
+    out: list[str | None] = []
+    for t in texts:
+        if t is None or len(t) == 0:
+            out.append(None)
+        else:
+            out.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
+    return out
+
+
+def sha256_prefix_hex(texts, fraction: float = 0.1) -> list[str | None]:
+    """sha256 of the first ``ceil(len * fraction)`` characters (two-pass trick,
+    ``DuplicateByHashFinder.cs:42-44,96-98``)."""
+    out: list[str | None] = []
+    for t in texts:
+        if t is None or len(t) == 0:
+            out.append(None)
+        else:
+            n = -(-len(t) * 10 // 100) if fraction == 0.1 else max(1, int(np.ceil(len(t) * fraction)))
+            out.append(hashlib.sha256(t[:n].encode("utf-8")).hexdigest())
+    return out
+
+
+def hex_to_u64(hex_ids) -> np.ndarray:
+    """Compact uint64 node id from a sha256 hex string (first 16 hex chars).
+
+    The digest is uniform, so the 64-bit prefix is collision-safe far beyond
+    10^9 distinct contents; mirrors the reference's
+    ``XxHash3.HashToUInt64(blake3)`` point ids (``QdrantRepository.cs:84``).
+    """
+    return np.array([int(h[:16], 16) for h in hex_ids], dtype=np.uint64)

@@ -1,0 +1,99 @@
+"""End-to-end exact-dedup pipeline tests vs DuckDB oracle (SURVEY.md §3.1)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def files_ds(ray_session, tiny_corpus):
+    import ray.data
+
+    return ray.data.read_parquet(tiny_corpus)
+
+
+def test_exact_clusters_match_duckdb(ray_session, files_ds, tiny_corpus):
+    from europa_ray.pipelines.exact import exact_dup_clusters
+
+    got = exact_dup_clusters(files_ds).to_pandas()
+    oracle = duckdb.sql(
+        f"""
+        SELECT repo, path, commit, sha256(content) AS sha256
+        FROM parquet_scan('{tiny_corpus}/*.parquet')
+        WHERE length(content) > 0
+        QUALIFY count(*) OVER (PARTITION BY sha256(content)) > 1
+        ORDER BY sha256, commit, repo, path
+        """
+    ).df()
+    assert len(got) == len(oracle)
+    key = lambda df: sorted(zip(df.repo, df.path, df.commit, df.sha256))
+    assert key(got) == key(oracle)
+    # members of a cluster all share cluster_id == sha256
+    assert (got.cluster_id == got.sha256).all()
+    # deterministic order: sorted by cluster_id then identity
+    assert got.cluster_id.is_monotonic_increasing
+
+
+def test_exact_excludes_empty_content(ray_session, files_ds):
+    from europa_ray.pipelines.exact import exact_dup_clusters
+
+    got = exact_dup_clusters(files_ds).to_pandas()
+    # empty-content rows carry sha=None and are dropped (HashGenerator.cs:18-19);
+    # no cluster can be keyed by null
+    assert got.sha256.notna().all()
+
+
+def test_two_pass_equivalence(ray_session, files_ds):
+    from europa_ray.config import EngineConfig
+    from europa_ray.pipelines.exact import exact_dup_clusters
+
+    base = exact_dup_clusters(files_ds).to_pandas()
+    two = exact_dup_clusters(files_ds, EngineConfig(two_pass=True)).to_pandas()
+    key = lambda df: sorted(zip(df.repo, df.path, df.commit, df.sha256))
+    assert key(base) == key(two)
+
+
+def test_filters(ray_session, files_ds, tiny_corpus):
+    from europa_ray.config import EngineConfig
+    from europa_ray.pipelines.exact import dedup_representatives
+
+    # include-list wins; exclude only when include empty (FileFilter.cs:7-17)
+    inc = dedup_representatives(
+        files_ds, EngineConfig(include_langs=("python",), exclude_langs=("python",))
+    ).to_pandas()
+    oracle_inc = duckdb.sql(
+        f"""SELECT count(DISTINCT sha256(content)) c FROM parquet_scan('{tiny_corpus}/*.parquet')
+            WHERE lang='python' AND length(content)>0"""
+    ).fetchone()[0]
+    assert len(inc) == oracle_inc
+
+    exc = dedup_representatives(files_ds, EngineConfig(exclude_langs=("python",))).to_pandas()
+    oracle_exc = duckdb.sql(
+        f"""SELECT count(DISTINCT sha256(content)) c FROM parquet_scan('{tiny_corpus}/*.parquet')
+            WHERE lang!='python' AND length(content)>0"""
+    ).fetchone()[0]
+    assert len(exc) == oracle_exc
+
+    sized = dedup_representatives(files_ds, EngineConfig(min_size=100, max_size=1000)).to_pandas()
+    oracle_sz = duckdb.sql(
+        f"""SELECT count(DISTINCT sha256(content)) c FROM parquet_scan('{tiny_corpus}/*.parquet')
+            WHERE length(content) BETWEEN 100 AND 1000"""
+    ).fetchone()[0]
+    assert len(sized) == oracle_sz
+
+
+def test_dedup_representatives_on_driver_documents(ray_session):
+    from europa_ray.pipelines.exact import dedup_representatives
+    from europa_ray.sources.files import read_documents_as_files
+
+    ds = read_documents_as_files(SF_SMALL)
+    reps = dedup_representatives(ds, id_col="doc_id").to_pandas()
+    oracle = duckdb.sql(
+        f"""SELECT sha256(text) AS sha256, min(doc_id) AS doc_id
+            FROM '{SF_SMALL}/documents.parquet' WHERE length(text)>0 GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert reps.sha256.tolist() == oracle.sha256.tolist()
+    assert reps.doc_id.tolist() == oracle.doc_id.tolist()
