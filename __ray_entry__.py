@@ -1,44 +1,344 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2 /
+the training-data operator set; ``oracle_sql()`` holds the DuckDB-equivalent
+SQL where the semantics are SQL-expressible (column names match exactly).
+Non-SQL-expressible ops (MinHash/SimHash/substring near-dup, LSH ANN,
+fingerprints, media stubs) are present without an oracle → rows-only check;
+their correctness gates live in ``tests/`` against brute-force oracles.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+
+def _collect(result):
+    """Materialize a (small) query result to a schema-preserving pyarrow
+    Table — ``Dataset.to_pandas()`` drops column names on zero-row outputs,
+    which breaks schema comparison for legitimately-empty results."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        schema = result.schema().base_schema
+        tables = list(result.iter_batches(batch_format="pyarrow", batch_size=65536))
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return schema.empty_table()
+        return pa.concat_tables(tables, promote_options="default")
+    return result
+
+
+def _docs(sf_dir: str):
+    from europa_ray.sources.files import read_documents_as_files
+
+    return read_documents_as_files(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_exact_dup_members(sf_dir: str):
+    from europa_ray.pipelines.exact import exact_dup_clusters
+
+    out = exact_dup_clusters(_docs(sf_dir), id_cols=("doc_id",))
+    # project on the collected Arrow table: Ray's schema() on a projected
+    # EMPTY dataset reports the pre-projection schema
+    return _collect(out).select(["doc_id", "sha256", "n_members"])
+
+
+def _q_dedup_representatives(sf_dir: str):
+    from europa_ray.pipelines.exact import dedup_representatives
+
+    return dedup_representatives(_docs(sf_dir), id_col="doc_id")
+
+
+def _q_exact_group_sizes(sf_dir: str):
+    ds = _docs(sf_dir)
+    from europa_ray.stages.hash_stage import add_sha256
+
+    hashed = ds.map_batches(add_sha256, fn_kwargs={"keep_cols": ("doc_id",)}, batch_format="pyarrow")
+    sizes = hashed.groupby("sha256").count().rename_columns({"count()": "n_members"})
+    hist = sizes.groupby("n_members").count().rename_columns({"count()": "n_groups"})
+    return hist
+
+
+def _q_filter_size_range(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(b):
+        n = pc.utf8_length(b["content"]).cast(pa.int64())
+        t = b.append_column("n_chars", n)
+        mask = pc.and_(pc.greater_equal(n, 200), pc.less_equal(n, 2000))
+        return t.filter(mask).select(["doc_id", "n_chars"])
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def _q_filter_lang(sf_dir: str):
+    from europa_ray.config import EngineConfig
+    from europa_ray.stages.filters import apply_filters
+
+    cfg = EngineConfig(include_langs=("en", "de"))
+    return apply_filters(_docs(sf_dir), cfg).select_columns(["doc_id", "lang"])
+
+
+def _q_token_counts(sf_dir: str):
+    from europa_ray.pipelines.textstats import token_count_batch
+
+    return _docs(sf_dir).map_batches(
+        token_count_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_token_totals_by_lang(sf_dir: str):
+    from europa_ray.pipelines.textstats import token_count_batch
+
+    counted = _docs(sf_dir).map_batches(
+        token_count_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    )
+    agg = counted.groupby("lang").sum("n_tokens").rename_columns(
+        {"sum(n_tokens)": "total_tokens"}
+    )
+
+    def _cast(b):
+        import pyarrow as pa
+
+        return b.set_column(
+            b.column_names.index("total_tokens"),
+            "total_tokens",
+            b["total_tokens"].cast(pa.int64()),
+        )
+
+    return agg.map_batches(_cast, batch_format="pyarrow")
+
+
+def _q_quality_scores(sf_dir: str):
+    from europa_ray.pipelines.textstats import quality_ppm_batch
+
+    return _docs(sf_dir).map_batches(
+        quality_ppm_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"])
+
+
+def _q_lang_id(sf_dir: str):
+    from europa_ray.pipelines.textstats import lang_id_batch
+
+    return _docs(sf_dir).map_batches(
+        lang_id_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from europa_ray.pipelines.textstats import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(
+        fingerprint_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_minhash_clusters(sf_dir: str):
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+    from europa_ray.sources.augment import with_mutants
+
+    out = near_dup_pipeline(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    return out["clusters"].select_columns(["doc_id", "sha256", "cluster_id", "source"])
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+    from europa_ray.sources.augment import with_mutants
+
+    out = near_dup_pipeline(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    return out["pairs"]
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from europa_ray.sources.augment import with_mutants
+    from europa_ray.stages.signatures import signatures
+    from europa_ray.stages.simhash_pass import simhash_pairs
+
+    sigs = signatures(with_mutants(_docs(sf_dir)), id_cols=("doc_id",)).materialize()
+    return simhash_pairs(sigs)
+
+
+def _q_substr_pairs(sf_dir: str):
+    from europa_ray.sources.augment import with_mutants
+    from europa_ray.stages.substr import substring_pairs
+
+    return substring_pairs(with_mutants(_docs(sf_dir)))
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard for LSH candidates (the verify math surfaced as
+    its own operator): pairs with TRUE 5-gram Jaccard ≥ τ among mutant-
+    augmented docs, via signature pipeline + exact re-verification."""
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+    from europa_ray.sources.augment import with_mutants
+
+    return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+
+
+def _load_embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vectors(sf_dir: str, n: int = 10):
+    import duckdb
+
+    t = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{os.path.join(sf_dir, 'embeddings.parquet')}' "
+        f"WHERE vec_id < {n} ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in t], dtype=np.int64)
+    mat = np.array([r[1] for r in t], dtype=np.float64)
+    return mat, ids
+
+
+def _q_ann_topk(sf_dir: str):
+    from europa_ray.stages.ann import brute_force_topk
+
+    q, ids = _query_vectors(sf_dir, 10)
+    return brute_force_topk(_load_embeddings(sf_dir), q, ids, k=5)
+
+
+def _q_ann_topk_lsh(sf_dir: str):
+    from europa_ray.stages.ann import lsh_topk
+
+    q, ids = _query_vectors(sf_dir, 10)
+    return lsh_topk(_load_embeddings(sf_dir), q, ids, k=5, n_bits=4)
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    from europa_ray.stages.ann import exact_cosine_pairs
+
+    return exact_cosine_pairs(_load_embeddings(sf_dir), threshold=0.9)
+
+
+def _q_embedding_dup_pairs_lsh(sf_dir: str):
+    from europa_ray.stages.ann import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_load_embeddings(sf_dir), threshold=0.9, n_bits=4)
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data
+
+    from europa_ray.stages.multimodal import documents_as_media, media_features
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    media = docs.map_batches(documents_as_media, batch_format="pyarrow")
+    return media_features(media).select_columns(["media_id", "kind", "error"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (near-dup detection + clustering) on sf0.001."""
+    return _q_minhash_clusters("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    def wrap(fn):
+        return lambda sf_dir: _collect(fn(sf_dir))
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dup_members": wrap(_q_exact_dup_members),
+        "dedup_representatives": wrap(_q_dedup_representatives),
+        "exact_group_sizes": wrap(_q_exact_group_sizes),
+        "filter_size_range": wrap(_q_filter_size_range),
+        "filter_lang": wrap(_q_filter_lang),
+        "token_counts": wrap(_q_token_counts),
+        "token_totals_by_lang": wrap(_q_token_totals_by_lang),
+        "quality_scores": wrap(_q_quality_scores),
+        "lang_id": wrap(_q_lang_id),
+        "doc_fingerprints": wrap(_q_doc_fingerprints),
+        "minhash_near_dup_clusters": wrap(_q_minhash_clusters),
+        "minhash_pairs": wrap(_q_minhash_pairs),
+        "simhash_pairs": wrap(_q_simhash_pairs),
+        "substr_pairs": wrap(_q_substr_pairs),
+        "ngram_jaccard_pairs": wrap(_q_ngram_jaccard_pairs),
+        "ann_topk": wrap(_q_ann_topk),
+        "ann_topk_lsh": wrap(_q_ann_topk_lsh),
+        "embedding_dup_pairs": wrap(_q_embedding_dup_pairs),
+        "embedding_dup_pairs_lsh": wrap(_q_embedding_dup_pairs_lsh),
+        "multimodal_features": wrap(_q_multimodal_features),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_members": """
+            SELECT doc_id, sha256(text) AS sha256,
+                   count(*) OVER (PARTITION BY sha256(text)) AS n_members
+            FROM documents WHERE length(text) > 0
+            QUALIFY n_members > 1
+        """,
+        "dedup_representatives": """
+            SELECT sha256(text) AS sha256, min(doc_id) AS doc_id
+            FROM documents WHERE length(text) > 0 GROUP BY sha256(text)
+        """,
+        "exact_group_sizes": """
+            SELECT n_members, count(*) AS n_groups FROM (
+                SELECT count(*) AS n_members FROM documents
+                WHERE length(text) > 0 GROUP BY sha256(text)
+            ) GROUP BY n_members
+        """,
+        "filter_size_range": """
+            SELECT doc_id, length(text) AS n_chars FROM documents
+            WHERE length(text) BETWEEN 200 AND 2000
+        """,
+        "filter_lang": """
+            SELECT doc_id, lang FROM documents
+            WHERE length(text) > 0 AND lang IN ('en', 'de')
+        """,
+        "token_counts": r"""
+            SELECT doc_id, length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+            FROM documents
+        """,
+        "token_totals_by_lang": r"""
+            SELECT lang, CAST(sum(length(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+                       // greatest(length(text), 1) AS alpha_ppm,
+                   (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000)
+                       // greatest(length(text), 1) AS digit_ppm,
+                   (length(text) - length(regexp_replace(text, '[ \t\n\r\f\v]', '', 'g')))
+                       * 1000000 // greatest(length(text), 1) AS ws_ppm
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(CAST(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE), 4) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                e.vec_id
+                   ) AS BIGINT) AS rank
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id != q.vec_id
+            QUALIFY rank <= 5
+        """,
+        "embedding_dup_pairs": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 4) AS score
+            FROM embeddings x CROSS JOIN embeddings y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        """,
+    }

@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "num_cpus": N}
+
+Headline: the flagship near-dup pipeline (signatures → LSH → CC → clusters)
+over a deterministic synthetic source-code corpus (FIXTURES.md scale
+``bench``), plus exact dedup, SimHash pass, text stats, and ANN top-k over
+the driver's sf embeddings.
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
+(default 32), ``GRAFT_BENCH_ROWS`` (default 60000 corpus rows).
+
+``--scaling``: run the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs +
+scaling efficiency (the sandbox proxy for N vs 4N nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "60000"))
+SEED = 42
+
+
+def corpus_dir(rows: int = BENCH_ROWS, seed: int = SEED) -> str:
+    """Deterministic bench corpus, cached under /tmp (generated once)."""
+    out = f"/tmp/europa_bench_corpus_r{rows}_s{seed}"
+    marker = os.path.join(out, ".complete")
+    files_dir = os.path.join(out, "files")
+    if not os.path.exists(marker):
+        from europa_ray.corpus import generate_corpus, write_corpus
+
+        t0 = time.time()
+        write_corpus(out, generate_corpus(n_rows=rows, seed=seed), shards=16)
+        with open(marker, "w") as f:
+            f.write(f"{time.time() - t0:.1f}")
+    return files_dir
+
+
+def run_queries(num_cpus: int, only: str | None = None) -> dict[str, float]:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from europa_ray.pipelines.exact import exact_dup_clusters
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+    from europa_ray.pipelines.textstats import quality_ppm_batch, token_count_batch
+    from europa_ray.stages.ann import brute_force_topk
+    from europa_ray.stages.signatures import signatures
+    from europa_ray.stages.simhash_pass import simhash_pairs
+
+    cdir = corpus_dir()
+    timings: dict[str, float] = {}
+
+    def read():
+        return ray.data.read_parquet(cdir)
+
+    def bench(name: str, fn):
+        if only and name != only:
+            return
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        timings[f"{name}_rows"] = n
+
+    bench("exact_dedup", lambda: exact_dup_clusters(read()).count())
+    bench(
+        "neardup",
+        lambda: near_dup_pipeline(read())["clusters"].count(),
+    )
+    bench(
+        "simhash",
+        lambda: simhash_pairs(signatures(read()).materialize()).count(),
+    )
+    def textstats():
+        counted = read().map_batches(
+            token_count_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+        )
+        quality = read().map_batches(
+            quality_ppm_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+        )
+        return counted.count() + quality.count()
+
+    bench("textstats", textstats)
+
+    def ann():
+        import duckdb
+
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        t = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{emb_path}' WHERE vec_id < 32 ORDER BY vec_id"
+        ).fetchall()
+        ids = np.array([r[0] for r in t], dtype=np.int64)
+        mat = np.array([r[1] for r in t], dtype=np.float64)
+        res = brute_force_topk(ray.data.read_parquet(emb_path), mat, ids, k=10)
+        return res.num_rows
+
+    bench("ann_topk", ann)
+    return timings
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        # scaling worker: headline only, fresh process
+        cpus = int(sys.argv[sys.argv.index("--worker") + 1])
+        t = run_queries(cpus, only="neardup")
+        print(json.dumps({"cpus": cpus, "neardup_sec": t["neardup"]}))
+        import ray
+
+        ray.shutdown()
+        return
+
+    corpus_dir()  # pre-generate outside timings
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+                check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            results[r["cpus"]] = r["neardup_sec"]
+        speedup = results[8] / results[32]
+        efficiency = speedup / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "neardup_scaling_efficiency_8_to_32_cpus",
+                    "value": round(efficiency, 3),
+                    "unit": "efficiency",
+                    "throughput_rows_per_sec": {
+                        "8": round(BENCH_ROWS / results[8], 1),
+                        "32": round(BENCH_ROWS / results[32], 1),
+                    },
+                    "seconds": {"8": results[8], "32": results[32]},
+                    "speedup": round(speedup, 3),
+                    "rows": BENCH_ROWS,
+                    "sf": SF_DIR,
+                }
+            )
+        )
+        return
+
+    t = run_queries(NUM_CPUS)
+    qsec = {k: v for k, v in t.items() if not k.endswith("_rows")}
+    print(
+        json.dumps(
+            {
+                "metric": "neardup_pipeline_sec",
+                "value": t.get("neardup"),
+                "unit": "sec",
+                "queries": qsec,
+                "rows": BENCH_ROWS,
+                "throughput_rows_per_sec": round(BENCH_ROWS / t["neardup"], 1)
+                if t.get("neardup")
+                else None,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

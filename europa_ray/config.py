@@ -44,7 +44,10 @@ class EngineConfig:
 
     # --- execution ---
     batch_size: int = 512                 # rows per signature batch
-    sig_concurrency: int | tuple[int, int] = 4  # actor pool size for signature stage
+    # Signature actor pool: AUTOSCALING (min, max). A fixed pool equal to the
+    # CPU count deadlocks small clusters (actors reserve every CPU, upstream
+    # read tasks starve); min=1 guarantees progress, max sizes to the node.
+    sig_concurrency: int | tuple[int, int] = (1, 16)
     two_pass: bool = False                # 10%-prefix pre-pass (A2) — IO saver in
     #   the reference; correctness-neutral here (tested)
     cc_driver_max_edges: int = 5_000_000  # driver union-find below this, else

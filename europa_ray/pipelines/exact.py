@@ -25,6 +25,7 @@ import ray.data
 from europa_ray.config import DEFAULT_CONFIG, EngineConfig
 from europa_ray.stages.filters import apply_filters
 from europa_ray.stages.hash_stage import add_prefix_key, add_sha256
+from europa_ray.util import default_num_partitions
 
 
 def _empty_like(ds: ray.data.Dataset, extra: dict[str, pa.DataType] | None = None) -> ray.data.Dataset:
@@ -54,7 +55,7 @@ def exact_dup_clusters(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Cluster table: one row per member of each exact-duplicate group.
 
@@ -63,6 +64,8 @@ def exact_dup_clusters(
     emits groups in nondeterministic channel order (SURVEY.md K3); we sort for
     reproducible golden tests.
     """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     ds = apply_filters(files, cfg)
     hashed = ds.map_batches(
         add_sha256, fn_kwargs={"keep_cols": id_cols}, batch_format="pyarrow"
@@ -106,12 +109,12 @@ def _two_pass_filter(files, hashed, cfg: EngineConfig, id_cols):
     if survivors.count() == 0:
         return _empty_like(hashed)
     keyed = (
-        pass1.join(survivors, join_type="inner", num_partitions=8, on=("prefix_key",))
+        pass1.join(survivors, join_type="inner", num_partitions=default_num_partitions(), on=("prefix_key",))
         .select_columns(list(id_cols))
         .materialize()  # duplicate-candidate members only; see _dup_sha_counts note
     )
     # Semi-join the fully-hashed rows down to pass-1 survivors on identity.
-    return hashed.join(keyed, join_type="inner", num_partitions=8, on=tuple(id_cols))
+    return hashed.join(keyed, join_type="inner", num_partitions=default_num_partitions(), on=tuple(id_cols))
 
 
 def dedup_representatives(
@@ -119,7 +122,7 @@ def dedup_representatives(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     id_col: str = "path",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """The training-data 'exact dedup' op: one representative row per distinct
     content (minimum ``id_col``), i.e. the deduplicated dataset manifest.

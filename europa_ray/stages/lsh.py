@@ -1,0 +1,146 @@
+"""LSH banding, collision detection, and in-band candidate pairing.
+
+The analog of Europa's Qdrant ANN retrieval (``/root/reference/Api/Client/
+QdrantRepository.cs:184-206``): instead of an external vector index with a
+bulk-load/poll-green barrier (``SimilarImageFinder.cs:69-82``), candidates
+come from a ``groupby(band_key)`` shuffle over exploded (band_key, node, sig)
+rows. Verification (the score-threshold rule, ``QdrantRepository.cs:192``)
+happens INSIDE the pairing function from the full 128-slot signatures carried
+through the explode — fully streaming, no driver-side signature store.
+
+Skew (north rule): bands larger than ``max_band_size`` (boilerplate/license
+clusters) switch from all-pairs to sorted window pairing — a connected
+spanning structure with ``pair_window`` redundancy, preserving CC
+connectivity without O(n²) pair blowup; per-band pair output is additionally
+capped at ``max_pairs_per_band`` (the ANN top-100 analog, K1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from europa_ray.config import DEFAULT_CONFIG, EngineConfig
+from europa_ray.functions.sig import band_keys
+from europa_ray.stages.signatures import minhash_matrix, pack_sigs
+from europa_ray.util import default_num_partitions
+
+PAIRS_SCHEMA = pa.schema(
+    [
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.int64()),
+        pa.field("est", pa.float64()),
+        pa.field("source", pa.string()),
+    ]
+)
+
+
+def explode_bands(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """(node, minhash) → ``lsh_bands`` rows: (band_key, node, minhash) × b."""
+    n = batch.num_rows
+    b = cfg.lsh_bands
+    if n == 0:
+        return pa.table(
+            {
+                "band_key": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "minhash": pa.array([], pa.binary()),
+            }
+        )
+    sig32 = minhash_matrix(batch, cfg.num_perm)
+    bk = band_keys(sig32.astype(np.uint64), b, cfg.lsh_rows).view(np.int64)  # (n, b)
+    node = batch["node"].to_numpy()
+    rep = np.repeat(sig32, b, axis=0)  # row-major: row i's b bands contiguous
+    return pa.table(
+        {
+            "band_key": pa.array(bk.ravel()),
+            "node": pa.array(np.repeat(node, b)),
+            "minhash": pack_sigs(rep),
+        }
+    )
+
+
+def pair_band_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Candidate pairs within one band bucket, verified by estimated Jaccard
+    (fraction of matching MinHash components ≥ ``jaccard_threshold``).
+
+    Exact-duplicate rows (same node = same sha256) are coalesced first —
+    near-dup search runs at content-group granularity exactly like the
+    reference's one-``ImagesGroup``-per-distinct-hash model
+    (``Core/Entities/Images/ImagesGroup.cs:8-27``).
+    """
+    nodes = group["node"].to_numpy()
+    uniq, first_idx = np.unique(nodes, return_index=True)
+    n = uniq.shape[0]
+    if n < 2:
+        return PAIRS_SCHEMA.empty_table()
+    sig = minhash_matrix(group, cfg.num_perm)[first_idx]  # sorted by node asc
+
+    if n <= cfg.max_band_size:
+        iu, ju = np.triu_indices(n, k=1)
+    else:
+        # Hot band: sorted window pairing (salting/splitting with
+        # connectivity-preserving links). Every member links to its next
+        # `w` neighbors in node order — a connected overlay if any pairs
+        # verify transitively; logged upstream via band size counters.
+        w = cfg.pair_window
+        iu = np.repeat(np.arange(n), w)
+        ju = iu + np.tile(np.arange(1, w + 1), n)
+        ok = ju < n
+        iu, ju = iu[ok], ju[ok]
+
+    est = (sig[iu] == sig[ju]).mean(axis=1)
+    pass_mask = est >= cfg.jaccard_threshold
+    iu, ju, est = iu[pass_mask], ju[pass_mask], est[pass_mask]
+    if iu.shape[0] > cfg.max_pairs_per_band:
+        top = np.argpartition(-est, cfg.max_pairs_per_band)[: cfg.max_pairs_per_band]
+        iu, ju, est = iu[top], ju[top], est[top]
+    if iu.shape[0] == 0:
+        return PAIRS_SCHEMA.empty_table()
+    a = uniq[iu]
+    b = uniq[ju]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return pa.table(
+        {
+            "a": pa.array(lo),
+            "b": pa.array(hi),
+            "est": pa.array(est.astype(np.float64)),
+            "source": pa.array(["lsh"] * len(lo), pa.string()),
+        }
+    )
+
+
+def candidate_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partitions: int | None = None):
+    """signatures Dataset → verified, deduplicated candidate pairs.
+
+    Steps: band explode (map_batches) → colliding-band detection
+    (count-aggregate, materialized: one row per *colliding* band key, small)
+    → inner join to keep only collision rows → per-band pairing
+    (``map_groups``) → pair dedup via ``groupby(a, b)``.
+    """
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    bands = sig_ds.map_batches(
+        explode_bands, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+    )
+    collisions = (
+        bands.groupby("band_key")
+        .count()
+        .rename_columns({"count()": "band_n"})
+        .filter(expr="band_n > 1")
+        .materialize()  # colliding-band keys only (small); Ray 2.49 join quirk
+    )
+    if collisions.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+    hot = bands.join(
+        collisions, join_type="inner", num_partitions=num_partitions, on=("band_key",)
+    )
+    pairs = hot.groupby("band_key").map_groups(
+        pair_band_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+    )
+    # same pair found in multiple bands → keep one (est identical by construction)
+    dedup = pairs.groupby(["a", "b"]).max("est").rename_columns({"max(est)": "est"})
+    return dedup

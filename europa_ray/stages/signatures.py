@@ -1,0 +1,130 @@
+"""Signature stage — a STATEFUL actor-pool ``map_batches`` class.
+
+Per-actor state (built once in ``__init__``, like the DCT coefficient matrix
+in Europa's static ctor, ``/root/reference/Api/Implementations/SimilarImages/
+ImageHashs/PerceptualHash.cs:24-61``): the 128 MinHash permutation seeds and
+the engine config. Per batch (``__call__``): sha256, tokenize, 5-gram
+shingles, MinHash-128 + SimHash-64 — all NumPy-vectorized over the flat
+token/shingle arrays. Content is dropped from the output so no downstream
+shuffle moves file bodies.
+
+Use: ``ds.map_batches(SignatureStage, fn_constructor_kwargs={"cfg": cfg},
+concurrency=N, batch_size=cfg.batch_size, batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from europa_ray.config import DEFAULT_CONFIG, EngineConfig
+from europa_ray.functions.sig import (
+    make_perm_seeds,
+    minhash_signatures,
+    simhash_signatures,
+)
+from europa_ray.functions.text import shingles, tokenize, unique_per_row
+from europa_ray.util import hex_to_u64, sha256_hex
+
+SIG_DTYPE = np.uint32  # low 32 bits of each minhash slot: halves shuffle
+# volume; P(component collision) = 2^-32, immaterial for Jaccard estimates.
+
+
+class SignatureStage:
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, id_cols: tuple[str, ...] = ("repo", "path", "commit")):
+        self.cfg = cfg
+        self.id_cols = id_cols
+        self.perm_seeds = make_perm_seeds(cfg.num_perm, cfg.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch["content"].to_pylist()
+        sha = sha256_hex(texts)
+        keep = np.array([h is not None for h in sha], dtype=bool)
+
+        th, off = tokenize(texts)
+        sh, soff = shingles(th, off, cfg.shingle_k)
+        ush, uoff = unique_per_row(sh, soff)
+        sig64 = minhash_signatures(ush, uoff, self.perm_seeds)
+        sig = (sig64 & np.uint64(0xFFFFFFFF)).astype(SIG_DTYPE)
+        sim = simhash_signatures(ush, uoff)
+        n_tokens = np.diff(off)
+
+        sha_kept = [h for h in sha if h is not None]
+        # int64 bit-view: Ray groupby/join keys must be int64 (uint64 columns
+        # degrade to pickled-object extension arrays in shuffles)
+        node = hex_to_u64(sha_kept).view(np.int64)
+
+        cols: dict[str, pa.Array] = {}
+        for c in self.id_cols:
+            if c in batch.column_names:
+                cols[c] = batch[c].filter(pa.array(keep))
+        cols["sha256"] = pa.array(sha_kept, pa.string())
+        cols["node"] = pa.array(node)
+        cols["n_tokens"] = pa.array(n_tokens[keep])
+        cols["minhash"] = pack_sigs(sig[keep])
+        cols["simhash"] = pa.array(sim[keep].view(np.int64))
+        return pa.table(cols)
+
+
+def default_pool_size(reserve: int = 2, cap: int = 16) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds that can never starve the pipeline:
+    max = cluster CPUs − ``reserve`` (read/shuffle tasks need CPUs too — a
+    pool equal to the CPU count deadlocks the streaming executor), min = 1.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(1, min(cap, cpus - reserve)))
+
+
+def signatures(
+    files,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    concurrency=None,
+):
+    """Attach the signature actor-pool stage to a files Dataset."""
+    return files.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"cfg": cfg, "id_cols": id_cols},
+        concurrency=concurrency or default_pool_size(),
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def pack_sigs(mat: np.ndarray) -> pa.Array:
+    """(n, p) uint32 signature matrix → binary column (p*4-byte blobs).
+
+    Plain ``binary`` (not fixed-size-list) so signatures survive Acero joins
+    as payload columns. Built directly from buffers — no per-row Python.
+    """
+    n, p = mat.shape
+    data = np.ascontiguousarray(mat, dtype=SIG_DTYPE).tobytes()
+    offsets = (np.arange(n + 1, dtype=np.int32) * (p * 4)).tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(data)]
+    )
+
+
+def minhash_matrix(tbl: pa.Table, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint32 matrix from the packed binary ``minhash`` column."""
+    col = tbl["minhash"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = num_perm * 4
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + len(col) + 1]
+    if len(col) == 0:
+        return np.empty((0, num_perm), dtype=SIG_DTYPE)
+    if (np.diff(offs) == width).all():
+        data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        return np.frombuffer(data.tobytes(), dtype=SIG_DTYPE).reshape(-1, num_perm)
+    # non-uniform (shouldn't happen): per-row fallback
+    return np.stack([np.frombuffer(x, dtype=SIG_DTYPE) for x in col.to_pylist()])

@@ -1,0 +1,140 @@
+"""Connected components over the verified pair list (SURVEY.md §2.5 A6).
+
+The reference's final grouping is a SERIAL greedy pass over a channel
+(``/root/reference/Api/Implementations/SimilarImages/SimilarImageFinder.cs:
+340-411``) whose clusters depend on arrival order (a neighbor already claimed
+by an earlier cluster is silently dropped, ``:360-363``). The engine computes
+true connected components — a canonical superset merge — with
+``cluster = min(node)`` labels so output is deterministic.
+
+Two implementations:
+
+- ``connected_components_driver``: classic union-find with path compression
+  over the streamed edge list. Edges = verified near-dup pairs, orders of
+  magnitude smaller than the corpus; up to ``cc_driver_max_edges`` this is
+  the fastest correct choice and keeps zero extra shuffles.
+- ``connected_components_distributed``: hash-to-min set propagation
+  (Rastogi et al., "Finding Connected Components in Map-Reduce in
+  Logarithmic Rounds", ICDE 2013) expressed as Ray Data
+  ``groupby(key).map_groups`` rounds — one metadata-only (int64, int64)
+  shuffle per round, O(log n) rounds even for path graphs. Used above the
+  driver threshold; correctness cross-checked against networkx in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from europa_ray.util import mix64
+
+
+def connected_components_driver(pairs_ds) -> dict[int, int]:
+    """Union-find over an (a: int64, b: int64, ...) pairs Dataset.
+
+    Returns {node → component_label} with label = min node in component,
+    only for nodes appearing in at least one edge.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for a, b in zip(batch["a"].to_numpy(), batch["b"].to_numpy()):
+            a, b = int(a), int(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps labels canonical without a second pass
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+                parent.setdefault(lo, lo)
+    return {x: find(x) for x in parent}
+
+
+def _h2m_step(group: pa.Table) -> pa.Table:
+    """One hash-to-min round for one key u with received set C(u).
+
+    m = min({u} ∪ C); emit C to m and {m} to every member of C. The whole
+    component's ids accumulate at the component min in O(log n) rounds.
+    """
+    u = group["key"][0].as_py()
+    vals = group["val"].to_numpy()
+    c = np.unique(np.concatenate([vals, [u]]))
+    m = int(c[0])
+    others = c[c != m]
+    if others.size == 0:
+        keys = np.array([u], dtype=np.int64)
+        outv = np.array([m], dtype=np.int64)
+    else:
+        # (m → each other member) ∪ (each member → m) ∪ (u → m keeps u alive)
+        keys = np.concatenate([np.full(others.size, m, dtype=np.int64), others, [u]])
+        outv = np.concatenate([others, np.full(others.size, m, dtype=np.int64), [m]])
+    return pa.table({"key": pa.array(keys), "val": pa.array(outv)})
+
+
+def _label_checksum(labels) -> int:
+    """Order-independent uint64 checksum of a (key, min(val)) Dataset."""
+    total = np.uint64(0)
+    for batch in labels.iter_batches(batch_format="pyarrow", batch_size=65536):
+        k = batch["key"].to_numpy().view(np.uint64)
+        v = batch["min(val)"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            total += mix64(k * np.uint64(31) ^ v).sum(dtype=np.uint64)
+    return int(total)
+
+
+def connected_components_distributed(pairs_ds, *, max_iters: int = 50):
+    """Hash-to-min to fixpoint; returns Dataset (node, cluster).
+
+    Each round is one ``groupby(key)`` shuffle of (int64, int64) rows —
+    no payload columns. Rounds ≈ O(log n) even for path graphs. Space note:
+    the component-min key accumulates its whole component's ids (the known
+    hash-to-min tradeoff); for the near-dup workload components are ≪ corpus.
+    """
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        keys = np.concatenate([a, b]).astype(np.int64)
+        vals = np.concatenate([b, a]).astype(np.int64)
+        return pa.table({"key": pa.array(keys), "val": pa.array(vals)})
+
+    state = pairs_ds.map_batches(seed, batch_format="pyarrow")
+    prev = None
+    for _ in range(max_iters):
+        state = state.groupby("key").map_groups(_h2m_step, batch_format="pyarrow").materialize()
+        labels = state.groupby("key").min("val").materialize()
+        chk = _label_checksum(labels)
+        if chk == prev:
+            break
+        prev = chk
+    labels = state.groupby("key").min("val").rename_columns(
+        {"key": "node", "min(val)": "cluster"}
+    )
+
+    # min(val) for the component-min node is its smallest *other* member, not
+    # itself — clamp to min(node, cluster)
+    def clamp(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy()
+        cl = np.minimum(node, batch["cluster"].to_numpy())
+        return pa.table({"node": pa.array(node), "cluster": pa.array(cl)})
+
+    return labels.map_batches(clamp, batch_format="pyarrow")
+
+
+def components(pairs_ds, *, driver_max_edges: int = 5_000_000) -> dict[int, int]:
+    """Dispatch: driver union-find for small edge lists, distributed
+    hash-to-min above the threshold. Returns {node → cluster}."""
+    n_edges = pairs_ds.count()
+    if n_edges <= driver_max_edges:
+        return connected_components_driver(pairs_ds)
+    labels = connected_components_distributed(pairs_ds)
+    out: dict[int, int] = {}
+    for batch in labels.iter_batches(batch_format="pyarrow", batch_size=65536):
+        out.update(zip(batch["node"].to_numpy().tolist(), batch["cluster"].to_numpy().tolist()))
+    return out

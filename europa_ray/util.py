@@ -90,6 +90,21 @@ def sha256_prefix_hex(texts, fraction: float = 0.1) -> list[str | None]:
     return out
 
 
+def default_num_partitions(cap: int = 64) -> int:
+    """Shuffle partition count sized to the cluster: Ray's hash-shuffle
+    spawns aggregator actors proportional to the partition count, and a
+    count exceeding available CPUs deadlocks small clusters. ``cpus − 2``
+    leaves room for map/read tasks; capped for the sandbox (raise the cap on
+    a real multi-node cluster)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cap, cpus - 2))
+
+
 def hex_to_u64(hex_ids) -> np.ndarray:
     """Compact uint64 node id from a sha256 hex string (first 16 hex chars).
 

