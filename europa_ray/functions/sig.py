@@ -23,15 +23,26 @@ _U64 = np.uint64
 
 
 def make_perm_seeds(num_perm: int, seed: int) -> np.ndarray:
-    """Deterministic per-permutation seeds (held in actor state, the analog of
-    the DCT coefficient matrix computed once per process,
-    ``PerceptualHash.cs:24-61``)."""
+    """Deterministic (2, num_perm) multiply-shift permutation params (held in
+    actor state, the analog of the DCT coefficient matrix computed once per
+    process, ``PerceptualHash.cs:24-61``).
+
+    Row 0: odd multipliers A_j; row 1: additive offsets B_j. Permutation
+    h_j(x) = (A_j·x + B_j mod 2^64) >> 32 — the multiply-shift universal
+    family, 2 vectorized ops per cell vs 7 for a full splitmix finalizer
+    (the signature stage is the pipeline's dominant compute).
+    """
     rng = np.random.default_rng(seed)
-    return rng.integers(1, np.iinfo(np.int64).max, size=num_perm).astype(np.uint64)
+    a = rng.integers(1, np.iinfo(np.int64).max, size=num_perm).astype(np.uint64) | _U64(1)
+    b = rng.integers(0, np.iinfo(np.int64).max, size=num_perm).astype(np.uint64)
+    return np.stack([a, b])
 
 
 # Sentinel for "no shingles" (empty row) — also the identity for min.
 EMPTY_SIG = np.iinfo(np.uint64).max
+
+
+EMPTY_SIG32 = np.iinfo(np.uint32).max
 
 
 def minhash_signatures(
@@ -39,18 +50,26 @@ def minhash_signatures(
     sh_offsets: np.ndarray,
     perm_seeds: np.ndarray,
     *,
-    max_chunk_cells: int = 64_000_000,
+    max_chunk_cells: int = 8_000_000,
 ) -> np.ndarray:
-    """(n_rows, num_perm) uint64 MinHash signatures.
+    """(n_rows, num_perm) uint32 MinHash signatures.
+
+    Per cell: multiply-shift hash ``(A_j·x + B_j) >> 32`` (wraparound uint64
+    multiply) — the minimum over a row's shingle set per permutation. uint32
+    values keep the reduceat and all downstream shuffles at half the
+    bandwidth; component-collision probability 2^-32 is immaterial for
+    Jaccard estimation.
 
     Rows are processed in slices so the intermediate (shingles × perms)
-    matrix stays under ``max_chunk_cells`` — keeps peak memory bounded
-    regardless of batch shingle counts (wide-row safety, FIXTURES.md §1.6).
-    Empty rows get the EMPTY_SIG sentinel in every slot.
+    matrix stays under ``max_chunk_cells`` — bounds peak memory regardless
+    of batch shingle counts (wide-row safety, FIXTURES.md §1.6). Empty rows
+    get the EMPTY_SIG32 sentinel in every slot.
     """
     n_rows = sh_offsets.shape[0] - 1
-    p = perm_seeds.shape[0]
-    out = np.full((n_rows, p), EMPTY_SIG, dtype=_U64)
+    p = perm_seeds.shape[1]
+    a = perm_seeds[0]
+    b32 = (perm_seeds[1] >> _U64(32)).astype(np.uint32)
+    out = np.full((n_rows, p), EMPTY_SIG32, dtype=np.uint32)
     if sh_flat.shape[0] == 0 or n_rows == 0:
         return out
 
@@ -64,7 +83,11 @@ def minhash_signatures(
         s0, s1 = sh_offsets[r0], sh_offsets[r1]
         if s1 > s0:
             seg = sh_flat[s0:s1]
-            mixed = splitmix64(seg[:, None] ^ perm_seeds[None, :])  # (m, p)
+            with np.errstate(over="ignore"):
+                # (A·x) >> 32 then + B's top bits: equivalent-quality family,
+                # avoids materializing a uint64 (m, p) intermediate
+                mixed = ((seg[:, None] * a[None, :]) >> _U64(32)).astype(np.uint32)
+                mixed += b32[None, :]
             starts = (sh_offsets[r0:r1] - s0).astype(np.int64)
             mins = np.minimum.reduceat(mixed, starts, axis=0)
             # reduceat is wrong for empty segments (returns the element at the

@@ -73,18 +73,38 @@ def exact_dup_clusters(
     if cfg.two_pass:
         hashed = _two_pass_filter(files, hashed, cfg, id_cols)
     dups = _dup_sha_counts(hashed, num_partitions)
-    if dups.count() == 0:
+    n_dups = dups.count()
+    if n_dups == 0:
         # Zero duplicate groups: short-circuit (a zero-row join side crashes
         # Ray 2.49's hash-shuffle with schema-less empty partitions, and the
         # answer is known anyway).
         return _empty_like(hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()})
-    members = hashed.join(
-        dups, join_type="inner", num_partitions=num_partitions, on=("sha256",)
-    )
-    def _add_cluster_id(b):
-        return b.append_column("cluster_id", b["sha256"])
+    if n_dups <= 5_000_000:
+        # duplicate-digest map is small: broadcast it and semi-join with a
+        # vectorized filter — skips the hash join's aggregator-actor startup
+        import ray
 
-    members = members.map_batches(_add_cluster_id, batch_format="pyarrow")
+        dup_map: dict[str, int] = {}
+        for b in dups.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            dup_map.update(zip(b["sha256"].to_pylist(), b["n_members"].to_pylist()))
+        dup_ref = ray.put(dup_map)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            dm = ray.get(dup_ref)
+            shas = batch["sha256"].to_pylist()
+            n = [dm.get(s) for s in shas]
+            mask = pa.array([x is not None for x in n])
+            out = batch.append_column("n_members", pa.array(n, pa.int64()))
+            out = out.append_column("cluster_id", batch["sha256"])
+            return out.filter(mask)
+
+        members = hashed.map_batches(attach, batch_format="pyarrow")
+    else:
+        members = hashed.join(
+            dups, join_type="inner", num_partitions=num_partitions, on=("sha256",)
+        ).map_batches(
+            lambda b: b.append_column("cluster_id", b["sha256"]), batch_format="pyarrow"
+        )
     return members.sort(["cluster_id", *id_cols])
 
 

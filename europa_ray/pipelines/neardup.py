@@ -59,8 +59,9 @@ def near_dup_pipeline(
 
     pairs = candidate_pairs(sigs, cfg, num_partitions=num_partitions)
     if extra_pairs is not None:
-        pairs = pairs.union(extra_pairs)
-        pairs = pairs.groupby(["a", "b"]).max("est").rename_columns({"max(est)": "est"})
+        from europa_ray.stages.lsh import dedupe_pairs
+
+        pairs = dedupe_pairs(pairs.union(extra_pairs), source=None)
     pairs = pairs.materialize()  # verified duplicate pairs: ≪ corpus
 
     labels = components(pairs, driver_max_edges=cfg.cc_driver_max_edges)

@@ -125,7 +125,9 @@ def candidate_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partition
         explode_bands, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
     collisions = (
-        bands.groupby("band_key")
+        bands.select_columns(["band_key"])  # count needs only the key — keep
+        # the 512B signature payload out of this shuffle
+        .groupby("band_key")
         .count()
         .rename_columns({"count()": "band_n"})
         .filter(expr="band_n > 1")
@@ -135,12 +137,100 @@ def candidate_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partition
         import ray.data
 
         return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
-    hot = bands.join(
-        collisions, join_type="inner", num_partitions=num_partitions, on=("band_key",)
-    )
+    hot = semi_join_keys(bands, collisions, "band_key", num_partitions=num_partitions)
     pairs = hot.groupby("band_key").map_groups(
         pair_band_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
     # same pair found in multiple bands → keep one (est identical by construction)
-    dedup = pairs.groupby(["a", "b"]).max("est").rename_columns({"max(est)": "est"})
-    return dedup
+    return dedupe_pairs(pairs, source="lsh")
+
+
+def semi_join_keys(
+    ds, keys_ds, key_col: str, *, num_partitions: int, broadcast_max: int = 5_000_000
+):
+    """Keep ``ds`` rows whose ``key_col`` appears in ``keys_ds`` (semi-join).
+
+    The key set is collision-only (≪ exploded rows); below ``broadcast_max``
+    keys it is broadcast once via ``ray.put`` and applied as a vectorized
+    ``np.isin`` filter — no shuffle, no join-aggregator actor startup.
+    Above the threshold it falls back to the distributed hash join.
+    """
+    import ray
+
+    n_keys = keys_ds.count()
+    if n_keys <= broadcast_max:
+        key_arrays = [
+            b[key_col].to_numpy()
+            for b in keys_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        ]
+        keys = np.sort(np.concatenate(key_arrays)) if key_arrays else np.empty(0, np.int64)
+        keys_ref = ray.put(keys)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            vals = batch[key_col].to_numpy()
+            idx = np.searchsorted(ks, vals)
+            idx[idx >= ks.shape[0]] = 0
+            mask = ks[idx] == vals if ks.shape[0] else np.zeros(len(vals), bool)
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+    return ds.join(
+        keys_ds, join_type="inner", num_partitions=num_partitions, on=(key_col,)
+    )
+
+
+def dedupe_pairs(pairs_ds, *, source: str | None, driver_max_rows: int = 2_000_000):
+    """Canonical (a, b) pair dedup, size-dispatched.
+
+    Verified pair sets are ≪ corpus; below ``driver_max_rows`` a pandas
+    groupby on the collected table is orders of magnitude faster than a Ray
+    aggregate (whose fixed per-shuffle cost — aggregator actor startup —
+    dominated profiling at ~30s regardless of row count). Above the
+    threshold, a single-int64-key Ray aggregate (``pair_key``) keeps it
+    distributed: max(a)/max(b) within a pair_key group are the values
+    themselves, so nothing is lost.
+    """
+    import pandas as pd
+    import ray.data
+
+    pairs_ds = pairs_ds.materialize()
+    n = pairs_ds.count()
+    if n == 0:
+        return pairs_ds
+    if n <= driver_max_rows:
+        dfs = [
+            b.to_pandas()
+            for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        ]
+        df = pd.concat(dfs, ignore_index=True)
+        if source is None and "source" in df.columns:
+            ded = df.sort_values("est", ascending=False).groupby(
+                ["a", "b"], as_index=False
+            ).agg(est=("est", "max"), source=("source", "first"))
+        else:
+            ded = df.groupby(["a", "b"], as_index=False).agg(est=("est", "max"))
+            ded["source"] = source or "merged"
+        return ray.data.from_arrow(pa.Table.from_pandas(ded, preserve_index=False))
+
+    from europa_ray.util import mix64
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().view(np.uint64)
+        b = batch["b"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b).view(np.int64)
+        return batch.append_column("pair_key", pa.array(pk))
+
+    ded = (
+        pairs_ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("pair_key")
+        .max(["a", "b", "est"])
+        .rename_columns({"max(a)": "a", "max(b)": "b", "max(est)": "est"})
+        .drop_columns(["pair_key"])
+    )
+
+    def add_source(batch: pa.Table) -> pa.Table:
+        return batch.append_column("source", pa.array([source] * batch.num_rows, pa.string()))
+
+    return ded.map_batches(add_source, batch_format="pyarrow")

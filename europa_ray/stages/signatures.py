@@ -45,8 +45,7 @@ class SignatureStage:
         th, off = tokenize(texts)
         sh, soff = shingles(th, off, cfg.shingle_k)
         ush, uoff = unique_per_row(sh, soff)
-        sig64 = minhash_signatures(ush, uoff, self.perm_seeds)
-        sig = (sig64 & np.uint64(0xFFFFFFFF)).astype(SIG_DTYPE)
+        sig = minhash_signatures(ush, uoff, self.perm_seeds)  # uint32 (n, p)
         sim = simhash_signatures(ush, uoff)
         n_tokens = np.diff(off)
 
@@ -67,7 +66,7 @@ class SignatureStage:
         return pa.table(cols)
 
 
-def default_pool_size(reserve: int = 2, cap: int = 16) -> tuple[int, int]:
+def default_pool_size(reserve: int = 2, cap: int = 64) -> tuple[int, int]:
     """Autoscaling actor-pool bounds that can never starve the pipeline:
     max = cluster CPUs − ``reserve`` (read/shuffle tasks need CPUs too — a
     pool equal to the CPU count deadlocks the streaming executor), min = 1.
@@ -78,7 +77,11 @@ def default_pool_size(reserve: int = 2, cap: int = 16) -> tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(1, min(cap, cpus - reserve)))
+    size = max(1, min(cap, cpus - reserve))
+    # fixed-size pool (min == max): autoscaling from 1 wastes several seconds
+    # of ramp-up per stage; reserve ≥ 2 CPUs stay free so upstream reads and
+    # shuffle aggregators always make progress (no starvation deadlock)
+    return (size, size)
 
 
 def signatures(

@@ -82,7 +82,8 @@ def simhash_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partitions:
         explode_simhash_pieces, batch_format="pyarrow"
     )
     collisions = (
-        pieces.groupby("piece_key")
+        pieces.select_columns(["piece_key"])
+        .groupby("piece_key")
         .count()
         .rename_columns({"count()": "n"})
         .filter(expr="n > 1")
@@ -92,14 +93,12 @@ def simhash_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partitions:
         import ray.data
 
         return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
-    hot = pieces.join(
-        collisions, join_type="inner", num_partitions=num_partitions, on=("piece_key",)
-    )
+    from europa_ray.stages.lsh import semi_join_keys
+
+    hot = semi_join_keys(pieces, collisions, "piece_key", num_partitions=num_partitions)
     pairs = hot.groupby("piece_key").map_groups(
         pair_simhash_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
-    return (
-        pairs.groupby(["a", "b"])
-        .max("est")
-        .rename_columns({"max(est)": "est"})
-    )
+    from europa_ray.stages.lsh import dedupe_pairs
+
+    return dedupe_pairs(pairs, source="simhash")

@@ -114,7 +114,8 @@ def substring_pairs(
         explode_sampled_grams, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
     collisions = (
-        grams_ds.groupby("sample_key")
+        grams_ds.select_columns(["sample_key"])
+        .groupby("sample_key")
         .count()
         .rename_columns({"count()": "n"})
         .filter(expr="n > 1")
@@ -122,9 +123,9 @@ def substring_pairs(
     )
     if collisions.count() == 0:
         return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
-    hot = grams_ds.join(
-        collisions, join_type="inner", num_partitions=num_partitions, on=("sample_key",)
-    )
+    from europa_ray.stages.lsh import semi_join_keys
+
+    hot = semi_join_keys(grams_ds, collisions, "sample_key", num_partitions=num_partitions)
     cand = (
         hot.groupby("sample_key")
         .map_groups(_pair_gram_group, batch_format="pyarrow")

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from europa_ray.functions.sig import (
-    EMPTY_SIG,
+    EMPTY_SIG32,
     band_keys,
     hamming64,
     make_perm_seeds,
@@ -25,7 +25,7 @@ from europa_ray.functions.text import (
     tokenize,
     unique_per_row,
 )
-from europa_ray.util import sha256_hex, splitmix64
+from europa_ray.util import sha256_hex
 
 TEXTS = [
     "def foo(x):\n    return x + 1",
@@ -94,14 +94,16 @@ def test_minhash_matches_bruteforce():
     ush, uoff = unique_per_row(sh, soff)
     seeds = make_perm_seeds(128, 42)
     sig = minhash_signatures(ush, uoff, seeds)
+    a, b = seeds[0], seeds[1]
+    b32 = (b >> np.uint64(32)).astype(np.uint32)
     for i in range(len(TEXTS)):
         seg = ush[uoff[i] : uoff[i + 1]]
         if len(seg) == 0:
-            assert (sig[i] == EMPTY_SIG).all()
+            assert (sig[i] == EMPTY_SIG32).all()
             continue
-        brute = np.array(
-            [min(splitmix64(seg ^ np.uint64(s))) for s in seeds], dtype=np.uint64
-        )
+        with np.errstate(over="ignore"):
+            cells = ((seg[:, None] * a[None, :]) >> np.uint64(32)).astype(np.uint32) + b32[None, :]
+        brute = cells.min(axis=0)
         assert (brute == sig[i]).all()
     # identical rows → identical signatures
     assert (sig[0] == sig[5]).all()
