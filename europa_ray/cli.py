@@ -1,0 +1,179 @@
+"""CLI entrypoint — the ``ray job submit`` surface (north rule).
+
+Usage (single node: ``python -m europa_ray.cli ...``; on a cluster submit
+the same command via ``ray job submit --working-dir .``)::
+
+    python -m europa_ray.cli neardup --input DIR --output DIR
+        [--checkpoint DIR] [--simhash] [--substr]
+        [--include-langs python,go] [--min-size N] [--max-size N]
+    python -m europa_ray.cli exact   --input DIR --output DIR [--two-pass]
+    python -m europa_ray.cli textstats --input DIR --output DIR
+
+Output is partitioned Parquet (resumable: with ``--checkpoint`` every stage
+records per-partition lineage + counters in ``manifest.json`` and a re-run
+skips completed stages — SURVEY.md §4.4 / the reference's Qdrant-as-cache
+behavior, ``SimilarImageFinder.cs:167-178``).
+
+Only this entrypoint owns the Ray session (guarded ``ray.init``): library
+code never initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _config_from_args(args) -> "EngineConfig":
+    from europa_ray.config import EngineConfig
+
+    kw = {}
+    if args.include_langs:
+        kw["include_langs"] = tuple(args.include_langs.split(","))
+    if args.exclude_langs:
+        kw["exclude_langs"] = tuple(args.exclude_langs.split(","))
+    if args.min_size is not None:
+        kw["min_size"] = args.min_size
+    if args.max_size is not None:
+        kw["max_size"] = args.max_size
+    if getattr(args, "two_pass", False):
+        kw["two_pass"] = True
+    return EngineConfig(**kw)
+
+
+def cmd_neardup(args) -> dict:
+    import ray.data
+
+    from europa_ray.sources.files import read_files
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+    from europa_ray.stages.signatures import signatures
+    from europa_ray.stages.simhash_pass import simhash_pairs
+    from europa_ray.stages.substr import substring_pairs
+
+    cfg = _config_from_args(args)
+    files = read_files(args.input)
+
+    extra = None
+    if args.substr:
+        extra = substring_pairs(read_files(args.input), cfg)
+    if args.simhash:
+        sh = simhash_pairs(signatures(read_files(args.input), cfg).materialize(), cfg)
+        extra = sh if extra is None else extra.union(sh)
+
+    if args.checkpoint:
+        from europa_ray.state.manifest import Manifest, fingerprint_of
+
+        man = Manifest(args.checkpoint)
+        fp = fingerprint_of("neardup-v1", args.input, cfg)
+
+        sigs = man.stage(
+            "signatures", fp, lambda: signatures(read_files(args.input), cfg)
+        )
+        from europa_ray.stages.lsh import candidate_pairs
+        from europa_ray.state.unionfind import components
+        from europa_ray.pipelines.neardup import assemble_members
+
+        pairs = man.stage(
+            "pairs", fp, lambda: candidate_pairs(sigs.materialize(), cfg)
+        )
+        if extra is not None:
+            from europa_ray.stages.lsh import dedupe_pairs
+
+            pairs = dedupe_pairs(pairs.union(extra), source=None)
+        labels = components(pairs, driver_max_edges=cfg.cc_driver_max_edges)
+        clusters = assemble_members(sigs, labels, cfg)
+        out = {"pairs": pairs, "clusters": clusters}
+    else:
+        out = near_dup_pipeline(files, cfg, extra_pairs=extra)
+
+    out["clusters"].write_parquet(args.output + "/clusters")
+    out["pairs"].write_parquet(args.output + "/pairs")
+    return {
+        "clusters_rows": out["clusters"].count(),
+        "pairs_rows": out["pairs"].count(),
+    }
+
+
+def cmd_exact(args) -> dict:
+    from europa_ray.pipelines.exact import exact_dup_clusters
+    from europa_ray.sources.files import read_files
+
+    cfg = _config_from_args(args)
+    out = exact_dup_clusters(read_files(args.input), cfg)
+    out.write_parquet(args.output + "/exact_clusters")
+    return {"clusters_rows": out.count()}
+
+
+def cmd_textstats(args) -> dict:
+    from europa_ray.pipelines.textstats import (
+        lang_id_batch,
+        quality_ppm_batch,
+        token_count_batch,
+    )
+    from europa_ray.sources.files import read_files
+
+    import pyarrow as pa
+
+    ds = read_files(args.input)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        counted = token_count_batch(batch, text_col="content")
+        quality = quality_ppm_batch(batch, text_col="content")
+        lang = lang_id_batch(batch, text_col="content")
+        out = counted
+        for col in ("n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"):
+            out = out.append_column(col, quality[col])
+        out = out.append_column("lang_pred", lang["lang_pred"])
+        return out
+
+    out = ds.map_batches(stats, batch_format="pyarrow")
+    out.write_parquet(args.output + "/textstats")
+    return {"rows": out.count()}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="europa_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("neardup", "exact", "textstats"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--include-langs", default="")
+        sp.add_argument("--exclude-langs", default="")
+        sp.add_argument("--min-size", type=int, default=None)
+        sp.add_argument("--max-size", type=int, default=None)
+        if name == "neardup":
+            sp.add_argument("--checkpoint", default=None)
+            sp.add_argument("--simhash", action="store_true")
+            sp.add_argument("--substr", action="store_true")
+        if name == "exact":
+            sp.add_argument("--two-pass", action="store_true")
+    args = p.parse_args(argv)
+
+    _init_ray()
+    t0 = time.time()
+    result = {"neardup": cmd_neardup, "exact": cmd_exact, "textstats": cmd_textstats}[
+        args.cmd
+    ](args)
+    result["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,10 +43,11 @@ class EngineConfig:
     max_pairs_per_band: int = 40_000      # analog of ANN top-100 cap (K1)
 
     # --- execution ---
-    batch_size: int = 512                 # rows per signature batch
-    # Signature actor pool: AUTOSCALING (min, max). A fixed pool equal to the
-    # CPU count deadlocks small clusters (actors reserve every CPU, upstream
-    # read tasks starve); min=1 guarantees progress, max sizes to the node.
+    batch_size: int = 2048                # rows per signature batch
+    # Signature actor-pool bounds when use_actor_pool=True (the default
+    # signature stage is task-based with per-worker cached state; see
+    # stages/signatures.py). Never size a pool to ALL cluster CPUs — upstream
+    # read tasks starve and the pipeline deadlocks.
     sig_concurrency: int | tuple[int, int] = (1, 16)
     two_pass: bool = False                # 10%-prefix pre-pass (A2) — IO saver in
     #   the reference; correctness-neutral here (tested)

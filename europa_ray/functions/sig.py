@@ -6,8 +6,8 @@ ImageHashs/BlockMeanHash.cs:31-99``); SimHash-64 is the analog of the 64-bit
 DCT pHash (``PerceptualHash.cs:63-120``): dense transform → fixed bit
 signature, thresholded comparison.
 
-The permutation family is h_j(x) = splitmix64(x ^ seed_j) — one independent
-64-bit hash per permutation, a standard MinHash construction. All kernels
+The permutation family is multiply-shift: h_j(x) = (A_j·x + B_j) >> 32 over
+Z/2^64 — an independent universal hash per permutation. All kernels
 operate on *flat* per-batch shingle arrays with row offsets and use
 ``np.minimum.reduceat`` / ``np.add.reduceat`` so there is no Python loop over
 rows in the hot path.
@@ -50,7 +50,7 @@ def minhash_signatures(
     sh_offsets: np.ndarray,
     perm_seeds: np.ndarray,
     *,
-    max_chunk_cells: int = 8_000_000,
+    max_chunk_cells: int = 125_000,
 ) -> np.ndarray:
     """(n_rows, num_perm) uint32 MinHash signatures.
 
@@ -98,26 +98,50 @@ def minhash_signatures(
     return out
 
 
-def simhash_signatures(sh_flat: np.ndarray, sh_offsets: np.ndarray) -> np.ndarray:
+# unpackbits column c of a little-endian uint64 view ↔ original bit
+# 8*(c//8) + (7 - c%8); this index reorders unpacked columns back to
+# bit-position order so the signature matches the plain shift-and-mask oracle
+_UNPACK_TO_BIT = np.array([8 * (c // 8) + (7 - c % 8) for c in range(64)])
+_BIT_TO_UNPACK = np.argsort(_UNPACK_TO_BIT)
+
+
+def simhash_signatures(
+    sh_flat: np.ndarray, sh_offsets: np.ndarray, *, max_chunk_rows: int = 200_000
+) -> np.ndarray:
     """(n_rows,) uint64 SimHash over the shingle hash multiset.
 
     bit_j = sign of the sum over shingles of (±1 according to bit_j of the
     shingle hash). Empty rows → 0.
+
+    Bits are exploded with ``np.unpackbits`` on the little-endian byte view
+    (C-speed, no 64-iteration shift loop) and summed per row with
+    ``np.add.reduceat``; shingles are processed in cache-sized row slices.
     """
     n_rows = sh_offsets.shape[0] - 1
     out = np.zeros(n_rows, dtype=_U64)
-    if sh_flat.shape[0] == 0 or n_rows == 0:
+    m = sh_flat.shape[0]
+    if m == 0 or n_rows == 0:
         return out
     shifts = np.arange(64, dtype=_U64)
-    bits = ((sh_flat[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int32)  # (m, 64)
-    starts = sh_offsets[:-1].astype(np.int64)
-    sums = np.add.reduceat(bits, starts, axis=0)  # ones count per row/bit
-    lens = np.diff(sh_offsets)[:, None]
-    nonempty = (lens > 0).ravel()
-    # sign(2*ones - m) >= 0  ⇒ bit set
-    setbits = (2 * sums >= lens) & (lens > 0)
-    packed = (setbits.astype(_U64) << shifts[None, :]).sum(axis=1, dtype=_U64)
-    out[nonempty] = packed[nonempty]
+    lens_all = np.diff(sh_offsets)
+
+    r0 = 0
+    while r0 < n_rows:
+        r1 = int(np.searchsorted(sh_offsets, sh_offsets[r0] + max_chunk_rows, side="right")) - 1
+        r1 = min(max(r1, r0 + 1), n_rows)
+        s0, s1 = sh_offsets[r0], sh_offsets[r1]
+        if s1 > s0:
+            seg = np.ascontiguousarray(sh_flat[s0:s1])
+            bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8), axis=1)  # (m, 64)
+            starts = (sh_offsets[r0:r1] - s0).astype(np.int64)
+            sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            sums = sums[:, _BIT_TO_UNPACK]  # back to bit-position order
+            lens = lens_all[r0:r1][:, None]
+            setbits = (2 * sums >= lens) & (lens > 0)
+            packed = (setbits.astype(_U64) << shifts[None, :]).sum(axis=1, dtype=_U64)
+            nonempty = (lens > 0).ravel()
+            out[r0:r1][nonempty] = packed[nonempty]
+        r0 = r1
     return out
 
 

@@ -14,12 +14,20 @@ import os
 import pyarrow.compute as pc
 import ray.data
 
+from europa_ray.util import default_read_blocks
+
 FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
 def read_files(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Read a ``files(repo,path,commit,lang,content)`` parquet table/dir."""
-    return ray.data.read_parquet(path, columns=columns)
+    """Read a ``files(repo,path,commit,lang,content)`` parquet table/dir.
+
+    Block count targets ~2× cluster CPUs — enough parallelism without the
+    per-block scheduling overhead of Ray's default ~200-way split.
+    """
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=default_read_blocks()
+    )
 
 
 def _docs_to_files(batch):
@@ -50,7 +58,10 @@ def _docs_to_files(batch):
 def read_documents_as_files(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Adapter: the driver's ``documents`` table in ``files`` shape
     (keeps ``doc_id`` as an identity column)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        override_num_blocks=default_read_blocks(),
+    )
     ds = ds.map_batches(_docs_to_files, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)

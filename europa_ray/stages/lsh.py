@@ -111,38 +111,240 @@ def pair_band_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.T
     )
 
 
+def explode_band_keys(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Lightweight explode: band keys ONLY (no signature payload) — feeds
+    collision detection without paying the ×16 signature replication."""
+    if batch.num_rows == 0:
+        return pa.table({"band_key": pa.array([], pa.int64())})
+    sig32 = minhash_matrix(batch, cfg.num_perm)
+    bk = band_keys(sig32.astype(np.uint64), cfg.lsh_bands, cfg.lsh_rows).view(np.int64)
+    return pa.table({"band_key": pa.array(bk.ravel())})
+
+
+def duplicated_keys(
+    keys_ds, key_col: str, *, driver_max_keys: int = 100_000_000
+) -> np.ndarray | None:
+    """Sorted array of key values appearing more than once, or None when the
+    key stream exceeds ``driver_max_keys`` (caller falls back to the
+    distributed count-aggregate).
+
+    A key stream of ≤100M int64 is ≤800MB — trivially sortable on the driver
+    and ~10× faster than a distributed aggregate whose fixed per-shuffle cost
+    dominates at this size. At 10^12-file scale the stream is too big: the
+    Ray aggregate path takes over (same semantics, tested equivalent).
+    """
+    parts: list[np.ndarray] = []
+    total = 0
+    for b in keys_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        arr = b[key_col].to_numpy()
+        total += arr.shape[0]
+        if total > driver_max_keys:
+            return None
+        parts.append(arr)
+    if not parts:
+        return np.empty(0, np.int64)
+    flat = np.sort(np.concatenate(parts))
+    dup_mask = np.zeros(flat.shape[0], dtype=bool)
+    dup_mask[1:] = flat[1:] == flat[:-1]
+    return np.unique(flat[dup_mask])
+
+
+def explode_band_key_nodes(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """(band_key, node) explode — 16 bytes/row/band instead of carrying the
+    512-byte signature through the shuffle (candidate generation only needs
+    bucket membership; verification re-reads signatures for candidates)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"band_key": pa.array([], pa.int64()), "node": pa.array([], pa.int64())}
+        )
+    sig32 = minhash_matrix(batch, cfg.num_perm)
+    bk = band_keys(sig32.astype(np.uint64), cfg.lsh_bands, cfg.lsh_rows).view(np.int64)
+    node = batch["node"].to_numpy()
+    return pa.table(
+        {
+            "band_key": pa.array(bk.ravel()),
+            "node": pa.array(np.repeat(node, cfg.lsh_bands)),
+        }
+    )
+
+
+def _pair_nodes_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """UNVERIFIED candidate pairs within one colliding band bucket: all pairs
+    up to ``max_band_size`` members, sorted window pairing beyond (hot-band
+    salting, connectivity-preserving). Verification happens downstream from
+    the candidates' signatures."""
+    nodes = np.unique(group["node"].to_numpy())
+    n = nodes.shape[0]
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if n <= cfg.max_band_size:
+        iu, ju = np.triu_indices(n, k=1)
+    else:
+        w = cfg.pair_window
+        iu = np.repeat(np.arange(n), w)
+        ju = iu + np.tile(np.arange(1, w + 1), n)
+        ok = ju < n
+        iu, ju = iu[ok], ju[ok]
+    return pa.table({"a": pa.array(nodes[iu]), "b": pa.array(nodes[ju])})
+
+
+def verify_pairs_by_signature(
+    cand, sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, gather_max_nodes: int = 2_000_000
+):
+    """Estimated-Jaccard verification of candidate (a, b) pairs from the
+    signature table (the score-threshold rule, ``QdrantRepository.cs:192``).
+
+    Candidate nodes are the duplicate-ish subset (≪ corpus): their packed
+    signatures are gathered once (filter + collect, ≈512B each) and the
+    whole pair list verified in one vectorized comparison. Above
+    ``gather_max_nodes`` callers should use the inline-signature explode
+    (``explode_bands`` + ``pair_band_group``) instead.
+    """
+    import pandas as pd
+
+    if isinstance(cand, pd.DataFrame):
+        cand_df = cand
+    else:
+        cand_df = cand.to_pandas()
+    if len(cand_df) == 0:
+        return PAIRS_SCHEMA.empty_table()
+    a = cand_df["a"].to_numpy()
+    b = cand_df["b"].to_numpy()
+    nodes_needed = np.unique(np.concatenate([a, b]))
+    if nodes_needed.shape[0] > gather_max_nodes:
+        raise ValueError("candidate set too large for gather-verify; use inline path")
+
+    sub = filter_by_key_array(
+        sig_ds.select_columns(["node", "minhash"]), nodes_needed, "node"
+    )
+    node_list: list[np.ndarray] = []
+    sig_list: list[np.ndarray] = []
+    for batch in sub.iter_batches(batch_format="pyarrow", batch_size=65536):
+        node_list.append(batch["node"].to_numpy())
+        sig_list.append(minhash_matrix(batch, cfg.num_perm))
+    nodes_all = np.concatenate(node_list)
+    sigs_all = np.concatenate(sig_list)
+    # one signature per node (exact-dup rows share identical signatures)
+    uniq, first = np.unique(nodes_all, return_index=True)
+    sig_mat = sigs_all[first]
+    ia = np.searchsorted(uniq, a)
+    ib = np.searchsorted(uniq, b)
+    ok = (ia < uniq.shape[0]) & (ib < uniq.shape[0])
+    ok &= (uniq[np.clip(ia, 0, uniq.shape[0] - 1)] == a) & (
+        uniq[np.clip(ib, 0, uniq.shape[0] - 1)] == b
+    )
+    est = np.zeros(len(a))
+    if ok.any():
+        est[ok] = (sig_mat[ia[ok]] == sig_mat[ib[ok]]).mean(axis=1)
+    keep = est >= cfg.jaccard_threshold
+    return pa.table(
+        {
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "est": pa.array(est[keep], pa.float64()),
+            "source": pa.array(["lsh"] * int(keep.sum()), pa.string()),
+        }
+    )
+
+
 def candidate_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partitions: int | None = None):
     """signatures Dataset → verified, deduplicated candidate pairs.
 
-    Steps: band explode (map_batches) → colliding-band detection
-    (count-aggregate, materialized: one row per *colliding* band key, small)
-    → inner join to keep only collision rows → per-band pairing
-    (``map_groups``) → pair dedup via ``groupby(a, b)``.
+    Steps: (band_key, node) explode (16 B/row/band — signatures stay OUT of
+    the shuffle) → colliding-key detection (driver sort for ≤100M keys,
+    distributed count-aggregate above) → per-band candidate pairing
+    (``map_groups``, unverified) → dedup → signature-gather verification
+    (estimated Jaccard ≥ τ). When the candidate-node set exceeds the gather
+    budget, falls back to the inline-signature explode (``explode_bands`` →
+    ``pair_band_group``) where verification happens inside the band groups.
     """
+    import pandas as pd
+    import ray
+    import ray.data
+
     if num_partitions is None:
         num_partitions = default_num_partitions()
-    bands = sig_ds.map_batches(
-        explode_bands, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+
+    kn = sig_ds.map_batches(
+        explode_band_key_nodes, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
+    dup_keys = duplicated_keys(kn.select_columns(["band_key"]), "band_key")
+
+    if dup_keys is None:
+        # key stream beyond driver budget → fully distributed inline path
+        return _candidate_pairs_inline(sig_ds, kn, cfg, num_partitions)
+    if dup_keys.shape[0] == 0:
+        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+
+    hot = filter_by_key_array(kn, dup_keys, "band_key")
+    cand = hot.groupby("band_key").map_groups(
+        _pair_nodes_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+    )
+    # dedup BEFORE verification (same pair from many bands): lexsort +
+    # adjacent-diff, no per-row Python
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        a_parts.append(batch["a"].to_numpy())
+        b_parts.append(batch["b"].to_numpy())
+    if not a_parts:
+        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+    ca = np.concatenate(a_parts)
+    cb = np.concatenate(b_parts)
+    order = np.lexsort((cb, ca))
+    ca, cb = ca[order], cb[order]
+    keep = np.ones(ca.shape[0], dtype=bool)
+    keep[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
+    cand_df = pd.DataFrame({"a": ca[keep], "b": cb[keep]})
+    try:
+        verified = verify_pairs_by_signature(cand_df, sig_ds, cfg)
+    except ValueError:
+        return _candidate_pairs_inline(sig_ds, kn, cfg, num_partitions)
+    return ray.data.from_arrow(verified)
+
+
+def _candidate_pairs_inline(sig_ds, kn, cfg: EngineConfig, num_partitions: int):
+    """Fully distributed fallback: signatures carried through the band
+    explode, verification inside each band group (no driver state)."""
+    import ray.data
+
     collisions = (
-        bands.select_columns(["band_key"])  # count needs only the key — keep
-        # the 512B signature payload out of this shuffle
+        kn.select_columns(["band_key"])
         .groupby("band_key")
         .count()
         .rename_columns({"count()": "band_n"})
         .filter(expr="band_n > 1")
-        .materialize()  # colliding-band keys only (small); Ray 2.49 join quirk
+        .materialize()  # colliding-band keys only; Ray 2.49 join quirk
     )
     if collisions.count() == 0:
-        import ray.data
-
         return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+    bands = sig_ds.map_batches(
+        explode_bands, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+    )
     hot = semi_join_keys(bands, collisions, "band_key", num_partitions=num_partitions)
     pairs = hot.groupby("band_key").map_groups(
         pair_band_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
-    # same pair found in multiple bands → keep one (est identical by construction)
     return dedupe_pairs(pairs, source="lsh")
+
+
+def filter_by_key_array(ds, keys: np.ndarray, key_col: str):
+    """Vectorized broadcast semi-join against a SORTED key array."""
+    import ray
+
+    keys_ref = ray.put(keys)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        vals = batch[key_col].to_numpy()
+        if ks.shape[0] == 0:
+            return batch.slice(0, 0)
+        idx = np.searchsorted(ks, vals)
+        idx[idx >= ks.shape[0]] = 0
+        mask = ks[idx] == vals
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 def semi_join_keys(

@@ -84,18 +84,54 @@ def default_pool_size(reserve: int = 2, cap: int = 64) -> tuple[int, int]:
     return (size, size)
 
 
+_STAGE_CACHE: dict[tuple, SignatureStage] = {}
+
+
+def signature_task(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
+                   id_cols: tuple[str, ...] = ("repo", "path", "commit")) -> pa.Table:
+    """Task-based signature stage: per-worker-process cached state.
+
+    The permutation table still lives once per worker (module-level cache —
+    same once-per-worker semantics as actor ``__init__``) but runs in Ray's
+    shared task workers: no dedicated actor-pool startup per pipeline, which
+    profiling showed costs several seconds per stage on a cold pool.
+    """
+    key = (cfg.seed, cfg.num_perm, cfg.shingle_k, id_cols)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = SignatureStage(cfg, id_cols)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def signatures(
     files,
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     concurrency=None,
+    use_actor_pool: bool = False,
 ):
-    """Attach the signature actor-pool stage to a files Dataset."""
+    """Attach the signature stage to a files Dataset.
+
+    Default is the task-based form (warm shared workers, per-process cached
+    permutation state). ``use_actor_pool=True`` switches to a dedicated
+    ``map_batches(SignatureStage, concurrency=...)`` actor pool — the right
+    shape when per-actor state is genuinely expensive (models, indexes) or
+    needs resource isolation (``num_cpus``/``num_gpus`` per actor); for this
+    stage's tiny seed table the pool's startup cost outweighs its benefit.
+    """
+    if use_actor_pool:
+        return files.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs={"cfg": cfg, "id_cols": id_cols},
+            concurrency=concurrency or default_pool_size(),
+            batch_size=cfg.batch_size,
+            batch_format="pyarrow",
+        )
     return files.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"cfg": cfg, "id_cols": id_cols},
-        concurrency=concurrency or default_pool_size(),
+        signature_task,
+        fn_kwargs={"cfg": cfg, "id_cols": id_cols},
         batch_size=cfg.batch_size,
         batch_format="pyarrow",
     )

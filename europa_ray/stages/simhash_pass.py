@@ -81,21 +81,29 @@ def simhash_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partitions:
     pieces = sig_ds.select_columns(["node", "simhash"]).map_batches(
         explode_simhash_pieces, batch_format="pyarrow"
     )
-    collisions = (
-        pieces.select_columns(["piece_key"])
-        .groupby("piece_key")
-        .count()
-        .rename_columns({"count()": "n"})
-        .filter(expr="n > 1")
-        .materialize()
-    )
-    if collisions.count() == 0:
+    from europa_ray.stages.lsh import duplicated_keys, filter_by_key_array, semi_join_keys
+
+    dup_keys = duplicated_keys(pieces.select_columns(["piece_key"]), "piece_key")
+    if dup_keys is not None:
         import ray.data
 
-        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
-    from europa_ray.stages.lsh import semi_join_keys
+        if dup_keys.shape[0] == 0:
+            return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+        hot = filter_by_key_array(pieces, dup_keys, "piece_key")
+    else:
+        collisions = (
+            pieces.select_columns(["piece_key"])
+            .groupby("piece_key")
+            .count()
+            .rename_columns({"count()": "n"})
+            .filter(expr="n > 1")
+            .materialize()
+        )
+        if collisions.count() == 0:
+            import ray.data
 
-    hot = semi_join_keys(pieces, collisions, "piece_key", num_partitions=num_partitions)
+            return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+        hot = semi_join_keys(pieces, collisions, "piece_key", num_partitions=num_partitions)
     pairs = hot.groupby("piece_key").map_groups(
         pair_simhash_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )

@@ -113,19 +113,25 @@ def substring_pairs(
     grams_ds = files.map_batches(
         explode_sampled_grams, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
-    collisions = (
-        grams_ds.select_columns(["sample_key"])
-        .groupby("sample_key")
-        .count()
-        .rename_columns({"count()": "n"})
-        .filter(expr="n > 1")
-        .materialize()
-    )
-    if collisions.count() == 0:
-        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
-    from europa_ray.stages.lsh import semi_join_keys
+    from europa_ray.stages.lsh import duplicated_keys, filter_by_key_array, semi_join_keys
 
-    hot = semi_join_keys(grams_ds, collisions, "sample_key", num_partitions=num_partitions)
+    dup_keys = duplicated_keys(grams_ds.select_columns(["sample_key"]), "sample_key")
+    if dup_keys is not None:
+        if dup_keys.shape[0] == 0:
+            return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+        hot = filter_by_key_array(grams_ds, dup_keys, "sample_key")
+    else:
+        collisions = (
+            grams_ds.select_columns(["sample_key"])
+            .groupby("sample_key")
+            .count()
+            .rename_columns({"count()": "n"})
+            .filter(expr="n > 1")
+            .materialize()
+        )
+        if collisions.count() == 0:
+            return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+        hot = semi_join_keys(grams_ds, collisions, "sample_key", num_partitions=num_partitions)
     cand = (
         hot.groupby("sample_key")
         .map_groups(_pair_gram_group, batch_format="pyarrow")

@@ -105,6 +105,20 @@ def default_num_partitions(cap: int = 64) -> int:
     return max(2, min(cap, cpus - 2))
 
 
+def default_read_blocks(factor: int = 2, floor: int = 16) -> int:
+    """Read-parallelism target: ~``factor``× cluster CPUs. Ray's default
+    block splitting (~200 blocks) costs measurable per-block scheduling
+    overhead on small clusters; on a real multi-node cluster raise via the
+    ``factor`` or rely on file-count parallelism."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(floor, factor * cpus)
+
+
 def hex_to_u64(hex_ids) -> np.ndarray:
     """Compact uint64 node id from a sha256 hex string (first 16 hex chars).
 
