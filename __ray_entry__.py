@@ -189,6 +189,41 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
 
 
+def _q_exact_dup_pairs(sf_dir: str):
+    """Canonical within-group pairs of exact duplicates (SO3/SO4): emitted
+    from the (small) cluster table driver-side."""
+    import itertools
+
+    import pyarrow as pa
+
+    from europa_ray.pipelines.exact import exact_dup_clusters
+
+    members = _collect(
+        exact_dup_clusters(_docs(sf_dir), id_cols=("doc_id",))
+    ).to_pandas()
+    out_a, out_b = [], []
+    for _, grp in members.groupby("cluster_id"):
+        ids = sorted(grp.doc_id)
+        for x, y in itertools.combinations(ids, 2):
+            out_a.append(x)
+            out_b.append(y)
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+
+def _q_file_kind_counts(sf_dir: str):
+    from europa_ray.stages.classify import kind_counts
+
+    return kind_counts(_docs(sf_dir))
+
+
+def _q_neighbor_sets(sf_dir: str):
+    from europa_ray.pipelines.neardup import near_dup_pipeline, neighbor_sets
+    from europa_ray.sources.augment import with_mutants
+
+    out = near_dup_pipeline(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    return neighbor_sets(out["pairs"]).select_columns(["node", "n_neighbors"])
+
+
 def _load_embeddings(sf_dir: str):
     import ray.data
 
@@ -273,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": wrap(_q_embedding_dup_pairs),
         "embedding_dup_pairs_lsh": wrap(_q_embedding_dup_pairs_lsh),
         "multimodal_features": wrap(_q_multimodal_features),
+        "exact_dup_pairs": wrap(_q_exact_dup_pairs),
+        "file_kind_counts": wrap(_q_file_kind_counts),
+        "neighbor_sets": wrap(_q_neighbor_sets),
     }
 
 
@@ -293,6 +331,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT count(*) AS n_members FROM documents
                 WHERE length(text) > 0 GROUP BY sha256(text)
             ) GROUP BY n_members
+        """,
+        "exact_dup_pairs": """
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM documents x JOIN documents y
+              ON sha256(x.text) = sha256(y.text) AND x.doc_id < y.doc_id
+            WHERE length(x.text) > 0
         """,
         "filter_size_range": """
             SELECT doc_id, length(text) AS n_chars FROM documents

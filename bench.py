@@ -27,6 +27,13 @@ import subprocess
 import sys
 import time
 
+# must be in the environment BEFORE ray.init spawns the raylet so every
+# worker process inherits it (see europa_ray.__init__._tune_malloc — the
+# in-process mallopt covers workers that import europa_ray; the env var
+# covers everything else, e.g. shuffle aggregators)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "60000"))
@@ -131,6 +138,14 @@ def main() -> None:
         global BENCH_ROWS
         BENCH_ROWS = SCALING_ROWS  # bigger input: scaling must measure the
         # compute-dominated regime, not fixed pipeline startup
+        # warm the page cache: /tmp is disk-backed here and a cold ~GB read
+        # adds tens of seconds of IO variance that has nothing to do with
+        # engine scaling (steady-state throughput is the criterion)
+        import glob
+
+        for f in glob.glob(os.path.join(corpus_dir(SCALING_ROWS), "*.parquet")):
+            with open(f, "rb") as fh:
+                fh.read()
         t = run_queries(cpus, only="neardup")
         print(json.dumps({"cpus": cpus, "neardup_sec": t["neardup"]}))
         import ray
@@ -141,11 +156,13 @@ def main() -> None:
     if "--scaling" in sys.argv:
         corpus_dir(SCALING_ROWS)  # pre-generate outside timings
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
-        results = {}
-        for cpus in (2, 8, 32):
-            best = None
-            for _ in range(reps):  # best-of-N: min is the standard
-                # low-noise estimator of true cost on a shared box
+        results: dict[int, float] = {}
+        # INTERLEAVED repetitions (2,8,32, 2,8,32, ...) with min-per-point:
+        # this box shows ±20% wall-time drift over minutes; interleaving keeps
+        # slow drift from biasing one CPU point, and min discards additive
+        # noise (it cannot make a run faster than the engine).
+        for _ in range(reps):
+            for cpus in (2, 8, 32):
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
                     capture_output=True,
@@ -155,8 +172,8 @@ def main() -> None:
                 )
                 line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
-                best = r["neardup_sec"] if best is None else min(best, r["neardup_sec"])
-            results[cpus] = best
+                sec = r["neardup_sec"]
+                results[cpus] = min(results.get(cpus, sec), sec)
         rows = SCALING_ROWS
         eff_2_8 = (results[2] / results[8]) / 4.0
         eff_8_32 = (results[8] / results[32]) / 4.0

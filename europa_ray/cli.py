@@ -22,18 +22,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
 
-def _init_ray() -> None:
+
+def _init_ray() -> bool:
+    """Init Ray if not already up; returns True when WE own the session
+    (and should shut it down on exit)."""
     import ray
 
+    owned = False
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        owned = True
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def _config_from_args(args) -> "EngineConfig":
@@ -162,16 +171,17 @@ def main(argv=None) -> int:
             sp.add_argument("--two-pass", action="store_true")
     args = p.parse_args(argv)
 
-    _init_ray()
+    owned = _init_ray()
     t0 = time.time()
     result = {"neardup": cmd_neardup, "exact": cmd_exact, "textstats": cmd_textstats}[
         args.cmd
     ](args)
     result["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(result))
-    import ray
+    if owned:
+        import ray
 
-    ray.shutdown()
+        ray.shutdown()
     return 0
 
 

@@ -38,6 +38,10 @@ class EngineConfig:
     substr_sample_mod: int = 8            # winnow: keep w-grams with h % mod == 0
 
     # --- skew / capacity guards ---
+    max_sig_tokens: int = 65536           # signature computed over the first
+    #   N tokens per row (wide-row straggler guard; the reference similarly
+    #   hashes a bounded prefix in pass 1, DuplicateByHashFinder.cs:42-44).
+    #   Exact dedup always uses the FULL content sha256.
     max_band_size: int = 256              # all-pairs within a band up to this
     pair_window: int = 8                  # windowed pairing for oversize bands
     max_pairs_per_band: int = 40_000      # analog of ANN top-100 cap (K1)

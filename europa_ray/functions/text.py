@@ -122,6 +122,25 @@ def shingles(
     return out, sh_offsets
 
 
+def truncate_rows(flat: np.ndarray, offsets: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Clip every row segment to its first ``max_len`` elements (vectorized).
+
+    Wide-row guard: a single multi-MB file otherwise becomes an end-of-stage
+    straggler task. Mirrors the reference's partial-hash idea (signature from
+    a bounded prefix, ``DuplicateByHashFinder.cs:42-44``).
+    """
+    lens = np.diff(offsets)
+    if not (lens > max_len).any():
+        return flat, offsets
+    new_lens = np.minimum(lens, max_len)
+    new_offsets = np.zeros_like(offsets)
+    np.cumsum(new_lens, out=new_offsets[1:])
+    idx = np.arange(flat.shape[0])
+    row_of = np.searchsorted(offsets, idx, side="right") - 1
+    keep = (idx - offsets[row_of]) < max_len
+    return flat[keep], new_offsets
+
+
 def unique_per_row(
     flat: np.ndarray, offsets: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -153,6 +153,35 @@ def exact_jaccard_pairs(
     )
 
 
+def neighbor_sets(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-node neighbor aggregation (A5, ``SimilarImageFinder.cs:303-320``:
+    the per-group ``SimilarImages`` set): (node, neighbors:list<int64>,
+    n_neighbors), symmetric over the verified pair list."""
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "neighbor": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    def collect(group: pa.Table) -> pa.Table:
+        node = group["node"][0].as_py()
+        nbrs = np.unique(group["neighbor"].to_numpy())
+        return pa.table(
+            {
+                "node": pa.array([node], pa.int64()),
+                "neighbors": pa.array([nbrs.tolist()], pa.list_(pa.int64())),
+                "n_neighbors": pa.array([len(nbrs)], pa.int64()),
+            }
+        )
+
+    sym = pairs.map_batches(explode, batch_format="pyarrow")
+    return sym.groupby("node").map_groups(collect, batch_format="pyarrow")
+
+
 def assemble_members(
     sigs: ray.data.Dataset,
     labels: dict[int, int],
@@ -167,38 +196,66 @@ def assemble_members(
       group (cluster = own node).
     - else singleton → dropped (A7, ``SimilarImageFinder.cs:119``).
     """
-    labels_ref = ray.put(labels)
+    # labels as parallel sorted arrays → vectorized searchsorted inside the
+    # tagging map (no Python per-row dict lookups)
+    if labels:
+        lab_keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+        lab_vals = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+        order = np.argsort(lab_keys)
+        lab_keys, lab_vals = lab_keys[order], lab_vals[order]
+    else:
+        lab_keys = np.empty(0, np.int64)
+        lab_vals = np.empty(0, np.int64)
+    labels_ref = ray.put((lab_keys, lab_vals))
 
     # exact-dup sha counts (aggregate over nodes: small, duplicate-only)
-    counts = (
-        sigs.groupby("node").count().rename_columns({"count()": "n_rows"}).filter(expr="n_rows > 1")
-    )
-    dup_nodes = {}
-    for batch in counts.iter_batches(batch_format="pyarrow", batch_size=65536):
-        dup_nodes.update(
-            zip(batch["node"].to_numpy().tolist(), batch["n_rows"].to_numpy().tolist())
+    from europa_ray.stages.lsh import duplicated_keys
+
+    dup_arr = duplicated_keys(sigs.select_columns(["node"]), "node")
+    if dup_arr is None:  # key stream over driver budget: distributed count
+        counts = (
+            sigs.select_columns(["node"])
+            .groupby("node")
+            .count()
+            .rename_columns({"count()": "n_rows"})
+            .filter(expr="n_rows > 1")
+            .materialize()
         )
-    dup_ref = ray.put(dup_nodes)
+        parts = [
+            b["node"].to_numpy()
+            for b in counts.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        ]
+        dup_arr = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    dup_ref = ray.put(dup_arr)
+
+    def _member_of(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if sorted_keys.shape[0] == 0:
+            return np.zeros(vals.shape[0], dtype=bool)
+        idx = np.searchsorted(sorted_keys, vals)
+        idx[idx >= sorted_keys.shape[0]] = 0
+        return sorted_keys[idx] == vals
 
     def tag(batch: pa.Table) -> pa.Table:
-        lab = ray.get(labels_ref)
+        lk, lv = ray.get(labels_ref)
         dup = ray.get(dup_ref)
         nodes = batch["node"].to_numpy()
-        n = len(nodes)
-        cluster = np.zeros(n, dtype=np.uint64)
-        keep = np.zeros(n, dtype=bool)
-        source = [""] * n
-        for i, nd in enumerate(nodes.tolist()):
-            if nd in lab:
-                cluster[i], keep[i], source[i] = lab[nd], True, "lsh"
-            elif nd in dup:
-                cluster[i], keep[i], source[i] = nd, True, "exact"
+        in_lab = _member_of(lk, nodes)
+        in_dup = _member_of(dup, nodes) & ~in_lab
+        keep = in_lab | in_dup
+        cluster = nodes.copy()
+        if lk.shape[0]:
+            lab_idx = np.clip(np.searchsorted(lk, nodes), 0, lk.shape[0] - 1)
+            cluster[in_lab] = lv[lab_idx[in_lab]]
+        source = np.where(in_lab, "lsh", "exact")
         mask = pa.array(keep)
-        sel = batch.select([c for c in (*id_cols, "sha256", "node") if c in batch.column_names]).filter(mask)
-        kept_clusters = cluster[keep]
-        kept_sources = [s for s, k in zip(source, keep) if k]
-        sel = sel.append_column("cluster_id", pa.array([f"{c:016x}" for c in kept_clusters], pa.string()))
-        sel = sel.append_column("source", pa.array(kept_sources, pa.string()))
+        sel = batch.select(
+            [c for c in (*id_cols, "sha256", "node") if c in batch.column_names]
+        ).filter(mask)
+        kept = cluster[keep].view(np.uint64)
+        sel = sel.append_column(
+            "cluster_id", pa.array([f"{c:016x}" for c in kept], pa.string())
+        )
+        sel = sel.append_column("source", pa.array(source[keep].tolist(), pa.string()))
         return sel
 
     members = sigs.map_batches(tag, batch_format="pyarrow")

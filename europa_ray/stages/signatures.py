@@ -1,15 +1,17 @@
-"""Signature stage — a STATEFUL actor-pool ``map_batches`` class.
+"""Signature stage — per-worker cached state, two deployment shapes.
 
-Per-actor state (built once in ``__init__``, like the DCT coefficient matrix
-in Europa's static ctor, ``/root/reference/Api/Implementations/SimilarImages/
+Per-worker state (built once, like the DCT coefficient matrix in Europa's
+static ctor, ``/root/reference/Api/Implementations/SimilarImages/
 ImageHashs/PerceptualHash.cs:24-61``): the 128 MinHash permutation seeds and
-the engine config. Per batch (``__call__``): sha256, tokenize, 5-gram
-shingles, MinHash-128 + SimHash-64 — all NumPy-vectorized over the flat
-token/shingle arrays. Content is dropped from the output so no downstream
-shuffle moves file bodies.
+the engine config. Per batch: sha256, tokenize (token-capped), 5-gram
+shingles, MinHash-128 + SimHash-64 — all NumPy-vectorized over flat
+token/shingle arrays with private-L2-sized chunks. Content is dropped from
+the output so no downstream shuffle ever moves file bodies.
 
-Use: ``ds.map_batches(SignatureStage, fn_constructor_kwargs={"cfg": cfg},
-concurrency=N, batch_size=cfg.batch_size, batch_format="pyarrow")``.
+Two shapes (see :func:`signatures`): the default task-based form (state in a
+module cache, once per Ray worker process — no pool startup cost) and the
+classic actor pool (``map_batches(SignatureStage, concurrency=(n, m))``) for
+genuinely expensive per-actor state or per-actor resource isolation.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from europa_ray.functions.sig import (
     minhash_signatures,
     simhash_signatures,
 )
-from europa_ray.functions.text import shingles, tokenize, unique_per_row
+from europa_ray.functions.text import shingles, tokenize, truncate_rows, unique_per_row
 from europa_ray.util import hex_to_u64, sha256_hex
 
 SIG_DTYPE = np.uint32  # low 32 bits of each minhash slot: halves shuffle
@@ -43,6 +45,7 @@ class SignatureStage:
         keep = np.array([h is not None for h in sha], dtype=bool)
 
         th, off = tokenize(texts)
+        th, off = truncate_rows(th, off, cfg.max_sig_tokens)
         sh, soff = shingles(th, off, cfg.shingle_k)
         ush, uoff = unique_per_row(sh, soff)
         sig = minhash_signatures(ush, uoff, self.perm_seeds)  # uint32 (n, p)

@@ -2,9 +2,13 @@
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import pytest
+
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
 
 warnings.filterwarnings("ignore")
 

@@ -109,6 +109,19 @@ def test_minhash_matches_bruteforce():
     assert (sig[0] == sig[5]).all()
 
 
+def test_chunk_edge_empty_rows():
+    """Regression: empty rows falling exactly on a chunk boundary must not
+    index past the segment end in reduceat (and stay sentinel/zero)."""
+    seeds = make_perm_seeds(128, 42)
+    flat = np.arange(320, dtype=np.uint64)
+    off = np.array([0, 309, 309, 309, 320])  # two empty rows mid-batch
+    sig = minhash_signatures(flat, off, seeds, max_chunk_cells=128 * 2)
+    assert (sig[1] == EMPTY_SIG32).all() and (sig[2] == EMPTY_SIG32).all()
+    assert (sig == minhash_signatures(flat, off, seeds)).all()
+    sh = simhash_signatures(flat, off, max_chunk_rows=4)
+    assert (sh == simhash_signatures(flat, off)).all() and sh[1] == 0
+
+
 def test_minhash_chunking_invariant():
     th, off = tokenize(TEXTS * 20)
     sh, soff = shingles(th, off, 5)
