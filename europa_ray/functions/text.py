@@ -33,18 +33,193 @@ _U64 = np.uint64
 _POLY = _U64(0x100000001B3)  # FNV-64 prime
 
 
+# --- zero-copy byte-level tokenizer -----------------------------------------
+#
+# Token identity = mix64 of a polynomial over the token's UTF-8 bytes — the
+# SAME value whether produced by the vectorized ASCII fast path (prefix-sum
+# trick over the raw Arrow buffer, no Python string objects) or the per-row
+# regex fallback for non-ASCII rows. Token BOUNDARIES match
+# ``TOKEN_RE = \w+|[^\w\s]`` with re.ASCII exactly (byte classes below).
+
+# byte classes: 1 = word ([A-Za-z0-9_]), 0 = space ([ \t\n\r\f\v]), 2 = punct
+_BYTE_CLASS = np.full(256, 2, dtype=np.uint8)
+for _b in b" \t\n\r\f\v":
+    _BYTE_CLASS[_b] = 0
+for _r in (b"az", b"AZ", b"09"):
+    _BYTE_CLASS[_r[0] : _r[1] + 1] = 1
+_BYTE_CLASS[ord("_")] = 1
+
+_BPOLY = _U64(0x100000001B3)
+# mask selecting the low min(len, 8) bytes of a little-endian u64 load
+_LEN_MASKS = np.array([(1 << (8 * i)) - 1 for i in range(8)] + [(1 << 64) - 1], dtype=_U64)
+
+
+def _finalize_token_hash(head: np.ndarray, tail: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """(head8, tail8, length) → final token hash (both paths use this).
+
+    Token identity is EXACT for tokens ≤ 16 bytes (head+tail cover every
+    byte) — which is essentially all source-code tokens under
+    ``\\w+|[^\\w\\s]`` — and (length, first 8, last 8 bytes) beyond that;
+    collisions between distinct >16-byte identifiers sharing both affixes
+    and length merely perturb one shingle.
+    """
+    from europa_ray.util import splitmix64
+
+    with np.errstate(over="ignore"):
+        return splitmix64(
+            np.asarray(head, dtype=_U64)
+            ^ splitmix64(np.asarray(tail, dtype=_U64) ^ splitmix64(np.asarray(lens, dtype=_U64)))
+        )
+
+
+def _byte_token_hash(token_bytes: bytes) -> int:
+    """Reference (fallback-path) hash of one token's byte span — identical to
+    the vectorized gather path."""
+    L = len(token_bytes)
+    head = int.from_bytes(token_bytes[:8].ljust(8, b"\0"), "little")
+    tail = int.from_bytes(token_bytes[max(0, L - 8) :].ljust(8, b"\0"), "little")
+    return int(
+        _finalize_token_hash(
+            np.array([head], dtype=_U64),
+            np.array([tail], dtype=_U64),
+            np.array([L], dtype=_U64),
+        )[0]
+    )
+
+
+def tokenize_bytes(
+    data: np.ndarray, row_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize UTF-8 byte rows → (flat uint64 token hashes, token offsets).
+
+    Fully vectorized for ASCII rows: byte classification via LUT, run
+    detection via masked diffs, token hashing via modular prefix sums
+    h(s,e) = (S[e] − S[s]) · P^−s (wraparound uint64; P odd ⇒ invertible),
+    finalized with mix64(·, seed=token_len). Rows containing any byte ≥ 0x80
+    take the regex fallback (identical hashes; unicode chars must tokenize
+    per CHARACTER, not per byte, to match ``TOKEN_RE`` with re.ASCII).
+    """
+    n_rows = row_offsets.shape[0] - 1
+    n = data.shape[0]
+    if n == 0:
+        return np.empty(0, _U64), np.zeros(n_rows + 1, dtype=np.int64)
+
+    # rows needing the fallback: any non-ASCII byte
+    if n_rows:
+        row_max = np.maximum.reduceat(
+            data, np.minimum(row_offsets[:-1], n - 1).astype(np.int64)
+        )
+        row_max[np.diff(row_offsets) == 0] = 0
+        ascii_rows = row_max < 128
+    else:
+        ascii_rows = np.zeros(0, dtype=bool)
+
+    cls = _BYTE_CLASS[data]
+    word = cls == 1
+    punct = cls == 2
+
+    # word-run starts: word here, not word before (reset at row boundaries so
+    # runs never span adjacent rows in the contiguous buffer)
+    prev_word = np.zeros(n, dtype=bool)
+    prev_word[1:] = word[:-1]
+    row_starts = row_offsets[:-1]
+    row_starts = row_starts[row_starts < n]
+    prev_word[row_starts] = False
+    run_start = word & ~prev_word
+
+    starts = np.nonzero(run_start | punct)[0]
+    # word-run end = next non-word position after the start (or n)
+    nonword_pos = np.nonzero(~word)[0]
+    ends = np.full(starts.shape[0], n, dtype=np.int64)
+    if nonword_pos.shape[0]:
+        run_end_idx = np.searchsorted(nonword_pos, starts)
+        has_end = run_end_idx < nonword_pos.shape[0]
+        ends[has_end] = nonword_pos[run_end_idx[has_end]]
+    is_punct_tok = punct[starts]
+    ends[is_punct_tok] = starts[is_punct_tok] + 1
+    # clamp to the row boundary
+    row_of_start = np.searchsorted(row_offsets, starts, side="right") - 1
+    ends = np.minimum(ends, row_offsets[row_of_start + 1])
+
+    # token hash from (head8, tail8, length): ONE unaligned little-endian u64
+    # load per affix via an overlapping 1-byte-stride view, masked to the
+    # token length — two gathers per token, no per-byte matrices
+    lens = (ends - starts).astype(np.int64)
+    tl = np.minimum(lens, 8)
+    padded = np.zeros(n + 8, dtype=np.uint8)
+    padded[:n] = data
+    over = np.ndarray(buffer=padded, dtype=_U64, shape=(n + 1,), strides=(1,))
+    head = over[starts] & _LEN_MASKS[tl]
+    tail = over[ends - tl] & _LEN_MASKS[tl]
+    tok_hash = _finalize_token_hash(head, tail, lens.astype(_U64))
+
+    # keep only tokens from ASCII rows; count per row
+    tok_row = row_of_start
+    keep = ascii_rows[tok_row]
+    tok_hash = tok_hash[keep]
+    tok_row = tok_row[keep]
+    counts = np.bincount(tok_row, minlength=n_rows).astype(np.int64)
+
+    # fallback rows: regex on the decoded string, same byte-hash per token
+    fb_rows = np.nonzero(~ascii_rows & (np.diff(row_offsets) > 0))[0]
+    fb_hashes: dict[int, list[int]] = {}
+    for r in fb_rows:
+        seg = data[row_offsets[r] : row_offsets[r + 1]].tobytes()
+        toks = TOKEN_RE.findall(seg.decode("utf-8", errors="replace"))
+        fb_hashes[int(r)] = [_byte_token_hash(t.encode("utf-8")) for t in toks]
+        counts[r] = len(toks)
+
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=_U64)
+    # scatter fast-path tokens: they are already in (row, position) order, so
+    # destination = offsets[row] + intra-row index (stable cumcount per row)
+    if tok_hash.shape[0]:
+        idx = np.arange(tok_hash.shape[0])
+        change = np.ones(tok_hash.shape[0], dtype=bool)
+        change[1:] = tok_row[1:] != tok_row[:-1]
+        first_idx = np.nonzero(change)[0]
+        row_first = np.repeat(first_idx, np.diff(np.append(first_idx, tok_hash.shape[0])))
+        out[offsets[tok_row] + (idx - row_first)] = tok_hash
+    for r, hs in fb_hashes.items():
+        out[offsets[r] : offsets[r] + len(hs)] = np.array(hs, dtype=_U64)
+    return out, offsets
+
+
+def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize an Arrow string column ZERO-COPY from its buffers."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_rows = len(arr)
+    if n_rows == 0:
+        return np.empty(0, _U64), np.zeros(1, dtype=np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    str_offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n_rows + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    base = str_offsets[0]
+    if base or str_offsets[-1] != data.shape[0]:
+        data = data[base : str_offsets[-1]]
+        str_offsets = str_offsets - base
+    # null rows have empty (equal-offset) spans in Arrow → zero tokens, same
+    # as empty strings; no extra handling needed
+    return tokenize_bytes(np.ascontiguousarray(data), str_offsets)
+
+
 def tokenize(texts) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize a batch of strings → (flat uint64 token hashes, row offsets).
 
     ``offsets`` has ``len(texts) + 1`` entries; row ``i``'s token hashes are
-    ``flat[offsets[i]:offsets[i+1]]``.
+    ``flat[offsets[i]:offsets[i+1]]``. Thin wrapper over the byte-level
+    tokenizer (one implementation for every call path).
     """
-    toks_per_row = [TOKEN_RE.findall(t) if t else [] for t in texts]
-    counts = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=len(toks_per_row))
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    flat = list(itertools.chain.from_iterable(toks_per_row))
-    return hash_strings(flat, seed_key=HASH_KEY), offsets
+    import pyarrow as pa
+
+    return tokenize_arrow(pa.array([t if t is not None else "" for t in texts], pa.string()))
 
 
 def token_counts(texts) -> np.ndarray:

@@ -25,8 +25,8 @@ from europa_ray.functions.sig import (
     minhash_signatures,
     simhash_signatures,
 )
-from europa_ray.functions.text import shingles, tokenize, truncate_rows, unique_per_row
-from europa_ray.util import hex_to_u64, sha256_hex
+from europa_ray.functions.text import shingles, tokenize_arrow, truncate_rows, unique_per_row
+from europa_ray.util import hex_to_u64, sha256_hex_arrow
 
 SIG_DTYPE = np.uint32  # low 32 bits of each minhash slot: halves shuffle
 # volume; P(component collision) = 2^-32, immaterial for Jaccard estimates.
@@ -40,11 +40,11 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch["content"].to_pylist()
-        sha = sha256_hex(texts)
+        content = batch["content"]
+        sha = sha256_hex_arrow(content)
         keep = np.array([h is not None for h in sha], dtype=bool)
 
-        th, off = tokenize(texts)
+        th, off = tokenize_arrow(content)
         th, off = truncate_rows(th, off, cfg.max_sig_tokens)
         sh, soff = shingles(th, off, cfg.shingle_k)
         ush, uoff = unique_per_row(sh, soff)

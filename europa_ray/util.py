@@ -77,6 +77,31 @@ def sha256_hex(texts) -> list[str | None]:
     return out
 
 
+def sha256_hex_arrow(col) -> list[str | None]:
+    """sha256 hex per row straight from an Arrow string column's UTF-8
+    buffer (memoryview slices — no Python string materialization).
+    Empty/null rows → None (HashGenerator.cs:18-19 semantics)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return []
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
+    mv = memoryview(bufs[2])
+    out: list[str | None] = []
+    for i in range(n):
+        s, e = offs[i], offs[i + 1]
+        if e == s:
+            out.append(None)
+        else:
+            out.append(hashlib.sha256(mv[s:e]).hexdigest())
+    return out
+
+
 def sha256_prefix_hex(texts, fraction: float = 0.1) -> list[str | None]:
     """sha256 of the first ``ceil(len * fraction)`` characters (two-pass trick,
     ``DuplicateByHashFinder.cs:42-44,96-98``)."""
