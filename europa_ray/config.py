@@ -30,6 +30,11 @@ class EngineConfig:
 
     # --- thresholds ---
     jaccard_threshold: float = 0.72       # ≈ (1/b)^(1/r) for b=16, r=8
+    verify_margin: float = 0.03           # verification keeps est ≥ τ − margin:
+    #   the 128-perm Jaccard estimator has σ ≈ 0.04 at τ, so filtering at
+    #   exactly τ rejects ~half of TRUE boundary pairs; the margin trades a
+    #   little precision for recall ≥ 0.99 at the threshold (the target
+    #   metric; precision is report-only)
     simhash_max_hamming: int = 3          # Europa's degreeOfSimilarity analog:
     #   score threshold hashSize − degree − 1 ⇔ Hamming ≤ degree
     #   (QdrantRepository.cs:192)

@@ -90,7 +90,7 @@ def pair_band_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.T
         iu, ju = iu[ok], ju[ok]
 
     est = (sig[iu] == sig[ju]).mean(axis=1)
-    pass_mask = est >= cfg.jaccard_threshold
+    pass_mask = est >= (cfg.jaccard_threshold - cfg.verify_margin)
     iu, ju, est = iu[pass_mask], ju[pass_mask], est[pass_mask]
     if iu.shape[0] > cfg.max_pairs_per_band:
         top = np.argpartition(-est, cfg.max_pairs_per_band)[: cfg.max_pairs_per_band]
@@ -236,7 +236,7 @@ def verify_pairs_by_signature(
     est = np.zeros(len(a))
     if ok.any():
         est[ok] = (sig_mat[ia[ok]] == sig_mat[ib[ok]]).mean(axis=1)
-    keep = est >= cfg.jaccard_threshold
+    keep = est >= (cfg.jaccard_threshold - cfg.verify_margin)
     return pa.table(
         {
             "a": pa.array(a[keep], pa.int64()),
