@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from europa_ray.util import sha256_hex, sha256_prefix_hex
+from europa_ray.util import sha256_hex_arrow, sha256_prefix_hex
 
 
 def add_sha256(batch: pa.Table, *, drop_content: bool = True, keep_cols=None) -> pa.Table:
@@ -21,8 +21,7 @@ def add_sha256(batch: pa.Table, *, drop_content: bool = True, keep_cols=None) ->
     ``drop_content=True`` projects the heavy column away immediately so no
     downstream shuffle ever moves file bodies (SURVEY.md §4 memory row).
     """
-    texts = batch["content"].to_pylist()
-    hashes = sha256_hex(texts)
+    hashes = sha256_hex_arrow(batch["content"])
     size = pc.utf8_length(batch["content"]).cast(pa.int64())
     out = batch.append_column("sha256", pa.array(hashes, type=pa.string()))
     out = out.append_column("size", size)
