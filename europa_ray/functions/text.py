@@ -23,9 +23,12 @@ import numpy as np
 from europa_ray.util import HASH_KEY, hash_strings, mix64
 
 # \w+ (identifier/number runs) or single non-word-non-space char (operators,
-# punctuation). re.ASCII so semantics match RE2-based SQL oracles
-# (DuckDB regexp_extract_all uses ASCII \w).
-TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.ASCII)
+# punctuation). re.ASCII so \w matches RE2-based SQL oracles (DuckDB
+# regexp_extract_all uses ASCII \w). The space class is spelled EXPLICITLY
+# as RE2's \s = [\t\n\f\r ] — Python's ASCII \s additionally includes \v
+# (0x0B), which RE2 treats as a token character; using \s here would
+# diverge from the DuckDB oracle on any input containing vertical tab.
+TOKEN_RE = re.compile(r"\w+|[^\w \t\n\r\f]", re.ASCII)
 
 _U64 = np.uint64
 # odd multiplier for the polynomial rolling combine (any odd constant works;
@@ -38,12 +41,13 @@ _POLY = _U64(0x100000001B3)  # FNV-64 prime
 # Token identity = mix64 of a polynomial over the token's UTF-8 bytes — the
 # SAME value whether produced by the vectorized ASCII fast path (prefix-sum
 # trick over the raw Arrow buffer, no Python string objects) or the per-row
-# regex fallback for non-ASCII rows. Token BOUNDARIES match
-# ``TOKEN_RE = \w+|[^\w\s]`` with re.ASCII exactly (byte classes below).
+# regex fallback for non-ASCII rows. Token BOUNDARIES match ``TOKEN_RE``
+# (RE2-semantics ``\w+|[^\w\s]``) exactly (byte classes below).
 
-# byte classes: 1 = word ([A-Za-z0-9_]), 0 = space ([ \t\n\r\f\v]), 2 = punct
+# byte classes: 1 = word ([A-Za-z0-9_]), 0 = space ([ \t\n\r\f] — RE2's \s,
+# which excludes \v; see TOKEN_RE note), 2 = punct
 _BYTE_CLASS = np.full(256, 2, dtype=np.uint8)
-for _b in b" \t\n\r\f\v":
+for _b in b" \t\n\r\f":
     _BYTE_CLASS[_b] = 0
 for _r in (b"az", b"AZ", b"09"):
     _BYTE_CLASS[_r[0] : _r[1] + 1] = 1
@@ -104,13 +108,17 @@ def tokenize_bytes(
     if n == 0:
         return np.empty(0, _U64), np.zeros(n_rows + 1, dtype=np.int64)
 
-    # rows needing the fallback: any non-ASCII byte
+    # rows needing the fallback: any non-ASCII byte. reduceat runs over
+    # NON-EMPTY rows' start offsets only (strictly increasing, all < n), so
+    # no index clipping is needed and every row's final byte is inspected —
+    # a clipped trailing offset would silently exclude the last byte of the
+    # preceding row from the check.
     if n_rows:
-        row_max = np.maximum.reduceat(
-            data, np.minimum(row_offsets[:-1], n - 1).astype(np.int64)
-        )
-        row_max[np.diff(row_offsets) == 0] = 0
-        ascii_rows = row_max < 128
+        nonempty = np.diff(row_offsets) > 0
+        ascii_rows = np.ones(n_rows, dtype=bool)  # empty rows: trivially ASCII
+        if nonempty.any():
+            seg_starts = row_offsets[:-1][nonempty].astype(np.int64)
+            ascii_rows[nonempty] = np.maximum.reduceat(data, seg_starts) < 128
     else:
         ascii_rows = np.zeros(0, dtype=bool)
 
@@ -247,14 +255,16 @@ def _poly_combine(tok_hash: np.ndarray, k: int) -> np.ndarray:
 
 
 def shingles(
-    tok_hash: np.ndarray, offsets: np.ndarray, k: int
+    tok_hash: np.ndarray, offsets: np.ndarray, k: int, *, short_row_fallback: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """k-gram shingle hashes per row, fully vectorized across the batch.
 
     Windows are computed over the *flat* token-hash array, then windows that
-    cross a row boundary are masked out. Rows shorter than ``k`` (but
-    non-empty) contribute a single whole-row shingle — the fallback for
-    1-token files (FIXTURES.md §1 edge rows).
+    cross a row boundary are masked out. With ``short_row_fallback`` (the
+    default), rows shorter than ``k`` (but non-empty) contribute a single
+    whole-row shingle — the fallback for 1-token files (FIXTURES.md §1 edge
+    rows); with it off, short rows contribute nothing (the w-gram semantics
+    of the shared-substring pass, where a partial window is meaningless).
 
     Returns (flat shingle hashes, shingle offsets per row).
     """
@@ -265,7 +275,8 @@ def shingles(
 
     row_lens = np.diff(offsets)
     # number of shingles per row: len-k+1 if len>=k, 1 if 0<len<k, 0 if empty
-    per_row = np.where(row_lens >= k, row_lens - k + 1, np.where(row_lens > 0, 1, 0))
+    short_n = 1 if short_row_fallback else 0
+    per_row = np.where(row_lens >= k, row_lens - k + 1, np.where(row_lens > 0, short_n, 0))
     sh_offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(per_row, out=sh_offsets[1:])
 
@@ -286,7 +297,11 @@ def shingles(
             out[dest] = win[vs]
 
     # short non-empty rows: one whole-row polynomial shingle each (rare path)
-    short = np.nonzero((row_lens > 0) & (row_lens < k))[0]
+    short = (
+        np.nonzero((row_lens > 0) & (row_lens < k))[0]
+        if short_row_fallback
+        else np.empty(0, np.int64)
+    )
     for r in short:
         seg = tok_hash[offsets[r] : offsets[r + 1]]
         with np.errstate(over="ignore"):

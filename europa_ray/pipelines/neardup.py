@@ -70,86 +70,78 @@ def near_dup_pipeline(
     return {"pairs": pairs, "clusters": clusters}
 
 
+JACCARD_SCHEMA = pa.schema(
+    [
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.int64()),
+        pa.field("jaccard", pa.float64()),
+    ]
+)
+
+
+def shingle_set_payload(content: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row unique k-gram shingle sets (sorted flat values + offsets)."""
+    from europa_ray.functions.text import shingles, tokenize_arrow, unique_per_row
+
+    th, off = tokenize_arrow(content)
+    sh, soff = shingles(th, off, k)
+    return unique_per_row(sh, soff)
+
+
 def exact_jaccard_pairs(
     files: ray.data.Dataset,
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     num_partitions: int | None = None,
+    driver_max_payload_bytes: int = 512 << 20,
 ) -> ray.data.Dataset:
     """n-gram Jaccard as a first-class operator: LSH candidate pairs
     re-verified with TRUE 5-gram-set Jaccard (not the MinHash estimate).
 
     Candidates come from the banding pass (recall ≥ 0.99 at τ per the golden
     tests); the exact verification recomputes shingle sets for candidate
-    nodes only (second streaming pass, broadcast candidate set) — the same
-    gather pattern as the substring pass.
+    nodes only (second streaming pass, vectorized via the zero-copy
+    tokenizer) and verifies through :mod:`europa_ray.stages.pairverify` —
+    driver-local below a payload byte budget, cogroup
+    ``groupby(pair_idx).map_groups`` shuffle above it (equivalence-tested by
+    forcing the budget to 0); no unguarded driver materialization.
     """
-    from europa_ray.functions.text import shingles, tokenize, unique_per_row
     from europa_ray.stages.lsh import PAIRS_SCHEMA
-    from europa_ray.util import hex_to_u64, sha256_hex
+    from europa_ray.stages.pairverify import verify_pairs
 
     ds = apply_filters(files, cfg)
     sigs = signatures(ds, cfg, id_cols=id_cols).materialize()
     cand = candidate_pairs(sigs, cfg, num_partitions=num_partitions).materialize()
     if cand.count() == 0:
-        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
-    cand_tbl = cand.to_pandas()
-    wanted = set(cand_tbl.a.tolist()) | set(cand_tbl.b.tolist())
-    wanted_ref = ray.put(wanted)
+        return ray.data.from_arrow(JACCARD_SCHEMA.empty_table())
+    a_parts, b_parts = [], []
+    for bt in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        a_parts.append(bt["a"].to_numpy())
+        b_parts.append(bt["b"].to_numpy())
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
     k = cfg.shingle_k
+    tau = cfg.jaccard_threshold
 
-    def gather(batch: pa.Table) -> pa.Table:
-        want = ray.get(wanted_ref)
-        texts = batch["content"].to_pylist()
-        sha = sha256_hex(texts)
-        out_n, out_s = [], []
-        seen = set()
-        for h, t in zip(sha, texts):
-            if h is None:
-                continue
-            nd = int(hex_to_u64([h]).view(np.int64)[0])
-            if nd not in want or nd in seen:
-                continue
-            seen.add(nd)
-            th, off = tokenize([t])
-            sh_, soff = shingles(th, off, k)
-            ush, _ = unique_per_row(sh_, soff)
-            out_n.append(nd)
-            out_s.append(ush.view(np.int64).tolist())
-        return pa.table(
-            {
-                "node": pa.array(out_n, pa.int64()),
-                "shingles": pa.array(out_s, pa.list_(pa.int64())),
-            }
-        )
+    def metric(sa: np.ndarray, sb: np.ndarray) -> float | None:
+        if sa.shape[0] == 0 or sb.shape[0] == 0:
+            return None
+        inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+        jac = inter / (sa.shape[0] + sb.shape[0] - inter) if inter else 0.0
+        if jac < tau:
+            return None
+        return round(jac, 6)
 
-    sets: dict[int, set] = {}
-    for batch in ds.map_batches(gather, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=256
-    ):
-        for nd, s in zip(batch["node"].to_pylist(), batch["shingles"].to_pylist()):
-            sets.setdefault(nd, set(s))
-
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand_tbl.a.tolist(), cand_tbl.b.tolist()):
-        sa, sb = sets.get(a), sets.get(b)
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        jac = inter / (len(sa) + len(sb) - inter) if inter else 0.0
-        if jac >= cfg.jaccard_threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(jac, 6))
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
-        )
+    return verify_pairs(
+        ds,
+        a,
+        b,
+        lambda col: shingle_set_payload(col, k),
+        metric,
+        JACCARD_SCHEMA,
+        lambda na, nb, j: (na, nb, j),
+        driver_max_payload_bytes=driver_max_payload_bytes,
     )
 
 

@@ -35,6 +35,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_tie_safe(scores: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the ``kk`` largest scores PLUS every row tied with the
+    kk-th — so downstream (score DESC, id ASC) merging never loses a
+    smaller-id tie to per-batch truncation."""
+    n = scores.shape[0]
+    if kk >= n:
+        return np.arange(n)
+    thresh = np.partition(scores, n - kk)[n - kk]
+    return np.nonzero(scores >= thresh)[0]
+
+
 def brute_force_topk(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
@@ -59,13 +70,17 @@ def brute_force_topk(
         ids = batch[id_col].to_numpy()
         sims = m @ q.T  # (n, nq)
         kk = min(k + 1, sims.shape[0])
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
         nq = q.shape[0]
         out_q, out_n, out_s = [], [], []
         for j in range(nq):
-            out_q.extend([j] * kk)
-            out_n.extend(ids[top[:, j]].tolist())
-            out_s.extend(sims[top[:, j], j].tolist())
+            # tie-safe: keep EVERY row whose score ties the kk-th largest —
+            # plain argpartition may keep larger-id ties and drop smaller-id
+            # ones that the global (score DESC, id ASC) order ranks inside
+            # top-k (oracle mismatch on duplicate embeddings)
+            idx = _topk_tie_safe(sims[:, j], kk)
+            out_q.extend([j] * idx.shape[0])
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(sims[idx, j].tolist())
         return pa.table(
             {
                 "qidx": pa.array(out_q, pa.int64()),
@@ -171,9 +186,8 @@ def lsh_topk(
                 continue
             sims = m[mask] @ q[j]
             sub_ids = ids[mask]
-            kk = min(k + 1, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.extend([j] * kk)
+            top = _topk_tie_safe(sims, min(k + 1, sims.shape[0]))
+            out_q.extend([j] * top.shape[0])
             out_n.extend(sub_ids[top].tolist())
             out_s.extend(sims[top].tolist())
         return pa.table(

@@ -172,7 +172,13 @@ def _pair_nodes_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
     """UNVERIFIED candidate pairs within one colliding band bucket: all pairs
     up to ``max_band_size`` members, sorted window pairing beyond (hot-band
     salting, connectivity-preserving). Verification happens downstream from
-    the candidates' signatures."""
+    the candidates' signatures.
+
+    Output is capped at ``max_pairs_per_band`` (K1) like the verified path:
+    window pairs are emitted distance-major (ALL adjacent links first, then
+    distance-2, ...) so truncation keeps the connectivity-preserving chain
+    and drops only redundant long links.
+    """
     nodes = np.unique(group["node"].to_numpy())
     n = nodes.shape[0]
     if n < 2:
@@ -181,10 +187,13 @@ def _pair_nodes_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
         iu, ju = np.triu_indices(n, k=1)
     else:
         w = cfg.pair_window
-        iu = np.repeat(np.arange(n), w)
-        ju = iu + np.tile(np.arange(1, w + 1), n)
+        d = np.repeat(np.arange(1, w + 1), n)
+        iu = np.tile(np.arange(n), w)
+        ju = iu + d
         ok = ju < n
         iu, ju = iu[ok], ju[ok]
+    if iu.shape[0] > cfg.max_pairs_per_band:
+        iu, ju = iu[: cfg.max_pairs_per_band], ju[: cfg.max_pairs_per_band]
     return pa.table({"a": pa.array(nodes[iu]), "b": pa.array(nodes[ju])})
 
 
@@ -247,7 +256,13 @@ def verify_pairs_by_signature(
     )
 
 
-def candidate_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partitions: int | None = None):
+def candidate_pairs(
+    sig_ds,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    num_partitions: int | None = None,
+    driver_max_cand_rows: int = 20_000_000,
+):
     """signatures Dataset → verified, deduplicated candidate pairs.
 
     Steps: (band_key, node) explode (16 B/row/band — signatures stay OUT of
@@ -255,8 +270,11 @@ def candidate_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partition
     distributed count-aggregate above) → per-band candidate pairing
     (``map_groups``, unverified) → dedup → signature-gather verification
     (estimated Jaccard ≥ τ). When the candidate-node set exceeds the gather
-    budget, falls back to the inline-signature explode (``explode_bands`` →
-    ``pair_band_group``) where verification happens inside the band groups.
+    budget — or the raw candidate-pair stream exceeds
+    ``driver_max_cand_rows`` (≈320 MB of int64 pairs; a pathological
+    band-collision corpus) — falls back to the inline-signature explode
+    (``explode_bands`` → ``pair_band_group``) where pairing AND verification
+    happen inside the band groups with no driver state.
     """
     import pandas as pd
     import ray
@@ -281,10 +299,15 @@ def candidate_pairs(sig_ds, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partition
         _pair_nodes_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
     # dedup BEFORE verification (same pair from many bands): lexsort +
-    # adjacent-diff, no per-row Python
+    # adjacent-diff, no per-row Python; gather is ROW-GUARDED — beyond the
+    # budget the inline distributed path takes over
     a_parts: list[np.ndarray] = []
     b_parts: list[np.ndarray] = []
+    total_rows = 0
     for batch in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total_rows += batch.num_rows
+        if total_rows > driver_max_cand_rows:
+            return _candidate_pairs_inline(sig_ds, kn, cfg, num_partitions)
         a_parts.append(batch["a"].to_numpy())
         b_parts.append(batch["b"].to_numpy())
     if not a_parts:
@@ -389,9 +412,10 @@ def dedupe_pairs(pairs_ds, *, source: str | None, driver_max_rows: int = 2_000_0
     groupby on the collected table is orders of magnitude faster than a Ray
     aggregate (whose fixed per-shuffle cost — aggregator actor startup —
     dominated profiling at ~30s regardless of row count). Above the
-    threshold, a single-int64-key Ray aggregate (``pair_key``) keeps it
-    distributed: max(a)/max(b) within a pair_key group are the values
-    themselves, so nothing is lost.
+    threshold, a Ray aggregate on the REAL composite key ``(a, b)`` keeps it
+    distributed and exact — a single mixed-key groupby would let a hash
+    collision between two distinct pairs fabricate a chimera pair
+    (max a of one, max b of the other) and drop both real pairs.
     """
     import pandas as pd
     import ray.data
@@ -415,21 +439,11 @@ def dedupe_pairs(pairs_ds, *, source: str | None, driver_max_rows: int = 2_000_0
             ded["source"] = source or "merged"
         return ray.data.from_arrow(pa.Table.from_pandas(ded, preserve_index=False))
 
-    from europa_ray.util import mix64
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy().view(np.uint64)
-        b = batch["b"].to_numpy().view(np.uint64)
-        with np.errstate(over="ignore"):
-            pk = mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b).view(np.int64)
-        return batch.append_column("pair_key", pa.array(pk))
-
     ded = (
-        pairs_ds.map_batches(keyed, batch_format="pyarrow")
-        .groupby("pair_key")
-        .max(["a", "b", "est"])
-        .rename_columns({"max(a)": "a", "max(b)": "b", "max(est)": "est"})
-        .drop_columns(["pair_key"])
+        pairs_ds.select_columns(["a", "b", "est"])
+        .groupby(["a", "b"])
+        .max("est")
+        .rename_columns({"max(est)": "est"})
     )
 
     def add_source(batch: pa.Table) -> pa.Table:

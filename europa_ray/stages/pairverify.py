@@ -1,0 +1,239 @@
+"""Distributed candidate-pair verification (cogroup-by-pair).
+
+The content-level verify operators (exact n-gram Jaccard, longest shared
+substring) need, for each candidate pair (a, b), both nodes' full payload
+(shingle set / ordered w-gram array) side by side. Gathering all payloads
+into a driver dict is bounded by driver memory — fine for small candidate
+sets, fatal at scale. This module provides one machinery with two
+equivalence-tested deployment shapes, dispatched on measured payload volume:
+
+1. **Shared explode stage** (both shapes): the candidate pair list — pairs
+   are duplicate-candidates only, ≪ corpus — is broadcast once via
+   ``ray.put`` as sorted node → (pair_idx, side) membership arrays. One
+   streaming pass over the corpus computes payloads ONLY for candidate
+   nodes (vectorized membership via ``searchsorted``) and emits one
+   ``(pair_idx, side, payload)`` row per pair membership. Payloads are
+   packed as binary blobs (``large_binary``) so they survive any shuffle.
+2. **Driver shape** (payload volume ≤ budget): the payload rows are
+   gathered and each pair verified locally — no shuffle, no aggregator
+   startup. The gather is guarded byte-by-byte: crossing the budget aborts
+   it and falls through to shape 3.
+3. **Distributed shape**: ``groupby(pair_idx).map_groups`` verifies each
+   pair from its two payload rows — the shuffle moves candidate payloads
+   only and no process ever holds more than one group.
+
+Scale note: payload volume is amplified by pair-degree (a node in d pairs
+ships its payload d times). Candidate generation bounds degree upstream
+(window-linking + per-band pair caps for hot buckets), which bounds the
+amplification.
+
+Reference parity: this is the "verify candidates from their full
+representations" step of Europa's similarity passes (``/root/reference/Api/
+Implementations/SimilarImages/SimilarImageFinder.cs:186-200`` — candidates
+from the ANN index, re-checked against the stored full signature).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from europa_ray.util import hex_to_u64, sha256_hex_arrow
+
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        pa.field("pair_idx", pa.int64()),
+        pa.field("side", pa.int64()),
+        pa.field("payload", pa.large_binary()),
+    ]
+)
+
+
+def membership_arrays(
+    a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pairs → (nodes_sorted, pair_idx, side) parallel arrays for vectorized
+    node→memberships lookup (searchsorted range per node)."""
+    n = a.shape[0]
+    nodes = np.concatenate([a, b]).astype(np.int64)
+    pidx = np.tile(np.arange(n, dtype=np.int64), 2)
+    side = np.repeat(np.array([0, 1], dtype=np.int64), n)
+    order = np.argsort(nodes, kind="stable")
+    return nodes[order], pidx[order], side[order]
+
+
+def pack_payloads(values: np.ndarray, loffsets: np.ndarray) -> pa.Array:
+    """Flat uint64 payload values + row offsets → large_binary column
+    (zero per-row Python, like ``signatures.pack_sigs``)."""
+    data = np.ascontiguousarray(values.view(np.uint64)).tobytes()
+    boff = (loffsets.astype(np.int64) * 8).tobytes()
+    return pa.Array.from_buffers(
+        pa.large_binary(), loffsets.shape[0] - 1, [None, pa.py_buffer(boff), pa.py_buffer(data)]
+    )
+
+
+def unpack_payload(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype=np.uint64)
+
+
+def _ranges_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate ``arange(starts[i], starts[i]+lens[i])`` vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    excl = np.cumsum(lens) - lens
+    return np.repeat(starts, lens) + (np.arange(total, dtype=np.int64) - np.repeat(excl, lens))
+
+
+def payload_rows(
+    files,
+    a: np.ndarray,
+    b: np.ndarray,
+    payload_fn: Callable[[pa.Array], tuple[np.ndarray, np.ndarray]],
+    *,
+    content_col: str = "content",
+):
+    """Corpus Dataset → (pair_idx, side, payload) rows for candidate nodes.
+
+    ``payload_fn(content_column) -> (flat uint64 values, row offsets)``
+    computes the per-row payload for a *filtered* content column.
+    """
+    import ray
+
+    members_ref = ray.put(membership_arrays(a, b))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        nodes_s, pidx, side = ray.get(members_ref)
+        content = batch[content_col]
+        sha = sha256_hex_arrow(content)
+        idx = [i for i, h in enumerate(sha) if h is not None]
+        if not idx:
+            return PAYLOAD_SCHEMA.empty_table()
+        nds = hex_to_u64([sha[i] for i in idx]).view(np.int64)
+        # candidate membership + in-batch dedup by node (exact-dup rows in
+        # one batch share content → one payload suffices; cross-batch dups
+        # are deduped at verify time by taking the first payload per side)
+        uniq_nds, first = np.unique(nds, return_index=True)
+        pl = np.searchsorted(nodes_s, uniq_nds, side="left")
+        pr = np.searchsorted(nodes_s, uniq_nds, side="right")
+        occ_t = pr - pl
+        wanted = occ_t > 0
+        if not wanted.any():
+            return PAYLOAD_SCHEMA.empty_table()
+        uniq_nds, first, pl, occ_t = uniq_nds[wanted], first[wanted], pl[wanted], occ_t[wanted]
+        kept_idx = np.asarray(idx, dtype=np.int64)[first]
+
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        sub = content.take(pa.array(kept_idx))
+        flat, off = payload_fn(sub)
+
+        mem_idx = _ranges_gather(pl, occ_t)
+        occ_src = np.repeat(np.arange(kept_idx.shape[0], dtype=np.int64), occ_t)
+        plens = np.diff(off)
+        occ_len = plens[occ_src]
+        values = flat[_ranges_gather(off[:-1][occ_src], occ_len)]
+        loff = np.zeros(occ_src.shape[0] + 1, dtype=np.int64)
+        np.cumsum(occ_len, out=loff[1:])
+        return pa.table(
+            {
+                "pair_idx": pa.array(pidx[mem_idx]),
+                "side": pa.array(side[mem_idx]),
+                "payload": pack_payloads(values, loff),
+            }
+        )
+
+    return files.map_batches(explode, batch_format="pyarrow")
+
+
+def verify_pairs(
+    files,
+    a: np.ndarray,
+    b: np.ndarray,
+    payload_fn: Callable[[pa.Array], tuple[np.ndarray, np.ndarray]],
+    pair_metric: Callable[[np.ndarray, np.ndarray], float | None],
+    out_schema: pa.Schema,
+    emit: Callable[[int, int, float], tuple],
+    *,
+    content_col: str = "content",
+    driver_max_payload_bytes: int = 512 << 20,
+):
+    """Verify candidate pairs (a[i], b[i]) against full per-node payloads.
+
+    ``pair_metric(payload_a, payload_b)`` returns the pair's score or None
+    (below threshold). ``emit(a, b, metric)`` returns the output row tuple
+    matching ``out_schema``. Dispatch: driver verify below
+    ``driver_max_payload_bytes`` of gathered payload, cogroup shuffle above
+    (equivalence-tested by forcing the threshold to 0).
+    """
+    import ray.data
+
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if a.shape[0] == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    rows_ds = payload_rows(files, a, b, payload_fn, content_col=content_col)
+
+    # --- driver shape (guarded gather) ---
+    if driver_max_payload_bytes > 0:
+        gathered: dict[int, dict[int, np.ndarray]] = {}
+        total = 0
+        over = False
+        for batch in rows_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+            pay = batch["payload"]
+            if isinstance(pay, pa.ChunkedArray):
+                pay = pay.combine_chunks()
+            total += pay.nbytes
+            if total > driver_max_payload_bytes:
+                over = True
+                break
+            for p_i, s_i, buf in zip(
+                batch["pair_idx"].to_numpy(), batch["side"].to_numpy(), pay.to_pylist()
+            ):
+                slot = gathered.setdefault(int(p_i), {})
+                if int(s_i) not in slot:
+                    slot[int(s_i)] = unpack_payload(buf)
+        if not over:
+            out_rows = []
+            for i in range(a.shape[0]):
+                slot = gathered.get(i)
+                if not slot or 0 not in slot or 1 not in slot:
+                    continue
+                m = pair_metric(slot[0], slot[1])
+                if m is not None:
+                    out_rows.append(emit(int(a[i]), int(b[i]), m))
+            if not out_rows:
+                return ray.data.from_arrow(out_schema.empty_table())
+            cols = list(zip(*out_rows))
+            tbl = pa.table(
+                {f.name: pa.array(list(c), f.type) for f, c in zip(out_schema, cols)}
+            )
+            return ray.data.from_arrow(tbl)
+        # over budget: fall through to the cogroup shuffle (recompute the
+        # explode — rare, and the map stage is the cheap part)
+
+    # --- distributed shape ---
+    import ray
+
+    ab_ref = ray.put((a, b))
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        aa, bb = ray.get(ab_ref)
+        p_i = int(group["pair_idx"][0].as_py())
+        sides = group["side"].to_numpy()
+        i0 = np.nonzero(sides == 0)[0]
+        i1 = np.nonzero(sides == 1)[0]
+        if i0.shape[0] == 0 or i1.shape[0] == 0:
+            return out_schema.empty_table()
+        pay = group["payload"]
+        pa_buf = unpack_payload(pay[int(i0[0])].as_py())
+        pb_buf = unpack_payload(pay[int(i1[0])].as_py())
+        m = pair_metric(pa_buf, pb_buf)
+        if m is None:
+            return out_schema.empty_table()
+        row = emit(int(aa[p_i]), int(bb[p_i]), m)
+        return pa.table({f.name: pa.array([v], f.type) for f, v in zip(out_schema, row)})
+
+    return rows_ds.groupby("pair_idx").map_groups(verify_group, batch_format="pyarrow")

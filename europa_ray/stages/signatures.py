@@ -99,7 +99,10 @@ def signature_task(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     shared task workers: no dedicated actor-pool startup per pipeline, which
     profiling showed costs several seconds per stage on a cold pool.
     """
-    key = (cfg.seed, cfg.num_perm, cfg.shingle_k, id_cols)
+    # key on the WHOLE frozen config (hashable dataclass): a hand-picked
+    # field subset silently reuses a stale stage when two configs differ
+    # only in an unlisted field (e.g. max_sig_tokens)
+    key = (cfg, id_cols)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         stage = SignatureStage(cfg, id_cols)

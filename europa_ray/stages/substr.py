@@ -12,18 +12,17 @@ Mechanism (winnowing-style):
    stream; keep the deterministic sample ``h % substr_sample_mod == 0``.
    A shared block of L tokens contains L−w+1 shared w-grams ⇒ expected
    (L−w+1)/mod shared *sampled* grams — collision is near-certain for
-   L ≥ 256, w = 16, mod = 8.
+   L ≥ 256, w = 16, mod = 8. Fully vectorized: zero-copy tokenizer +
+   flat-window gram combine, no per-row Python.
 2. ``groupby(sample_key)`` over colliding keys → candidate node pairs.
-3. Verify: recompute w-gram hash arrays for candidate nodes only (second
-   streaming pass over the corpus, filtered by a broadcast candidate-node
-   set), then per pair find the longest run of consecutive w-grams of one
-   doc present in the other's gram set (NumPy isin + run-length). Shared
-   run of r grams ⇔ shared substring of r + w − 1 tokens.
-
-The verify step gathers only candidate-node gram arrays (bounded by the
-candidate count, ≪ corpus). For corpora where even candidates are huge,
-partition the pair verification by hash(pair) into a map stage over
-``ray.put`` shards — same math, no driver gather.
+3. Verify: recompute ordered w-gram arrays for candidate nodes only (second
+   streaming pass, broadcast candidate membership), then per pair find the
+   longest run of consecutive w-grams of one doc present in the other's
+   gram set (NumPy isin + run-length). Shared run of r grams ⇔ shared
+   substring of r + w − 1 tokens. Verification runs through
+   :mod:`europa_ray.stages.pairverify`: driver-local below a byte budget,
+   cogroup ``groupby(pair_idx).map_groups`` shuffle above it — no unguarded
+   driver gather (equivalence-tested by forcing the budget to 0).
 """
 
 from __future__ import annotations
@@ -34,44 +33,55 @@ import ray
 import ray.data
 
 from europa_ray.config import DEFAULT_CONFIG, EngineConfig
-from europa_ray.functions.text import _poly_combine, tokenize
+from europa_ray.functions.text import shingles, tokenize_arrow
 from europa_ray.stages.lsh import PAIRS_SCHEMA
-from europa_ray.util import default_num_partitions, hex_to_u64, sha256_hex
+from europa_ray.stages.pairverify import verify_pairs
+from europa_ray.util import default_num_partitions, hex_to_u64, sha256_hex_arrow
 
 
-def _wgram_hashes(texts: list[str], w: int) -> list[np.ndarray]:
-    th, off = tokenize(texts)
-    out = []
-    for i in range(len(texts)):
-        seg = th[off[i] : off[i + 1]]
-        out.append(_poly_combine(seg, w) if seg.shape[0] >= w else np.empty(0, np.uint64))
-    return out
+def wgram_payload(content: pa.Array, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered per-row w-gram rolling hashes (flat values + row offsets)."""
+    th, off = tokenize_arrow(content)
+    return shingles(th, off, w, short_row_fallback=False)
 
 
 def explode_sampled_grams(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
-    """files batch → (sample_key, node) rows for sampled w-grams."""
-    texts = batch["content"].to_pylist()
-    sha = sha256_hex(texts)
-    keys: list[np.ndarray] = []
-    nodes: list[np.ndarray] = []
-    grams = _wgram_hashes(texts, cfg.substr_window)
+    """files batch → (sample_key, node) rows for sampled w-grams — all
+    vectorized (tokenize_arrow → flat w-grams → mod-sample → per-row unique)."""
+    empty = pa.table(
+        {"sample_key": pa.array([], pa.int64()), "node": pa.array([], pa.int64())}
+    )
+    content = batch["content"]
+    sha = sha256_hex_arrow(content)
+    if not any(h is not None for h in sha):
+        return empty
+    n_rows = batch.num_rows
+    # node per row; rows with null sha (empty content) have no tokens and
+    # therefore no grams — their slot is never read
+    node_all = np.zeros(n_rows, dtype=np.int64)
+    idx = [i for i, h in enumerate(sha) if h is not None]
+    node_all[idx] = hex_to_u64([sha[i] for i in idx]).view(np.int64)
+
+    g, goff = wgram_payload(content, cfg.substr_window)
+    if g.shape[0] == 0:
+        return empty
+    # winnow sample, preserving row structure
     mod = np.uint64(cfg.substr_sample_mod)
-    for h, g in zip(sha, grams):
-        if h is None or g.shape[0] == 0:
-            continue
-        samp = np.unique(g[g % mod == 0])
-        if samp.shape[0] == 0:
-            continue
-        keys.append(samp.view(np.int64))
-        nodes.append(np.full(samp.shape[0], int(hex_to_u64([h]).view(np.int64)[0]), dtype=np.int64))
-    if not keys:
-        return pa.table(
-            {"sample_key": pa.array([], pa.int64()), "node": pa.array([], pa.int64())}
-        )
+    keep = g % mod == 0
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(goff))
+    g, row_of = g[keep], row_of[keep]
+    if g.shape[0] == 0:
+        return empty
+    # unique per row (a doc contributes each sampled gram once)
+    order = np.lexsort((g, row_of))
+    g, row_of = g[order], row_of[order]
+    uniq = np.ones(g.shape[0], dtype=bool)
+    uniq[1:] = (g[1:] != g[:-1]) | (row_of[1:] != row_of[:-1])
+    g, row_of = g[uniq], row_of[uniq]
     return pa.table(
         {
-            "sample_key": pa.array(np.concatenate(keys)),
-            "node": pa.array(np.concatenate(nodes)),
+            "sample_key": pa.array(g.view(np.int64)),
+            "node": pa.array(node_all[row_of]),
         }
     )
 
@@ -105,7 +115,11 @@ def _longest_shared_run(ga: np.ndarray, gb: np.ndarray) -> int:
 
 
 def substring_pairs(
-    files: ray.data.Dataset, cfg: EngineConfig = DEFAULT_CONFIG, *, num_partitions: int | None = None
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    num_partitions: int | None = None,
+    driver_max_payload_bytes: int = 512 << 20,
 ) -> ray.data.Dataset:
     """files Dataset → verified long-shared-substring pairs."""
     if num_partitions is None:
@@ -143,61 +157,33 @@ def substring_pairs(
     if cand.count() == 0:
         return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
 
-    cand_tbl = cand.to_pandas()
-    cand_nodes = set(cand_tbl.a.tolist()) | set(cand_tbl.b.tolist())
-    cand_ref = ray.put(cand_nodes)
+    a_parts, b_parts = [], []
+    for bt in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        a_parts.append(bt["a"].to_numpy())
+        b_parts.append(bt["b"].to_numpy())
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+
     w = cfg.substr_window
-
-    def gather_grams(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        texts = batch["content"].to_pylist()
-        sha = sha256_hex(texts)
-        nodes64 = [
-            None if h is None else int(hex_to_u64([h]).view(np.int64)[0]) for h in sha
-        ]
-        rows_n, rows_g = [], []
-        seen = set()
-        for nd, t in zip(nodes64, texts):
-            if nd is None or nd not in wanted or nd in seen:
-                continue
-            seen.add(nd)  # one gram array per distinct content within batch
-            g = _wgram_hashes([t], w)[0]
-            rows_n.append(nd)
-            rows_g.append(g.view(np.int64))
-        return pa.table(
-            {
-                "node": pa.array(rows_n, pa.int64()),
-                "grams": pa.array([g.tolist() for g in rows_g], pa.list_(pa.int64())),
-            }
-        )
-
-    gram_map: dict[int, np.ndarray] = {}
-    for batch in files.map_batches(gather_grams, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=256
-    ):
-        for nd, g in zip(batch["node"].to_pylist(), batch["grams"].to_pylist()):
-            if nd not in gram_map:
-                gram_map[nd] = np.asarray(g, dtype=np.int64).view(np.uint64)
-
     min_run = cfg.substr_min_tokens - w + 1
-    out_a, out_b, out_est = [], [], []
-    for a, b in zip(cand_tbl.a.tolist(), cand_tbl.b.tolist()):
-        ga, gb = gram_map.get(a), gram_map.get(b)
-        if ga is None or gb is None:
-            continue
+
+    def metric(ga: np.ndarray, gb: np.ndarray) -> float | None:
         run = _longest_shared_run(ga, gb)
-        if run >= min_run:
-            lo, hi = (a, b) if a < b else (b, a)
-            out_a.append(lo)
-            out_b.append(hi)
-            out_est.append((run + w - 1) / max(1, min(ga.shape[0], gb.shape[0]) + w - 1))
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "est": pa.array(out_est, pa.float64()),
-                "source": pa.array(["substr"] * len(out_a), pa.string()),
-            }
-        )
+        if run < min_run:
+            return None
+        return (run + w - 1) / max(1, min(ga.shape[0], gb.shape[0]) + w - 1)
+
+    def emit(na: int, nb: int, est: float) -> tuple:
+        lo, hi = (na, nb) if na < nb else (nb, na)
+        return (lo, hi, est, "substr")
+
+    return verify_pairs(
+        files,
+        a,
+        b,
+        lambda col: wgram_payload(col, w),
+        metric,
+        PAIRS_SCHEMA,
+        emit,
+        driver_max_payload_bytes=driver_max_payload_bytes,
     )

@@ -108,3 +108,67 @@ def test_exact_jaccard_operator(ray_session, corpus_ds):
     assert len(pairs) > 0
     assert (pairs.jaccard >= 0.72).all()
     # (full brute-force cross-verification is covered by test_neardup's oracle)
+
+
+def _sorted_pairs(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_substr_distributed_verify_equivalent(ray_session, corpus_ds):
+    """Forcing the payload budget to 0 routes verification through the
+    cogroup groupby(pair_idx) shuffle — results must be row-identical to
+    the driver-gather path."""
+    import pandas as pd
+
+    from europa_ray.stages.substr import substring_pairs
+
+    driver = substring_pairs(corpus_ds).to_pandas()
+    dist = substring_pairs(corpus_ds, driver_max_payload_bytes=0).to_pandas()
+    cols = ["a", "b", "est"]
+    pd.testing.assert_frame_equal(_sorted_pairs(driver, cols), _sorted_pairs(dist, cols))
+
+
+def test_jaccard_distributed_verify_equivalent(ray_session, corpus_ds):
+    import pandas as pd
+
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+
+    driver = exact_jaccard_pairs(corpus_ds).to_pandas()
+    dist = exact_jaccard_pairs(corpus_ds, driver_max_payload_bytes=0).to_pandas()
+    assert len(driver) > 0
+    cols = ["a", "b", "jaccard"]
+    pd.testing.assert_frame_equal(_sorted_pairs(driver, cols), _sorted_pairs(dist, cols))
+
+
+def test_candidate_pairs_row_guard_falls_back_inline(ray_session, corpus_ds):
+    """driver_max_cand_rows=0 forces the fully-distributed inline band path;
+    the verified pair set must match the default path's."""
+    import pandas as pd
+
+    from europa_ray.stages.lsh import candidate_pairs
+    from europa_ray.stages.signatures import signatures
+
+    sigs = signatures(corpus_ds).materialize()
+    default = candidate_pairs(sigs).to_pandas()
+    inline = candidate_pairs(sigs, driver_max_cand_rows=0).to_pandas()
+    cols = ["a", "b"]
+    pd.testing.assert_frame_equal(_sorted_pairs(default, cols), _sorted_pairs(inline, cols))
+
+
+def test_pair_nodes_group_capped():
+    """_pair_nodes_group honors max_pairs_per_band, keeping the adjacent-link
+    chain (distance-major order) so connectivity survives truncation."""
+    import pyarrow as pa
+
+    from europa_ray.config import EngineConfig
+    from europa_ray.stages.lsh import _pair_nodes_group
+
+    n = 500
+    cfg = EngineConfig(max_band_size=64, pair_window=8, max_pairs_per_band=600)
+    group = pa.table({"node": pa.array(list(range(n)), pa.int64())})
+    out = _pair_nodes_group(group, cfg)
+    assert out.num_rows == 600
+    a = out["a"].to_numpy()
+    b = out["b"].to_numpy()
+    # the first n-1 pairs are the full adjacent chain
+    assert ((b - a)[: n - 1] == 1).all()
