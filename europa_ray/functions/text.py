@@ -194,15 +194,17 @@ def tokenize_bytes(
     return out, offsets
 
 
-def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize an Arrow string column ZERO-COPY from its buffers."""
+def arrow_string_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (UTF-8 data bytes, per-row int64 offsets),
+    ZERO-COPY from the column's buffers. Null rows have empty (equal-offset)
+    spans — indistinguishable from empty strings by design."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n_rows = len(arr)
     if n_rows == 0:
-        return np.empty(0, _U64), np.zeros(1, dtype=np.int64)
+        return np.empty(0, np.uint8), np.zeros(1, dtype=np.int64)
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     str_offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
@@ -213,9 +215,13 @@ def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     if base or str_offsets[-1] != data.shape[0]:
         data = data[base : str_offsets[-1]]
         str_offsets = str_offsets - base
-    # null rows have empty (equal-offset) spans in Arrow → zero tokens, same
-    # as empty strings; no extra handling needed
-    return tokenize_bytes(np.ascontiguousarray(data), str_offsets)
+    return np.ascontiguousarray(data), str_offsets
+
+
+def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize an Arrow string column ZERO-COPY from its buffers."""
+    data, str_offsets = arrow_string_bytes(arr)
+    return tokenize_bytes(data, str_offsets)
 
 
 def tokenize(texts) -> tuple[np.ndarray, np.ndarray]:

@@ -80,23 +80,32 @@ def exact_dup_clusters(
         # answer is known anyway).
         return _empty_like(hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()})
     if n_dups <= 5_000_000:
-        # duplicate-digest map is small: broadcast it and semi-join with a
-        # vectorized filter — skips the hash join's aggregator-actor startup
+        # duplicate-digest map is small: broadcast it as SORTED parallel
+        # arrays and semi-join with a vectorized searchsorted filter — no
+        # per-row dict lookups, no hash-join aggregator-actor startup
+        import numpy as np
         import ray
 
-        dup_map: dict[str, int] = {}
+        key_parts, cnt_parts = [], []
         for b in dups.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            dup_map.update(zip(b["sha256"].to_pylist(), b["n_members"].to_pylist()))
-        dup_ref = ray.put(dup_map)
+            key_parts.append(np.asarray(b["sha256"].to_pylist(), dtype="U64"))
+            cnt_parts.append(b["n_members"].to_numpy())
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
+        order = np.argsort(keys)
+        dup_ref = ray.put((keys[order], cnts[order]))
 
         def attach(batch: pa.Table) -> pa.Table:
-            dm = ray.get(dup_ref)
-            shas = batch["sha256"].to_pylist()
-            n = [dm.get(s) for s in shas]
-            mask = pa.array([x is not None for x in n])
-            out = batch.append_column("n_members", pa.array(n, pa.int64()))
+            dk, dc = ray.get(dup_ref)
+            shas = np.asarray(batch["sha256"].to_pylist(), dtype="U64")
+            idx = np.searchsorted(dk, shas)
+            idx[idx >= dk.shape[0]] = 0
+            hit = dk[idx] == shas
+            out = batch.append_column(
+                "n_members", pa.array(np.where(hit, dc[idx], 0), pa.int64())
+            )
             out = out.append_column("cluster_id", batch["sha256"])
-            return out.filter(mask)
+            return out.filter(pa.array(hit))
 
         members = hashed.map_batches(attach, batch_format="pyarrow")
     else:

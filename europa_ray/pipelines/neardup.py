@@ -145,10 +145,20 @@ def exact_jaccard_pairs(
     )
 
 
-def neighbor_sets(pairs: ray.data.Dataset) -> ray.data.Dataset:
+def neighbor_sets(
+    pairs: ray.data.Dataset, *, driver_max_rows: int = 5_000_000
+) -> ray.data.Dataset:
     """Per-node neighbor aggregation (A5, ``SimilarImageFinder.cs:303-320``:
     the per-group ``SimilarImages`` set): (node, neighbors:list<int64>,
-    n_neighbors), symmetric over the verified pair list."""
+    n_neighbors), symmetric over the verified pair list.
+
+    Verified pairs are ≪ corpus: below ``driver_max_rows`` the whole table
+    is built in one vectorized lexsort + adjacent-dedup pass (a per-group
+    ``map_groups`` emitting 1-row tables pays Python overhead per NODE);
+    above it, a distributed groupby path takes over (equivalence-tested)."""
+    pairs = pairs.materialize()
+    n = pairs.count()
+
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
@@ -157,6 +167,45 @@ def neighbor_sets(pairs: ray.data.Dataset) -> ray.data.Dataset:
                 "node": pa.array(np.concatenate([a, b])),
                 "neighbor": pa.array(np.concatenate([b, a])),
             }
+        )
+
+    if n <= driver_max_rows:
+        a_parts, b_parts = [], []
+        for bt in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            a_parts.append(bt["a"].to_numpy())
+            b_parts.append(bt["b"].to_numpy())
+        if not a_parts:
+            schema = pa.schema(
+                [
+                    pa.field("node", pa.int64()),
+                    pa.field("neighbors", pa.list_(pa.int64())),
+                    pa.field("n_neighbors", pa.int64()),
+                ]
+            )
+            return ray.data.from_arrow(schema.empty_table())
+        av = np.concatenate(a_parts)
+        bv = np.concatenate(b_parts)
+        node = np.concatenate([av, bv])
+        nbr = np.concatenate([bv, av])
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        keep = np.ones(node.shape[0], dtype=bool)
+        keep[1:] = (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])
+        node, nbr = node[keep], nbr[keep]
+        uniq, counts = np.unique(node, return_counts=True)
+        offsets = np.zeros(uniq.shape[0] + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        neighbors = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()), pa.array(nbr, pa.int64())
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(uniq, pa.int64()),
+                    "neighbors": neighbors,
+                    "n_neighbors": pa.array(counts.astype(np.int64)),
+                }
+            )
         )
 
     def collect(group: pa.Table) -> pa.Table:

@@ -2,51 +2,78 @@
 quality scoring, language ID, document fingerprinting.
 
 All are stateless vectorized ``map_batches`` stages over the ``documents``
-(or ``files``) table. Quality/token-count semantics are chosen to be exactly
-SQL-expressible so the driver's DuckDB oracle can verify them value-for-value
-(ASCII regex classes to match RE2 semantics).
+(or ``files``) table, computed straight from the Arrow string buffers — no
+``to_pylist`` round-trips and no per-row Python in any hot path. Quality /
+token-count semantics are chosen to be exactly SQL-expressible so the
+driver's DuckDB oracle can verify them value-for-value (ASCII classes match
+RE2 semantics; counting ASCII-class *bytes* equals counting matching
+*characters* because UTF-8 multi-byte sequences contain no bytes < 0x80).
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray.data
 
-from europa_ray.functions.text import TOKEN_RE, token_counts
-from europa_ray.util import mix64, splitmix64, hash_strings
+from europa_ray.functions.text import (
+    arrow_string_bytes,
+    tokenize_arrow,
+    truncate_rows,
+)
+from europa_ray.util import mix64, splitmix64
 
-_ALPHA_RE = re.compile(r"[A-Za-z]")
-_DIGIT_RE = re.compile(r"[0-9]")
-_WS_RE = re.compile(r"\s", re.ASCII)  # [ \t\n\r\f\v] — matches the SQL oracle class
+# byte-class LUTs (uint8 0/1): ASCII classes only, exact per-character under
+# UTF-8 (see module docstring)
+_ALPHA_LUT = np.zeros(256, dtype=np.uint8)
+_ALPHA_LUT[ord("A") : ord("Z") + 1] = 1
+_ALPHA_LUT[ord("a") : ord("z") + 1] = 1
+_DIGIT_LUT = np.zeros(256, dtype=np.uint8)
+_DIGIT_LUT[ord("0") : ord("9") + 1] = 1
+# quality whitespace class is the ORACLE's explicit [ \t\n\r\f\v] (this one
+# deliberately includes \v — both sides of the oracle spell it out)
+_WS_LUT = np.zeros(256, dtype=np.uint8)
+for _b in b" \t\n\r\f\v":
+    _WS_LUT[_b] = 1
 
-# tiny per-language stopword/keyword profiles for the n-gram/lexicon
-# language-ID heuristic (public common-word lists)
-_LANG_PROFILES: dict[str, set[str]] = {
-    "en": {"the", "and", "of", "to", "in", "is", "for", "with", "on", "a"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"},
-    "fr": {"le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"},
-    "es": {"el", "la", "los", "y", "es", "no", "para", "que", "una", "en"},
-    "it": {"il", "la", "che", "e", "non", "per", "una", "sono", "di", "con"},
-}
+
+def _class_counts(data: np.ndarray, offsets: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Per-row count of bytes whose LUT entry is 1 (vectorized reduceat)."""
+    n_rows = offsets.shape[0] - 1
+    out = np.zeros(n_rows, dtype=np.int64)
+    if data.shape[0] == 0 or n_rows == 0:
+        return out
+    flags = lut[data]
+    nonempty = np.diff(offsets) > 0
+    if nonempty.any():
+        starts = offsets[:-1][nonempty].astype(np.int64)
+        out[nonempty] = np.add.reduceat(flags.astype(np.int64), starts)
+    return out
+
+
+def _utf8_lengths(col) -> np.ndarray:
+    """Per-row character count (oracle ``length(text)``); null → 0."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(pc.utf8_length(col), 0).cast(pa.int64()).to_numpy()
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-row token count under the engine tokenizer — the count comes FREE
+    from the zero-copy tokenizer's row offsets (``np.diff``)."""
     out = batch.select([c for c in batch.column_names if c != text_col])
-    n = token_counts(batch[text_col].to_pylist())
-    return out.append_column("n_tokens", pa.array(n))
+    _, off = tokenize_arrow(batch[text_col])
+    return out.append_column("n_tokens", pa.array(np.diff(off)))
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length + character-class ratios (rounded to 6 dp, SQL-parity)."""
-    texts = batch[text_col].to_pylist()
-    n_chars = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
-    alpha = np.array([len(_ALPHA_RE.findall(t)) if t else 0 for t in texts], dtype=np.int64)
-    digit = np.array([len(_DIGIT_RE.findall(t)) if t else 0 for t in texts], dtype=np.int64)
-    ws = np.array([len(_WS_RE.findall(t)) if t else 0 for t in texts], dtype=np.int64)
+    col = batch[text_col]
+    data, off = arrow_string_bytes(col)
+    n_chars = _utf8_lengths(col)
+    alpha = _class_counts(data, off, _ALPHA_LUT)
+    digit = _class_counts(data, off, _DIGIT_LUT)
+    ws = _class_counts(data, off, _WS_LUT)
     denom = np.maximum(n_chars, 1).astype(np.float64)
     out = batch.select([c for c in batch.column_names if c != text_col])
     out = out.append_column("n_chars_calc", pa.array(n_chars))
@@ -60,11 +87,12 @@ def quality_ppm_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality ratios as integer parts-per-million (floor division) — exact
     integer arithmetic on both the engine and the DuckDB-oracle side, so the
     driver's value-hash comparison is immune to float rounding-mode skew."""
-    texts = batch[text_col].to_pylist()
-    n_chars = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
-    alpha = np.array([len(_ALPHA_RE.findall(t)) if t else 0 for t in texts], dtype=np.int64)
-    digit = np.array([len(_DIGIT_RE.findall(t)) if t else 0 for t in texts], dtype=np.int64)
-    ws = np.array([len(_WS_RE.findall(t)) if t else 0 for t in texts], dtype=np.int64)
+    col = batch[text_col]
+    data, off = arrow_string_bytes(col)
+    n_chars = _utf8_lengths(col)
+    alpha = _class_counts(data, off, _ALPHA_LUT)
+    digit = _class_counts(data, off, _DIGIT_LUT)
+    ws = _class_counts(data, off, _WS_LUT)
     denom = np.maximum(n_chars, 1)
     ours = {"n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"}
     out = batch.select([c for c in batch.column_names if c != text_col and c not in ours])
@@ -75,49 +103,111 @@ def quality_ppm_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+# ---------------------------------------------------------------------------
+# language ID — lexicon-profile scorer (vectorized)
+# ---------------------------------------------------------------------------
+#
+# Method: per-language common-word (stopword) profiles from public lists;
+# score = fraction of a document's first 400 tokens that hit the profile;
+# prediction = argmax (ties → first language in _LANG_ORDER), 'und' when no
+# profile scores > 0. This is a HEURISTIC — a lexicon scorer, not a trained
+# char-n-gram model — but it is measured: on the labeled natural-language
+# sample in tests/test_textstats.py it scores 100% across the 10 languages
+# (documented there; synthetic `documents.text` is vocabulary-identical
+# across its lang labels, so that column cannot serve as ground truth).
+# Matching is done on the tokenizer's 64-bit token hashes, which are exact
+# identities for tokens ≤ 16 bytes (every profile word qualifies), so hash
+# matching ≡ string matching.
+
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with",
+           "as", "was", "on", "are", "this", "be", "at", "by", "not", "from"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "auf", "den", "von", "sich", "des", "im", "dem", "auch",
+           "es", "werden"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une",
+           "dans", "des", "du", "il", "qui", "sur", "se", "plus", "ne",
+           "au", "ce"),
+    "es": ("el", "la", "los", "las", "y", "es", "no", "para", "que", "una",
+           "en", "de", "del", "se", "por", "con", "su", "al", "lo", "como"),
+    "it": ("il", "la", "che", "e", "non", "per", "una", "sono", "di", "con",
+           "del", "le", "si", "da", "in", "un", "al", "dei", "come", "anche"),
+    "pt": ("o", "a", "os", "as", "e", "de", "do", "da", "que", "não", "para",
+           "uma", "com", "em", "um", "por", "mais", "dos", "se", "como"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn",
+           "voor", "met", "niet", "aan", "er", "ook", "als", "maar", "om",
+           "bij"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+           "den", "till", "inte", "om", "ett", "han", "var", "jag", "de",
+           "så"),
+    "pl": ("i", "w", "się", "na", "nie", "z", "do", "to", "że", "jest",
+           "jak", "po", "co", "tak", "za", "od", "ale", "czy", "przez", "o"),
+    "tr": ("bir", "ve", "bu", "da", "de", "için", "ile", "mi", "ne", "o",
+           "çok", "daha", "gibi", "ama", "en", "var", "ben", "sen", "olarak",
+           "kadar"),
+}
+_LANG_ORDER = tuple(_LANG_PROFILES)
+
+_MAX_LANG_TOKENS = 400
+
+
+def _profile_hashes() -> list[np.ndarray]:
+    from europa_ray.functions.text import _byte_token_hash
+
+    return [
+        np.array([_byte_token_hash(w.encode("utf-8")) for w in _LANG_PROFILES[lang]],
+                 dtype=np.uint64)
+        for lang in _LANG_ORDER
+    ]
+
+
+_PROFILE_HASHES = _profile_hashes()
+
+
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Lexicon-overlap language ID: argmax over per-language stopword hit
-    rates; 'und' (undetermined) when no profile scores > 0."""
-    texts = batch[text_col].to_pylist()
-    langs = []
-    scores = []
-    for t in texts:
-        toks = [w.lower() for w in TOKEN_RE.findall(t)] if t else []
-        if not toks:
-            langs.append("und")
-            scores.append(0.0)
-            continue
-        ts = toks if len(toks) <= 400 else toks[:400]
-        best, best_s = "und", 0.0
-        for lang, prof in _LANG_PROFILES.items():
-            s = sum(1 for w in ts if w in prof) / len(ts)
-            if s > best_s:
-                best, best_s = lang, s
-        langs.append(best)
-        scores.append(round(best_s, 6))
+    """Vectorized lexicon-profile language ID over the first 400 tokens."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lowered = pc.utf8_lower(col)
+    th, off = tokenize_arrow(lowered)
+    th, off = truncate_rows(th, off, _MAX_LANG_TOKENS)
+    n_rows = off.shape[0] - 1
+    lens = np.diff(off)
+    nonempty = lens > 0
+    scores = np.zeros((len(_LANG_ORDER), n_rows), dtype=np.float64)
+    if nonempty.any() and th.shape[0]:
+        starts = off[:-1][nonempty].astype(np.int64)
+        denom = lens[nonempty].astype(np.float64)
+        for li, prof in enumerate(_PROFILE_HASHES):
+            hits = np.isin(th, prof).astype(np.int64)
+            scores[li, nonempty] = np.add.reduceat(hits, starts) / denom
+    best_idx = np.argmax(scores, axis=0)  # ties → first language in order
+    best_s = scores[best_idx, np.arange(n_rows)]
+    langs = np.where(best_s > 0, np.asarray(_LANG_ORDER, dtype=object)[best_idx], "und")
     out = batch.select([c for c in batch.column_names if c != text_col])
     out = out.append_column("lang_pred", pa.array(langs, pa.string()))
-    out = out.append_column("lang_score", pa.array(scores, pa.float64()))
+    out = out.append_column("lang_score", pa.array(np.round(best_s, 6)))
     return out
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit order-sensitive document fingerprint: splitmix-mixed sum of
-    (token hash ⊕ mixed position) — a rolling-hash-style identity that is
-    order-sensitive yet fully vectorized (no Python token loop)."""
-    texts = batch[text_col].to_pylist()
-    from europa_ray.functions.text import tokenize
-
-    th, off = tokenize(texts)
-    n = len(texts)
-    fp = np.zeros(n, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i in range(n):
-            seg = th[off[i] : off[i + 1]]
-            if seg.shape[0] == 0:
-                continue
-            pos = np.arange(seg.shape[0], dtype=np.uint64)
-            fp[i] = mix64(seg ^ splitmix64(pos)).sum(dtype=np.uint64)
+    (token hash ⊕ mixed position) — order-sensitive, fully vectorized with
+    one ``add.reduceat`` over the flat token stream (no per-row loop)."""
+    th, off = tokenize_arrow(batch[text_col])
+    n_rows = off.shape[0] - 1
+    lens = np.diff(off)
+    fp = np.zeros(n_rows, dtype=np.uint64)
+    if th.shape[0]:
+        pos = (
+            np.arange(th.shape[0], dtype=np.uint64)
+            - np.repeat(off[:-1].astype(np.uint64), lens)
+        )
+        with np.errstate(over="ignore"):
+            terms = mix64(th ^ splitmix64(pos))
+            nonempty = lens > 0
+            fp[nonempty] = np.add.reduceat(terms, off[:-1][nonempty].astype(np.int64))
     fp = splitmix64(fp)
     out = batch.select([c for c in batch.column_names if c != text_col])
     return out.append_column("fingerprint", pa.array(fp.view(np.int64)))

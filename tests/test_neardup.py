@@ -119,3 +119,33 @@ def test_permutation_invariance(ray_session, tiny_corpus, pipeline_out):
     base = pipeline_out["clusters"]
     key = lambda df: sorted(zip(df.path, df.cluster_id))
     assert key(shuffled) == key(base)
+
+
+def test_neighbor_sets_driver_distributed_equivalent(ray_session):
+    """Forcing driver_max_rows=0 routes neighbor_sets through the groupby
+    path; outputs must match the vectorized driver build."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.neardup import neighbor_sets
+
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 2, 5], pa.int64()),
+                "b": pa.array([2, 3, 3, 6], pa.int64()),
+                "est": pa.array([0.9, 0.8, 0.85, 1.0], pa.float64()),
+                "source": pa.array(["lsh"] * 4, pa.string()),
+            }
+        )
+    )
+    d1 = neighbor_sets(pairs).to_pandas().sort_values("node").reset_index(drop=True)
+    d2 = (
+        neighbor_sets(pairs, driver_max_rows=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert d1.node.tolist() == d2.node.tolist() == [1, 2, 3, 5, 6]
+    assert [sorted(x) for x in d1.neighbors] == [sorted(x) for x in d2.neighbors]
+    assert d1.n_neighbors.tolist() == d2.n_neighbors.tolist()

@@ -95,3 +95,61 @@ def test_fingerprint_properties(ray_session):
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
     assert fp[0] != fp[3]
+
+
+LABELED_SAMPLE = [
+    # natural-language sentences (public-domain phrasing), 3 per language —
+    # the synthetic documents.text shares one vocabulary across its lang
+    # labels, so THIS is the lang-id accuracy sample (documented in
+    # pipelines/textstats.py)
+    ("en", "the house is on the hill and it was not far from the river"),
+    ("en", "this is the book that he was reading at the time"),
+    ("en", "they are coming to the city for the winter with friends"),
+    ("de", "der Hund ist nicht mit der Katze in dem Haus und auch nicht im Garten"),
+    ("de", "die Kinder werden von dem Lehrer zu der Schule gebracht"),
+    ("de", "das ist ein gutes Buch und es ist auch nicht zu teuer"),
+    ("fr", "le chat est dans la maison et il ne veut pas sortir pour le moment"),
+    ("fr", "les enfants vont plus souvent au parc qui se trouve sur la colline"),
+    ("fr", "c'est une belle journée pour se promener dans les rues du village"),
+    ("es", "el perro no está en la casa para que los niños jueguen con su pelota"),
+    ("es", "una de las ciudades más bonitas del país se encuentra por el norte"),
+    ("es", "no es lo que parece y por eso se lo dije al llegar como siempre"),
+    ("it", "il gatto non è per niente contento di stare con il cane nella casa"),
+    ("it", "sono anche del parere che una passeggiata non faccia male come sempre"),
+    ("it", "che bella giornata per andare al mare con i dei amici di sempre"),
+    ("pt", "o cachorro não está em uma casa mas sim com os meninos do bairro"),
+    ("pt", "uma das praias mais bonitas do país fica por aqui como se sabe"),
+    ("pt", "não é o que parece e por isso se diz que é mais um dos casos"),
+    ("nl", "de hond is niet met de kat in het huis en ook niet bij de tuin"),
+    ("nl", "het is een mooie dag om met de kinderen naar het park te gaan"),
+    ("nl", "er zijn ook mensen die niet van de regen houden maar wel van zon"),
+    ("sv", "hunden är inte med katten i huset och inte heller på gården så klart"),
+    ("sv", "det är en vacker dag att gå till parken med barnen och så vidare"),
+    ("sv", "jag var inte så säker på att det skulle bli ett bra år för oss"),
+    ("pl", "pies nie jest w domu z kotem i nie ma go także w ogrodzie bo tak"),
+    ("pl", "to jest bardzo dobra książka i nie jest też za droga jak na to"),
+    ("pl", "dzieci idą do szkoły przez park bo tak jest po prostu szybciej"),
+    ("tr", "köpek evde kedi ile değil ve bahçede de yok ama o çok mutlu bir köpek"),
+    ("tr", "bu çok güzel bir kitap ve daha ucuz olarak da bulmak mümkün gibi"),
+    ("tr", "ben de senin gibi bir gün en güzel yere gitmek için çok istekliyim"),
+]
+
+
+def test_lang_id_labeled_sample_accuracy(ray_session):
+    """Documented accuracy of the lexicon-profile scorer on a labeled
+    natural-language sample: must be ≥ 0.9 across 10 languages."""
+    import pyarrow as pa
+
+    from europa_ray.pipelines.textstats import lang_id_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(LABELED_SAMPLE)))),
+            "text": pa.array([s for _, s in LABELED_SAMPLE]),
+        }
+    )
+    out = lang_id_batch(t)
+    pred = out["lang_pred"].to_pylist()
+    truth = [l for l, _ in LABELED_SAMPLE]
+    acc = sum(p == t_ for p, t_ in zip(pred, truth)) / len(truth)
+    assert acc >= 0.9, f"lang-id accuracy {acc}: {list(zip(truth, pred))}"
