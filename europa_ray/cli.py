@@ -82,25 +82,38 @@ def cmd_neardup(args) -> dict:
         extra = sh if extra is None else extra.union(sh)
 
     if args.checkpoint:
+        # Incremental cross-run flow (J1/J2/SO2): signatures are computed
+        # only for content nodes absent from the cache; new verified pairs
+        # are anti-joined against (and unioned with) the persisted edge set;
+        # per-stage counters + per-partition output lineage go to the
+        # manifest (A8).
+        from europa_ray.pipelines.neardup import assemble_members
+        from europa_ray.stages.lsh import candidate_pairs
         from europa_ray.state.manifest import Manifest, fingerprint_of
+        from europa_ray.state.sigcache import incremental_pairs, incremental_signatures
+        from europa_ray.state.unionfind import components
 
         man = Manifest(args.checkpoint)
-        fp = fingerprint_of("neardup-v1", args.input, cfg)
+        fp = fingerprint_of("neardup-v2", args.input, cfg)
 
-        sigs = man.stage(
-            "signatures", fp, lambda: signatures(read_files(args.input), cfg)
+        sigs, sig_counters = incremental_signatures(
+            read_files(args.input), cfg, cache_root=args.checkpoint
         )
-        from europa_ray.stages.lsh import candidate_pairs
-        from europa_ray.state.unionfind import components
-        from europa_ray.pipelines.neardup import assemble_members
+        sigs = sigs.materialize()
+        man.record("signatures", fp, sig_counters, rows_out=sigs.count())
 
-        pairs = man.stage(
-            "pairs", fp, lambda: candidate_pairs(sigs.materialize(), cfg)
+        new_pairs = candidate_pairs(sigs, cfg).materialize()
+        pairs, pair_counters = incremental_pairs(
+            new_pairs, cache_root=args.checkpoint, cfg=cfg
         )
+        pair_counters["verified_pairs"] = float(new_pairs.count())
         if extra is not None:
             from europa_ray.stages.lsh import dedupe_pairs
 
             pairs = dedupe_pairs(pairs.union(extra), source=None)
+        pairs = pairs.materialize()
+        man.record("pairs", fp, pair_counters, rows_out=pairs.count())
+
         labels = components(pairs, driver_max_edges=cfg.cc_driver_max_edges)
         clusters = assemble_members(sigs, labels, cfg)
         out = {"pairs": pairs, "clusters": clusters}
@@ -109,10 +122,18 @@ def cmd_neardup(args) -> dict:
 
     out["clusters"].write_parquet(args.output + "/clusters")
     out["pairs"].write_parquet(args.output + "/pairs")
-    return {
+    result = {
         "clusters_rows": out["clusters"].count(),
         "pairs_rows": out["pairs"].count(),
     }
+    if args.checkpoint:
+        man.record_output(
+            "clusters",
+            fp,
+            args.output + "/clusters",
+            counters={"clusters_rows": float(result["clusters_rows"])},
+        )
+    return result
 
 
 def cmd_exact(args) -> dict:

@@ -243,6 +243,50 @@ def token_counts(texts) -> np.ndarray:
     )
 
 
+def token_count_arrow(arr) -> np.ndarray:
+    """Per-row token count straight from the Arrow buffer — counts token
+    STARTS (word-run starts + punct bytes) without computing token hashes:
+    ~13× less work than full tokenization, 2× faster than per-row regex.
+    Non-ASCII rows fall back to the regex (byte-level classes would count
+    each UTF-8 continuation byte as a token; TOKEN_RE counts characters).
+    Identity with ``token_counts`` is fuzz-tested."""
+    data, roff = arrow_string_bytes(arr)
+    n_rows = roff.shape[0] - 1
+    out = np.zeros(n_rows, dtype=np.int64)
+    n = data.shape[0]
+    if n == 0 or n_rows == 0:
+        return out
+    lens = np.diff(roff)
+    nonempty = lens > 0
+    ascii_rows = np.ones(n_rows, dtype=bool)
+    if nonempty.any():
+        seg_starts = roff[:-1][nonempty].astype(np.int64)
+        ascii_rows[nonempty] = np.maximum.reduceat(data, seg_starts) < 128
+
+    cls = _BYTE_CLASS[data]
+    word = cls == 1
+    prev_word = np.zeros(n, dtype=bool)
+    prev_word[1:] = word[:-1]
+    starts_r = roff[:-1][roff[:-1] < n]
+    prev_word[starts_r] = False
+    is_start = (word & ~prev_word) | (cls == 2)
+    # reduceat must run over ALL non-empty rows — a reduceat over only the
+    # ASCII subset would extend each segment across the bytes of skipped
+    # (non-ASCII) rows; mask afterwards instead
+    if nonempty.any():
+        counts_all = np.zeros(n_rows, dtype=np.int64)
+        counts_all[nonempty] = np.add.reduceat(
+            is_start.astype(np.int64), roff[:-1][nonempty].astype(np.int64)
+        )
+        counted = nonempty & ascii_rows
+        out[counted] = counts_all[counted]
+    fb = np.nonzero(~ascii_rows & nonempty)[0]
+    for r in fb:
+        seg = data[roff[r] : roff[r + 1]].tobytes()
+        out[r] = len(TOKEN_RE.findall(seg.decode("utf-8", errors="replace")))
+    return out
+
+
 def _poly_combine(tok_hash: np.ndarray, k: int) -> np.ndarray:
     """Polynomial combine of every length-k window of a flat uint64 array.
 

@@ -45,11 +45,15 @@ def near_dup_pipeline(
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     num_partitions: int | None = None,
     extra_pairs: ray.data.Dataset | None = None,
+    manifest=None,
 ) -> dict[str, ray.data.Dataset]:
     """Run the full pipeline; returns {"pairs": ..., "clusters": ...}.
 
     ``extra_pairs``: optional additional verified edge Datasets (e.g. the
     SimHash or shared-substring passes) unioned into the CC stage.
+    ``manifest``: optional :class:`europa_ray.state.manifest.Manifest` —
+    when given, per-stage progress counters (signature rows, verified
+    pairs, component count — A8) are recorded as the pipeline runs.
     """
     ds = apply_filters(files, cfg)
     sigs = signatures(ds, cfg, id_cols=id_cols)
@@ -65,6 +69,22 @@ def near_dup_pipeline(
     pairs = pairs.materialize()  # verified duplicate pairs: ≪ corpus
 
     labels = components(pairs, driver_max_edges=cfg.cc_driver_max_edges)
+
+    if manifest is not None:
+        from europa_ray.state.manifest import fingerprint_of
+
+        fp = fingerprint_of("neardup-lib", cfg)
+        manifest.record(
+            "signatures", fp, {"signature_rows": float(sigs.count())}
+        )
+        manifest.record(
+            "pairs",
+            fp,
+            {
+                "verified_pairs": float(pairs.count()),
+                "cc_labeled_nodes": float(len(labels)),
+            },
+        )
 
     clusters = assemble_members(sigs, labels, cfg, id_cols=id_cols)
     return {"pairs": pairs, "clusters": clusters}

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 
 from europa_ray.functions.text import (
     arrow_string_bytes,
+    token_count_arrow,
     tokenize_arrow,
     truncate_rows,
 )
@@ -59,11 +60,9 @@ def _utf8_lengths(col) -> np.ndarray:
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-row token count under the engine tokenizer — the count comes FREE
-    from the zero-copy tokenizer's row offsets (``np.diff``)."""
+    """Per-row token count via the byte-level start counter (no hashing)."""
     out = batch.select([c for c in batch.column_names if c != text_col])
-    _, off = tokenize_arrow(batch[text_col])
-    return out.append_column("n_tokens", pa.array(np.diff(off)))
+    return out.append_column("n_tokens", pa.array(token_count_arrow(batch[text_col])))
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

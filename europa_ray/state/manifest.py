@@ -123,3 +123,60 @@ class Manifest:
         if stage in self.records:
             self.records[stage].counters.update(counters)
             self._flush()
+
+    def record(
+        self,
+        stage: str,
+        fingerprint: str,
+        counters: dict[str, float],
+        *,
+        rows_out: int = 0,
+        output_path: str = "",
+    ) -> None:
+        """Record progress counters for a stage WITHOUT owning its output
+        (A8 — the SignalR progress-notification analog,
+        ``DuplicateByHashFinder.cs:146-171``). Same-fingerprint records
+        accumulate; a new fingerprint replaces."""
+        rec = self.records.get(stage)
+        if rec is None or rec.fingerprint != fingerprint:
+            self.records[stage] = StageRecord(
+                stage=stage,
+                fingerprint=fingerprint,
+                output_path=output_path,
+                rows_out=rows_out,
+                counters=dict(counters),
+                ts=time.time(),
+            )
+        else:
+            rec.counters.update(counters)
+            if rows_out:
+                rec.rows_out = rows_out
+            rec.ts = time.time()
+        self._flush()
+
+    def record_output(
+        self,
+        stage: str,
+        fingerprint: str,
+        out_dir: str,
+        counters: dict[str, float] | None = None,
+    ) -> None:
+        """Record per-partition lineage (file → rows) of an already-written
+        Parquet directory plus progress counters (north rule: per-partition
+        lineage + metrics)."""
+        parts: dict[str, int] = {}
+        rows = 0
+        for f in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+            n = pq.ParquetFile(f).metadata.num_rows
+            parts[os.path.basename(f)] = n
+            rows += n
+        self.records[stage] = StageRecord(
+            stage=stage,
+            fingerprint=fingerprint,
+            output_path=out_dir,
+            rows_out=rows,
+            partitions=parts,
+            counters=dict(counters or {}),
+            ts=time.time(),
+        )
+        self._flush()

@@ -92,3 +92,23 @@ def test_neighbor_sets(ray_session):
     got = {int(r.node): sorted(r.neighbors) for r in out.itertuples()}
     assert got == {1: [2, 3], 2: [1, 3], 3: [1, 2]}
     assert out.n_neighbors.tolist() == [2, 2, 2]
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts_strategy)
+def test_token_count_arrow_matches_regex(texts):
+    from europa_ray.functions.text import token_count_arrow, token_counts
+
+    arr = pa.array([t for t in texts], pa.string())
+    got = token_count_arrow(arr)
+    assert got.tolist() == token_counts(texts).tolist()
+
+
+def test_token_count_arrow_edge_bytes():
+    from europa_ray.functions.text import token_count_arrow, token_counts
+
+    texts = ["a\x0bb", "", "x", "\u00e9 caf\u00e9 1+2", "tab\tsep", None, "\v\v"]
+    arr = pa.array(texts, pa.string())
+    got = token_count_arrow(arr)
+    want = token_counts(texts)
+    assert got.tolist() == want.tolist()
