@@ -26,6 +26,11 @@ class EngineConfig:
     lsh_bands: int = 16                   # b
     lsh_rows: int = 8                     # r  (b * r == num_perm)
     simhash_bits: int = 64
+    fuzzy_algo: str = "simhash"           # 64-bit fuzzy-signature algorithm,
+    #   resolved from functions.registry (the keyed-DI algorithm swap,
+    #   Program.cs:104-108 / ImageHashResolver.cs:15-20): "simhash" (pHash
+    #   analog) or "diffhash" (dHash analog); extensible via
+    #   register_signature().
     seed: int = 42
 
     # --- thresholds ---
@@ -78,7 +83,15 @@ class EngineConfig:
             # 64-bit algorithms (SearchParametersValidator.cs:28-39)
             raise ValueError("simhash_max_hamming must be within [0, simhash_bits]")
         if self.simhash_bits != 64:
-            raise ValueError("only 64-bit SimHash is supported")
+            raise ValueError("only 64-bit fuzzy signatures are supported")
+        from europa_ray.functions.registry import registered_signatures
+
+        if self.fuzzy_algo not in registered_signatures():
+            # ImageHashResolver.cs:15-20 analog: unknown algorithm key fails
+            raise ValueError(
+                f"unknown fuzzy_algo {self.fuzzy_algo!r}; registered: "
+                f"{registered_signatures()}"
+            )
         if self.min_size is not None and self.max_size is not None and self.min_size > self.max_size:
             raise ValueError("min_size must be <= max_size")
         if self.include_langs and self.exclude_langs:

@@ -61,7 +61,9 @@ def near_dup_pipeline(
     # materialize once so the actor pool doesn't recompute per consumer
     sigs = sigs.materialize()
 
-    pairs = candidate_pairs(sigs, cfg, num_partitions=num_partitions)
+    pairs, aux = candidate_pairs(
+        sigs, cfg, num_partitions=num_partitions, return_aux=True
+    )
     if extra_pairs is not None:
         from europa_ray.stages.lsh import dedupe_pairs
 
@@ -86,7 +88,9 @@ def near_dup_pipeline(
             },
         )
 
-    clusters = assemble_members(sigs, labels, cfg, id_cols=id_cols)
+    clusters = assemble_members(
+        sigs, labels, cfg, id_cols=id_cols, dup_nodes=aux.get("dup_nodes")
+    )
     return {"pairs": pairs, "clusters": clusters}
 
 
@@ -249,6 +253,7 @@ def assemble_members(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    dup_nodes: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """Join cluster labels back to member rows and suppress singletons.
 
@@ -256,6 +261,10 @@ def assemble_members(
     - node not in ``labels`` but whose sha has ≥2 rows → exact-dup-only
       group (cluster = own node).
     - else singleton → dropped (A7, ``SimilarImageFinder.cs:119``).
+
+    ``dup_nodes``: optional precomputed sorted array of exact-duplicate
+    nodes (a free by-product of the candidate-pair gather) — passing it
+    spares this stage its own corpus scan.
     """
     # labels as parallel sorted arrays → vectorized searchsorted inside the
     # tagging map (no Python per-row dict lookups)
@@ -272,7 +281,11 @@ def assemble_members(
     # exact-dup sha counts (aggregate over nodes: small, duplicate-only)
     from europa_ray.stages.lsh import duplicated_keys
 
-    dup_arr = duplicated_keys(sigs.select_columns(["node"]), "node")
+    dup_arr = (
+        np.asarray(dup_nodes, dtype=np.int64)
+        if dup_nodes is not None
+        else duplicated_keys(sigs.select_columns(["node"]), "node")
+    )
     if dup_arr is None:  # key stream over driver budget: distributed count
         counts = (
             sigs.select_columns(["node"])

@@ -22,8 +22,10 @@ FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 def read_files(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Read a ``files(repo,path,commit,lang,content)`` parquet table/dir.
 
-    Block count targets ~2× cluster CPUs — enough parallelism without the
-    per-block scheduling overhead of Ray's default ~200-way split.
+    Block count targets ~8× cluster CPUs (measured knee, see
+    ``util.default_read_blocks``) — fine-grained enough that the signature
+    stage has no straggler tail, without Ray's default ~200-way split's
+    per-block scheduling overhead on small clusters.
     """
     return ray.data.read_parquet(
         path, columns=columns, override_num_blocks=default_read_blocks()

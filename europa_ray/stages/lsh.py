@@ -256,25 +256,142 @@ def verify_pairs_by_signature(
     )
 
 
+def _pair_hot_driver(
+    bk: np.ndarray, nd: np.ndarray, cfg: EngineConfig, max_pairs: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Vectorized in-memory per-bucket pairing of a (band_key, node) stream
+    — the in-memory twin of ``_pair_nodes_group`` (same unique-nodes,
+    all-pairs ≤ ``max_band_size``, distance-major window beyond, per-bucket
+    ``max_pairs_per_band`` cap), run for ALL buckets in one lexsort + a
+    loop over DISTINCT bucket sizes (dozens, not millions). Runs inside
+    ``_pair_partition_task`` workers (one hash partition each) so the sort
+    cost scales with CPUs.
+
+    Returns None when the projected pair count exceeds ``max_pairs``
+    (caller falls back to the distributed path)."""
+    order = np.lexsort((nd, bk))
+    bk, nd = bk[order], nd[order]
+    keep = np.ones(bk.shape[0], dtype=bool)
+    keep[1:] = (bk[1:] != bk[:-1]) | (nd[1:] != nd[:-1])
+    bk, nd = bk[keep], nd[keep]
+    if bk.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    newb = np.ones(bk.shape[0], dtype=bool)
+    newb[1:] = bk[1:] != bk[:-1]
+    starts = np.nonzero(newb)[0]
+    sizes = np.diff(np.append(starts, bk.shape[0]))
+
+    small = sizes <= cfg.max_band_size
+    proj = int((sizes[small] * (sizes[small] - 1) // 2).sum()) + int(
+        np.minimum(sizes[~small] * cfg.pair_window, cfg.max_pairs_per_band).sum()
+    )
+    if proj > max_pairs:
+        return None
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    active = small & (sizes >= 2)
+    for s in np.unique(sizes[active]):
+        st = starts[active & (sizes == s)]
+        iu, ju = np.triu_indices(int(s), k=1)
+        out_a.append(nd[(st[:, None] + iu[None, :]).ravel()])
+        out_b.append(nd[(st[:, None] + ju[None, :]).ravel()])
+    for st, s in zip(starts[~small], sizes[~small]):
+        seg = nd[st : st + s]
+        w = cfg.pair_window
+        d = np.repeat(np.arange(1, w + 1), s)
+        iu = np.tile(np.arange(s), w)
+        ju = iu + d
+        ok = ju < s
+        iu, ju = iu[ok][: cfg.max_pairs_per_band], ju[ok][: cfg.max_pairs_per_band]
+        out_a.append(seg[iu])
+        out_b.append(seg[ju])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _pair_partition_worker(bk, nd, cfg: EngineConfig, max_pairs: int):
+    return _pair_hot_driver(bk, nd, cfg, max_pairs)
+
+
+def _pair_partitioned(
+    bk: np.ndarray, nd: np.ndarray, cfg: EngineConfig, max_pairs: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-bucket pairing, parallelized over hash partitions of band_key.
+
+    The sort+pair work is data-proportional; running it as ONE driver
+    NumPy pass makes it a CPU-count-constant term that caps scaling
+    efficiency (measured 7 s of the 37 s flagship at 480k rows / 8 CPUs).
+    Instead the stream is split by the band key's low bits (splitmix-mixed
+    — uniform; every bucket lands wholly in one partition) and each
+    partition is paired in a raw Ray task — the one place the Dataset API
+    can't express this cheaply, since ``groupby().map_groups`` pays a full
+    sort-shuffle that measured slower than the whole driver pass.
+    """
+    import ray
+
+    if bk.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    n_parts = 1
+    while n_parts < min(64, 2 * cpus):
+        n_parts *= 2
+    pidx = (bk & (n_parts - 1)).astype(np.int64)
+    order = np.argsort(pidx, kind="stable")
+    counts = np.bincount(pidx, minlength=n_parts)
+    bk_s, nd_s = bk[order], nd[order]
+    offs = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    per_part_budget = max_pairs  # each checks the global cap; sum re-checked
+    futs = []
+    worker = ray.remote(num_cpus=1)(_pair_partition_worker)
+    for p in range(n_parts):
+        if counts[p] == 0:
+            continue
+        futs.append(
+            worker.remote(bk_s[offs[p] : offs[p + 1]], nd_s[offs[p] : offs[p + 1]], cfg, per_part_budget)
+        )
+    results = ray.get(futs)
+    if any(r is None for r in results):
+        return None
+    a = np.concatenate([r[0] for r in results]) if results else np.empty(0, np.int64)
+    b = np.concatenate([r[1] for r in results]) if results else np.empty(0, np.int64)
+    if a.shape[0] > max_pairs:
+        return None
+    return a, b
+
+
 def candidate_pairs(
     sig_ds,
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     num_partitions: int | None = None,
     driver_max_cand_rows: int = 20_000_000,
+    driver_max_kn_rows: int = 100_000_000,
+    return_aux: bool = False,
 ):
     """signatures Dataset → verified, deduplicated candidate pairs.
 
-    Steps: (band_key, node) explode (16 B/row/band — signatures stay OUT of
-    the shuffle) → colliding-key detection (driver sort for ≤100M keys,
-    distributed count-aggregate above) → per-band candidate pairing
-    (``map_groups``, unverified) → dedup → signature-gather verification
-    (estimated Jaccard ≥ τ). When the candidate-node set exceeds the gather
-    budget — or the raw candidate-pair stream exceeds
-    ``driver_max_cand_rows`` (≈320 MB of int64 pairs; a pathological
-    band-collision corpus) — falls back to the inline-signature explode
-    (``explode_bands`` → ``pair_band_group``) where pairing AND verification
-    happen inside the band groups with no driver state.
+    Default shape (one distributed pass + driver small-data steps): the
+    (band_key, node) explode — 16 B/row/band, signatures stay OUT of any
+    shuffle — is gathered ONCE (≤ ``driver_max_kn_rows`` rows ≈ 1.6 GB),
+    then collision detection, per-bucket pairing and pair dedup all happen
+    in vectorized driver NumPy (replacing a groupby(band_key) shuffle that
+    cost more wall time than the whole signature stage's fixed overhead),
+    followed by the signature-gather verification pass (estimated Jaccard
+    ≥ τ). The same gather also yields the exact-duplicate node set free of
+    charge (``return_aux``), sparing the member-assembly stage its own
+    corpus pass.
+
+    Fallback (any budget exceeded — kn stream, projected pair count, or
+    verification gather): the fully distributed inline-signature explode
+    (``explode_bands`` → ``pair_band_group``), where pairing AND
+    verification happen inside band groups with no driver state
+    (equivalence-tested by forcing the budgets to 0).
     """
     import pandas as pd
     import ray
@@ -286,34 +403,57 @@ def candidate_pairs(
     kn = sig_ds.map_batches(
         explode_band_key_nodes, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )
-    dup_keys = duplicated_keys(kn.select_columns(["band_key"]), "band_key")
 
-    if dup_keys is None:
-        # key stream beyond driver budget → fully distributed inline path
-        return _candidate_pairs_inline(sig_ds, kn, cfg, num_partitions)
-    if dup_keys.shape[0] == 0:
-        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+    def _aux(dup_nodes):
+        return {"dup_nodes": dup_nodes}
 
-    hot = filter_by_key_array(kn, dup_keys, "band_key")
-    cand = hot.groupby("band_key").map_groups(
-        _pair_nodes_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
-    )
-    # dedup BEFORE verification (same pair from many bands): lexsort +
-    # adjacent-diff, no per-row Python; gather is ROW-GUARDED — beyond the
-    # budget the inline distributed path takes over
-    a_parts: list[np.ndarray] = []
-    b_parts: list[np.ndarray] = []
-    total_rows = 0
-    for batch in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        total_rows += batch.num_rows
-        if total_rows > driver_max_cand_rows:
-            return _candidate_pairs_inline(sig_ds, kn, cfg, num_partitions)
-        a_parts.append(batch["a"].to_numpy())
-        b_parts.append(batch["b"].to_numpy())
-    if not a_parts:
-        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
-    ca = np.concatenate(a_parts)
-    cb = np.concatenate(b_parts)
+    def _ret(pairs_ds, dup_nodes=None):
+        return (pairs_ds, _aux(dup_nodes)) if return_aux else pairs_ds
+
+    bk_parts: list[np.ndarray] = []
+    nd_parts: list[np.ndarray] = []
+    total = 0
+    over = False
+    for b in kn.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += b.num_rows
+        if total > driver_max_kn_rows:
+            over = True
+            break
+        bk_parts.append(b["band_key"].to_numpy())
+        nd_parts.append(b["node"].to_numpy())
+    if over:
+        return _ret(_candidate_pairs_inline(sig_ds, kn, cfg, num_partitions))
+    if not bk_parts:
+        return _ret(ray.data.from_arrow(PAIRS_SCHEMA.empty_table()), np.empty(0, np.int64))
+    bk = np.concatenate(bk_parts)
+    nd = np.concatenate(nd_parts)
+
+    # exact-dup node set: the explode emits each row's node lsh_bands times
+    # CONSECUTIVELY (np.repeat, order-preserving iter), so nd[::b] is one
+    # entry per corpus row — sort 1/b of the stream instead of all of it;
+    # count ≥ 2 ⇔ rows sharing content (used by member assembly)
+    b_ = cfg.lsh_bands
+    if nd.shape[0] % b_ == 0 and (
+        nd.shape[0] == 0 or (nd[: min(b_, nd.shape[0])] == nd[0]).all()
+    ):
+        row_nodes = nd[::b_]
+    else:  # unexpected layout: fall back to the full stream (count > b)
+        row_nodes = None
+    if row_nodes is not None:
+        rs = np.sort(row_nodes)
+        dmask = np.zeros(rs.shape[0], dtype=bool)
+        dmask[1:] = rs[1:] == rs[:-1]
+        dup_nodes = np.unique(rs[dmask])
+    else:
+        uniq_nodes, node_counts = np.unique(nd, return_counts=True)
+        dup_nodes = uniq_nodes[node_counts > b_]
+
+    paired = _pair_partitioned(bk, nd, cfg, driver_max_cand_rows)
+    if paired is None:
+        return _ret(_candidate_pairs_inline(sig_ds, kn, cfg, num_partitions), dup_nodes)
+    ca, cb = paired
+    if ca.shape[0] == 0:
+        return _ret(ray.data.from_arrow(PAIRS_SCHEMA.empty_table()), dup_nodes)
     order = np.lexsort((cb, ca))
     ca, cb = ca[order], cb[order]
     keep = np.ones(ca.shape[0], dtype=bool)
@@ -322,8 +462,8 @@ def candidate_pairs(
     try:
         verified = verify_pairs_by_signature(cand_df, sig_ds, cfg)
     except ValueError:
-        return _candidate_pairs_inline(sig_ds, kn, cfg, num_partitions)
-    return ray.data.from_arrow(verified)
+        return _ret(_candidate_pairs_inline(sig_ds, kn, cfg, num_partitions), dup_nodes)
+    return _ret(ray.data.from_arrow(verified), dup_nodes)
 
 
 def _candidate_pairs_inline(sig_ds, kn, cfg: EngineConfig, num_partitions: int):

@@ -20,11 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from europa_ray.config import DEFAULT_CONFIG, EngineConfig
-from europa_ray.functions.sig import (
-    make_perm_seeds,
-    minhash_signatures,
-    simhash_signatures,
-)
+from europa_ray.functions.sig import make_perm_seeds, minhash_signatures
 from europa_ray.functions.text import shingles, tokenize_arrow, truncate_rows, unique_per_row
 from europa_ray.util import hex_to_u64, sha256_hex_arrow
 
@@ -34,9 +30,14 @@ SIG_DTYPE = np.uint32  # low 32 bits of each minhash slot: halves shuffle
 
 class SignatureStage:
     def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, id_cols: tuple[str, ...] = ("repo", "path", "commit")):
+        from europa_ray.functions.registry import get_signature
+
         self.cfg = cfg
         self.id_cols = id_cols
         self.perm_seeds = make_perm_seeds(cfg.num_perm, cfg.seed)
+        # config-selected 64-bit fuzzy algorithm (keyed-DI swap, §2.10/M6);
+        # the output column keeps the name "simhash" whatever the algorithm
+        self.fuzzy_fn = get_signature(cfg.fuzzy_algo)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -49,7 +50,7 @@ class SignatureStage:
         sh, soff = shingles(th, off, cfg.shingle_k)
         ush, uoff = unique_per_row(sh, soff)
         sig = minhash_signatures(ush, uoff, self.perm_seeds)  # uint32 (n, p)
-        sim = simhash_signatures(ush, uoff)
+        sim = self.fuzzy_fn(ush, uoff)
         n_tokens = np.diff(off)
 
         sha_kept = [h for h in sha if h is not None]
