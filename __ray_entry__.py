@@ -265,7 +265,7 @@ def _q_embedding_dup_pairs(sf_dir: str):
 def _q_embedding_dup_pairs_lsh(sf_dir: str):
     from europa_ray.stages.ann import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_load_embeddings(sf_dir), threshold=0.9, n_bits=4)
+    return embedding_near_dup_pairs(_load_embeddings(sf_dir), threshold=0.9)
 
 
 def _q_multimodal_features(sf_dir: str):

@@ -279,63 +279,245 @@ def exact_cosine_pairs(
     return _pa.concat_tables(batches)
 
 
+EMB_PAIRS_SCHEMA = pa.schema(
+    [pa.field("a", pa.int64()), pa.field("b", pa.int64()), pa.field("score", pa.float64())]
+)
+
+
+def _table_salts(n_tables: int, seed: int) -> np.ndarray:
+    from europa_ray.util import splitmix64
+
+    return splitmix64(np.arange(n_tables, dtype=np.uint64) + np.uint64(seed * 7919))
+
+
+def _emb_table_keys(
+    m_normed: np.ndarray, planes: np.ndarray, n_tables: int, n_bits: int, salts: np.ndarray
+) -> np.ndarray:
+    """Normalized vectors → (n, n_tables) mixed int64 bucket keys (sign bits
+    of ``n_bits`` hyperplanes per table, table-salted so tables never
+    collide with each other)."""
+    from europa_ray.util import splitmix64
+
+    bits = (m_normed @ planes.T) >= 0  # (n, T*nb)
+    bits = bits.reshape(m_normed.shape[0], n_tables, n_bits)
+    pow2 = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))[None, None, :]
+    raw = (bits.astype(np.uint64) * pow2).sum(axis=2, dtype=np.uint64)  # (n, T)
+    return splitmix64(raw ^ salts[None, :]).view(np.int64)
+
+
+def _emb_payload(sub: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """``list<float>`` column → (flat float64-as-uint64 values, offsets) for
+    the pairverify payload contract."""
+    if isinstance(sub, pa.ChunkedArray):
+        sub = sub.combine_chunks()
+    # flatten() (not .values) honors array slices; offsets re-based to 0
+    flat = sub.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = sub.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    return flat.view(np.uint64), offs
+
+
+def _emb_cosine_metric(threshold: float):
+    def metric(buf_a: np.ndarray, buf_b: np.ndarray) -> float | None:
+        va = buf_a.view(np.float64)
+        vb = buf_b.view(np.float64)
+        na = float(np.linalg.norm(va)) or 1.0
+        nb = float(np.linalg.norm(vb)) or 1.0
+        s = float(va @ vb) / (na * nb)
+        return round(s, 4) if s >= threshold else None
+
+    return metric
+
+
 def embedding_near_dup_pairs(
     embeddings: ray.data.Dataset,
     *,
-    threshold: float = 0.98,
+    threshold: float = 0.9,
     n_bits: int = 6,
+    n_tables: int = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     num_partitions: int = 8,
+    driver_max_kn_rows: int = 100_000_000,
+    driver_max_cand_rows: int = 20_000_000,
+    driver_max_payload_bytes: int = 512 << 20,
 ) -> ray.data.Dataset:
-    """All pairs with cosine ≥ threshold via hyperplane-bucket grouping +
-    exact in-bucket verification (near-dup vectors almost surely share all
-    sign bits; multi-probe variants can push recall further)."""
+    """All pairs with cosine ≥ ``threshold``, multi-table hyperplane LSH.
+
+    100-TB shape (mirrors the MinHash flagship exactly): each vector emits
+    ``n_tables`` **16-byte (bucket_key, id) rows** — embeddings stay OUT of
+    candidate generation. Buckets are paired with the same skew machinery as
+    the MinHash bands (all-pairs ≤ ``max_band_size``, distance-major window
+    + ``max_pairs_per_band`` cap beyond — a hot bucket of near-identical
+    vectors can no longer go O(n²)), pairs are deduped across tables, and
+    every surviving candidate is verified at EXACT cosine via the guarded
+    driver-gather / cogroup-shuffle dispatch in :mod:`~europa_ray.stages.
+    pairverify`. Any blown budget falls back to the fully distributed inline
+    path (embeddings carried through the explode, capped in-bucket verify).
+
+    Recall: a pair at exactly ``threshold`` collides in one table w.p.
+    ``(1 − acos(t)/π)^n_bits`` (Charikar hyperplane LSH); with the defaults
+    (6 bits × 12 tables, t = 0.9) union recall ≈ 0.998, higher above the
+    threshold. Raise ``n_tables`` for tighter thresholds.
+
+    Reference parity: ANN range search + score-threshold verify,
+    ``/root/reference/Api/Client/QdrantRepository.cs:184-206``.
+    """
+    from europa_ray.config import DEFAULT_CONFIG
+    from europa_ray.stages.lsh import _pair_partitioned
+    from europa_ray.stages.pairverify import verify_pairs
+
+    cfg = DEFAULT_CONFIG
     first = embeddings.take_batch(1, batch_format="pyarrow")
     dim = _embedding_matrix(first).shape[1]
-    planes = make_planes(dim, n_bits, seed)
+    planes = make_planes(dim, n_bits * n_tables, seed)
+    salts = _table_salts(n_tables, seed)
+    planes_ref = ray.put(planes)
 
-    bucketed = embeddings.map_batches(
-        hyperplane_bucket_batch, fn_kwargs={"planes": planes, "id_col": id_col},
-        batch_format="pyarrow",
-    )
-
-    def pair_bucket(group: pa.Table) -> pa.Table:
-        m = _normalize(_embedding_matrix(group))
-        ids = group[id_col].to_numpy()
-        n = m.shape[0]
-        if n < 2:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        sims = m @ m.T
-        iu, ju = np.triu_indices(n, k=1)
-        vals = sims[iu, ju]
-        mask = vals >= threshold
-        iu, ju, vals = iu[mask], ju[mask], vals[mask]
-        a, b = ids[iu], ids[ju]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _normalize(_embedding_matrix(batch))
+        keys = _emb_table_keys(m, pl, n_tables, n_bits, salts)  # (n, T)
+        ids = batch[id_col].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "a": pa.array(lo, pa.int64()),
-                "b": pa.array(hi, pa.int64()),
+                "band_key": pa.array(keys.ravel()),
+                "node": pa.array(np.repeat(ids, n_tables)),
+            }
+        )
+
+    kn = embeddings.map_batches(explode_keys, batch_format="pyarrow")
+
+    bk_parts: list[np.ndarray] = []
+    nd_parts: list[np.ndarray] = []
+    total = 0
+    over = False
+    for b in kn.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += b.num_rows
+        if total > driver_max_kn_rows:
+            over = True
+            break
+        bk_parts.append(b["band_key"].to_numpy())
+        nd_parts.append(b["node"].to_numpy())
+    if over:
+        return _emb_inline_pairs(
+            embeddings, planes, salts, threshold, n_tables, n_bits, id_col, cfg
+        )
+    if not bk_parts:
+        return ray.data.from_arrow(EMB_PAIRS_SCHEMA.empty_table())
+    bk = np.concatenate(bk_parts)
+    nd = np.concatenate(nd_parts)
+    paired = _pair_partitioned(bk, nd, cfg, driver_max_cand_rows)
+    if paired is None:
+        return _emb_inline_pairs(
+            embeddings, planes, salts, threshold, n_tables, n_bits, id_col, cfg
+        )
+    ca, cb = paired
+    if ca.shape[0] == 0:
+        return ray.data.from_arrow(EMB_PAIRS_SCHEMA.empty_table())
+    lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    keep = np.ones(lo.shape[0], dtype=bool)
+    keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    lo, hi = lo[keep], hi[keep]
+    return verify_pairs(
+        embeddings,
+        lo,
+        hi,
+        _emb_payload,
+        _emb_cosine_metric(threshold),
+        EMB_PAIRS_SCHEMA,
+        lambda a, b, m: (a, b, m),
+        content_col="embedding",
+        node_col=id_col,
+        driver_max_payload_bytes=driver_max_payload_bytes,
+    )
+
+
+def _emb_inline_pairs(
+    embeddings: ray.data.Dataset,
+    planes: np.ndarray,
+    salts: np.ndarray,
+    threshold: float,
+    n_tables: int,
+    n_bits: int,
+    id_col: str,
+    cfg,
+) -> ray.data.Dataset:
+    """Fully distributed fallback: embeddings carried through the bucket
+    explode (×``n_tables`` replication — the price of zero driver state),
+    capped in-bucket pairing + exact-cosine verify inside ``map_groups``,
+    cross-table dedup via the exact composite-key machinery."""
+    planes_ref = ray.put(planes)
+
+    def explode_full(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _normalize(_embedding_matrix(batch))
+        keys = _emb_table_keys(m, pl, n_tables, n_bits, salts)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        rep_idx = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_tables))
+        return pa.table(
+            {
+                "band_key": pa.array(keys.ravel()),
+                "node": pa.array(np.repeat(ids, n_tables)),
+                "embedding": emb.take(rep_idx),
+            }
+        )
+
+    def pair_bucket(group: pa.Table) -> pa.Table:
+        nodes = group["node"].to_numpy()
+        uniq, first_idx = np.unique(nodes, return_index=True)
+        n = uniq.shape[0]
+        if n < 2:
+            return EMB_PAIRS_SCHEMA.empty_table()
+        m = _normalize(_embedding_matrix(group))[first_idx]
+        if n <= cfg.max_band_size:
+            iu, ju = np.triu_indices(n, k=1)
+        else:
+            w = cfg.pair_window
+            d = np.repeat(np.arange(1, w + 1), n)
+            iu = np.tile(np.arange(n), w)
+            ju = iu + d
+            ok = ju < n
+            iu, ju = iu[ok], ju[ok]
+        if iu.shape[0] > cfg.max_pairs_per_band:
+            iu, ju = iu[: cfg.max_pairs_per_band], ju[: cfg.max_pairs_per_band]
+        vals = np.einsum("ij,ij->i", m[iu], m[ju])
+        mask = vals >= threshold
+        iu, ju, vals = iu[mask], ju[mask], vals[mask]
+        if iu.shape[0] == 0:
+            return EMB_PAIRS_SCHEMA.empty_table()
+        a, b = uniq[iu], uniq[ju]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b), pa.int64()),
+                "b": pa.array(np.maximum(a, b), pa.int64()),
                 "score": pa.array(np.round(vals, 4), pa.float64()),
             }
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(
-        pair_bucket, batch_format="pyarrow"
-    ).materialize()
-    if pairs.count() == 0:
-        return ray.data.from_arrow(
-            pa.schema(
-                [pa.field("a", pa.int64()), pa.field("b", pa.int64()), pa.field("score", pa.float64())]
-            ).empty_table()
+    pairs = (
+        embeddings.map_batches(explode_full, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pair_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    n = pairs.count()
+    if n == 0:
+        return ray.data.from_arrow(EMB_PAIRS_SCHEMA.empty_table())
+    if n <= 2_000_000:  # cross-table dedup, size-dispatched like dedupe_pairs
+        import pandas as pd
+
+        df = pd.concat(
+            [b.to_pandas() for b in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 20)],
+            ignore_index=True,
         )
+        ded = df.groupby(["a", "b"], as_index=False).agg(score=("score", "max"))
+        return ray.data.from_arrow(pa.Table.from_pandas(ded, preserve_index=False))
     return (
         pairs.groupby(["a", "b"]).max("score").rename_columns({"max(score)": "score"})
     )

@@ -94,11 +94,16 @@ def payload_rows(
     payload_fn: Callable[[pa.Array], tuple[np.ndarray, np.ndarray]],
     *,
     content_col: str = "content",
+    node_col: str | None = None,
 ):
     """Corpus Dataset → (pair_idx, side, payload) rows for candidate nodes.
 
     ``payload_fn(content_column) -> (flat uint64 values, row offsets)``
     computes the per-row payload for a *filtered* content column.
+
+    Node identity: ``sha256(content)``-derived by default (content dedup);
+    ``node_col`` switches to an explicit int64 id column (e.g. ``vec_id``
+    for embedding payloads, where identity is positional not content-based).
     """
     import ray
 
@@ -107,11 +112,17 @@ def payload_rows(
     def explode(batch: pa.Table) -> pa.Table:
         nodes_s, pidx, side = ray.get(members_ref)
         content = batch[content_col]
-        sha = sha256_hex_arrow(content)
-        idx = [i for i, h in enumerate(sha) if h is not None]
+        if node_col is not None:
+            idx = list(range(batch.num_rows))
+            nds = batch[node_col].to_numpy().astype(np.int64)
+        else:
+            sha = sha256_hex_arrow(content)
+            idx = [i for i, h in enumerate(sha) if h is not None]
+            if not idx:
+                return PAYLOAD_SCHEMA.empty_table()
+            nds = hex_to_u64([sha[i] for i in idx]).view(np.int64)
         if not idx:
             return PAYLOAD_SCHEMA.empty_table()
-        nds = hex_to_u64([sha[i] for i in idx]).view(np.int64)
         # candidate membership + in-batch dedup by node (exact-dup rows in
         # one batch share content → one payload suffices; cross-batch dups
         # are deduped at verify time by taking the first payload per side)
@@ -158,6 +169,7 @@ def verify_pairs(
     emit: Callable[[int, int, float], tuple],
     *,
     content_col: str = "content",
+    node_col: str | None = None,
     driver_max_payload_bytes: int = 512 << 20,
 ):
     """Verify candidate pairs (a[i], b[i]) against full per-node payloads.
@@ -174,7 +186,9 @@ def verify_pairs(
     b = np.asarray(b, dtype=np.int64)
     if a.shape[0] == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    rows_ds = payload_rows(files, a, b, payload_fn, content_col=content_col)
+    rows_ds = payload_rows(
+        files, a, b, payload_fn, content_col=content_col, node_col=node_col
+    )
 
     # --- driver shape (guarded gather) ---
     if driver_max_payload_bytes > 0:
