@@ -85,6 +85,17 @@ def _q_filter_size_range(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def _q_content_errors(sf_dir: str):
+    """Per-row error routing (the reference's notification side-channel):
+    null/empty/undecodable content rows become data rows, not exceptions."""
+    from europa_ray.stages.errors import split_content_errors
+
+    _ok, errs = split_content_errors(_docs(sf_dir))
+    # project on the collected table: Ray's schema() on a projected EMPTY
+    # dataset reports the pre-projection schema
+    return _collect(errs).select(["doc_id", "error"])
+
+
 def _q_filter_lang(sf_dir: str):
     from europa_ray.config import EngineConfig
     from europa_ray.stages.filters import apply_filters
@@ -293,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_group_sizes": wrap(_q_exact_group_sizes),
         "filter_size_range": wrap(_q_filter_size_range),
         "filter_lang": wrap(_q_filter_lang),
+        "content_errors": wrap(_q_content_errors),
         "token_counts": wrap(_q_token_counts),
         "token_totals_by_lang": wrap(_q_token_totals_by_lang),
         "quality_scores": wrap(_q_quality_scores),
@@ -345,6 +357,13 @@ def oracle_sql() -> dict[str, str]:
         "filter_lang": """
             SELECT doc_id, lang FROM documents
             WHERE length(text) > 0 AND lang IN ('en', 'de')
+        """,
+        "content_errors": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 'null_content'
+                        ELSE 'empty_content' END AS error
+            FROM documents
+            WHERE text IS NULL OR text = ''
         """,
         "token_counts": r"""
             SELECT doc_id, length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
