@@ -12,8 +12,6 @@ the content near-dup passes.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 import ray
@@ -89,35 +87,53 @@ def brute_force_topk(
             }
         )
 
-    heaps: dict[int, list] = {j: [] for j in range(qn.shape[0])}
-    for batch in embeddings.map_batches(score, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=8192
-    ):
-        for j, nid, s in zip(
-            batch["qidx"].to_numpy(), batch["neighbor_id"].to_numpy(), batch["score"].to_numpy()
-        ):
-            j = int(j)
-            if exclude_self and int(nid) == int(query_ids[j]):
-                continue
-            # heap keyed by (score, -neighbor_id): on ties prefer smaller id
-            heapq.heappush(heaps[j], (float(s), -int(nid)))
-            if len(heaps[j]) > k:
-                heapq.heappop(heaps[j])
+    scored = embeddings.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(scored, np.asarray(query_ids), k, exclude_self=exclude_self)
 
-    rows_q, rows_n, rows_s, rows_r = [], [], [], []
-    for j in range(qn.shape[0]):
-        ranked = sorted(heaps[j], key=lambda t: (-t[0], -t[1]))
-        for r, (s, negid) in enumerate(ranked[:k], start=1):
-            rows_q.append(int(query_ids[j]))
-            rows_n.append(-negid)
-            rows_s.append(round(s, 4))
-            rows_r.append(r)
+
+def _merge_topk(
+    scored, query_ids: np.ndarray, k: int, *, exclude_self: bool = True
+) -> pa.Table:
+    """Driver merge of per-batch partial top-k rows — one vectorized
+    lexsort over the (small: ≤ n_queries × (k+1) × n_batches) candidate
+    stream instead of per-row Python heaps. Tie order matches the oracle:
+    score DESC, neighbor_id ASC."""
+    qi_p, ni_p, sc_p = [], [], []
+    for batch in scored.iter_batches(batch_format="pyarrow", batch_size=65536):
+        qi_p.append(batch["qidx"].to_numpy())
+        ni_p.append(batch["neighbor_id"].to_numpy())
+        sc_p.append(batch["score"].to_numpy())
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if not qi_p:
+        return empty
+    qi = np.concatenate(qi_p).astype(np.int64)
+    ni = np.concatenate(ni_p).astype(np.int64)
+    sc = np.concatenate(sc_p).astype(np.float64)
+    if exclude_self:
+        keep = ni != query_ids[qi]
+        qi, ni, sc = qi[keep], ni[keep], sc[keep]
+    if qi.shape[0] == 0:
+        return empty
+    order = np.lexsort((ni, -sc, qi))
+    qi, ni, sc = qi[order], ni[order], sc[order]
+    newg = np.ones(qi.shape[0], dtype=bool)
+    newg[1:] = qi[1:] != qi[:-1]
+    group_start = np.maximum.accumulate(np.where(newg, np.arange(qi.shape[0]), 0))
+    pos = np.arange(qi.shape[0]) - group_start
+    keep = pos < k
     return pa.table(
         {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "neighbor_id": pa.array(rows_n, pa.int64()),
-            "score": pa.array(rows_s, pa.float64()),
-            "rank": pa.array(rows_r, pa.int64()),
+            "query_id": pa.array(query_ids[qi[keep]], pa.int64()),
+            "neighbor_id": pa.array(ni[keep], pa.int64()),
+            "score": pa.array(np.round(sc[keep], 4), pa.float64()),
+            "rank": pa.array(pos[keep] + 1, pa.int64()),
         }
     )
 
@@ -198,35 +214,8 @@ def lsh_topk(
             }
         )
 
-    heaps: dict[int, list] = {j: [] for j in range(qn.shape[0])}
-    for batch in embeddings.map_batches(score, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=8192
-    ):
-        for j, nid, s in zip(
-            batch["qidx"].to_numpy(), batch["neighbor_id"].to_numpy(), batch["score"].to_numpy()
-        ):
-            j = int(j)
-            if int(nid) == int(query_ids[j]):
-                continue
-            heapq.heappush(heaps[j], (float(s), -int(nid)))
-            if len(heaps[j]) > k:
-                heapq.heappop(heaps[j])
-    rows_q, rows_n, rows_s, rows_r = [], [], [], []
-    for j in range(qn.shape[0]):
-        ranked = sorted(heaps[j], key=lambda t: (-t[0], -t[1]))
-        for r, (s, negid) in enumerate(ranked[:k], start=1):
-            rows_q.append(int(query_ids[j]))
-            rows_n.append(-negid)
-            rows_s.append(round(s, 4))
-            rows_r.append(r)
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "neighbor_id": pa.array(rows_n, pa.int64()),
-            "score": pa.array(rows_s, pa.float64()),
-            "rank": pa.array(rows_r, pa.int64()),
-        }
-    )
+    scored = embeddings.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(scored, np.asarray(query_ids), k, exclude_self=True)
 
 
 def exact_cosine_pairs(
