@@ -281,16 +281,6 @@ def _attach_cached_payloads(allrows, sig_dir: str, *, broadcast_max_nodes: int):
 # pair cache (J2 / SO2)
 # ---------------------------------------------------------------------------
 
-def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Order-canonical composite sort key for (a, b) pair identity."""
-    from europa_ray.util import mix64
-
-    with np.errstate(over="ignore"):
-        return (
-            mix64(a.view(np.uint64)) ^ mix64(b.view(np.uint64), seed=1)
-        ).view(np.int64)
-
-
 def cached_pairs_table(pairs_dir: str) -> pa.Table | None:
     files = _cache_files(pairs_dir)
     if not files:
@@ -329,12 +319,19 @@ def incremental_pairs(
 
     n_cached = cached.num_rows if cached is not None else 0
     if fresh_tbl is not None and cached is not None and cached.num_rows:
-        ka = _pair_key(cached["a"].to_numpy(), cached["b"].to_numpy())
-        kb = _pair_key(fresh_tbl["a"].to_numpy(), fresh_tbl["b"].to_numpy())
-        ka_sorted = np.sort(ka)
-        idx = np.searchsorted(ka_sorted, kb)
-        idx[idx >= ka_sorted.shape[0]] = 0
-        known_mask = ka_sorted[idx] == kb
+        # exact composite-key anti-join (a hash of (a,b) could collide and
+        # silently swallow a genuinely-new pair — same chimera risk the
+        # dedupe_pairs distributed path avoids by grouping on the REAL key)
+        import pandas as pd
+
+        fresh_ab = pd.DataFrame(
+            {"a": fresh_tbl["a"].to_numpy(), "b": fresh_tbl["b"].to_numpy()}
+        )
+        cached_ab = pd.DataFrame(
+            {"a": cached["a"].to_numpy(), "b": cached["b"].to_numpy()}
+        ).drop_duplicates()
+        merged = fresh_ab.merge(cached_ab, on=["a", "b"], how="left", indicator=True)
+        known_mask = (merged["_merge"] == "both").to_numpy()
         fresh_tbl = fresh_tbl.filter(pa.array(~known_mask))
     n_new = fresh_tbl.num_rows if fresh_tbl is not None else 0
     if fresh_tbl is not None and fresh_tbl.num_rows:
