@@ -59,6 +59,10 @@ def _config_from_args(args) -> "EngineConfig":
         kw["max_size"] = args.max_size
     if getattr(args, "two_pass", False):
         kw["two_pass"] = True
+    if getattr(args, "fuzzy_algo", None):
+        kw["fuzzy_algo"] = args.fuzzy_algo
+    if getattr(args, "minhash_mode", None):
+        kw["minhash_mode"] = args.minhash_mode
     return EngineConfig(**kw)
 
 
@@ -188,6 +192,9 @@ def main(argv=None) -> int:
             sp.add_argument("--checkpoint", default=None)
             sp.add_argument("--simhash", action="store_true")
             sp.add_argument("--substr", action="store_true")
+            # algorithm swaps (keyed-DI analog, Program.cs:104-108)
+            sp.add_argument("--fuzzy-algo", default=None, choices=["simhash", "diffhash"])
+            sp.add_argument("--minhash-mode", default=None, choices=["perm", "oph"])
         if name == "exact":
             sp.add_argument("--two-pass", action="store_true")
     args = p.parse_args(argv)

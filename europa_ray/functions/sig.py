@@ -105,6 +105,79 @@ def minhash_signatures(
     return out
 
 
+def minhash_signatures_oph(
+    sh_flat: np.ndarray,
+    sh_offsets: np.ndarray,
+    num_perm: int,
+    seed: int,
+) -> np.ndarray:
+    """(n_rows, num_perm) uint32 one-permutation-hashing MinHash.
+
+    One Permutation Hashing (Li, Owen, Zhang, NIPS 2012): instead of
+    ``num_perm`` independent multiply-shift passes over every shingle
+    (O(m·p) cells — the flagship's dominant compute), each shingle is
+    hashed ONCE; its top bits pick one of ``num_perm`` bins and the row's
+    per-bin minimum of the low 32 bits is the signature component. Empty
+    bins are filled by circular borrowing from the nearest non-empty bin
+    to the left (densification per Shrivastava & Li, ICML 2014), so
+    per-component collision probability still estimates Jaccard. Cost is
+    one mix + one sort of the (row, bin) keys — O(m log m) ≪ O(m·p).
+
+    Same output dtype/layout as :func:`minhash_signatures`, so banding,
+    verification and every downstream stage are unchanged. Empty rows get
+    the EMPTY_SIG32 sentinel in every component.
+    """
+    n_rows = sh_offsets.shape[0] - 1
+    p = num_perm
+    out = np.full((n_rows, p), EMPTY_SIG32, dtype=np.uint32)
+    m = sh_flat.shape[0]
+    if m == 0 or n_rows == 0:
+        return out
+    pbits = int(p).bit_length() - 1
+    if (1 << pbits) != p:
+        raise ValueError("oph requires num_perm to be a power of two")
+    y = mix64(sh_flat, seed=np.uint64(seed) ^ _U64(0x0F1D_BEEF_CAFE_F00D))
+    bins = (y >> _U64(64 - pbits)).astype(np.int64)
+    vals = (y & _U64(0xFFFFFFFF)).astype(np.uint32)
+    rows = (
+        np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(sh_offsets))
+        if n_rows > 1
+        else np.zeros(m, dtype=np.int64)
+    )
+    key = (rows * p + bins).astype(np.uint64)
+    if n_rows * p >= (1 << 32):
+        raise ValueError("oph batch too large: n_rows * num_perm must fit 32 bits")
+    # single-sort min-per-key: pack (key << 32 | value) into one uint64 —
+    # after np.sort, the FIRST element of each key group carries the key's
+    # minimum value (≈3× faster than argsort + two gathers + reduceat)
+    combo = np.sort((key << _U64(32)) | vals.astype(np.uint64))
+    kk = (combo >> _U64(32)).astype(np.int64)
+    newk = np.ones(m, dtype=bool)
+    newk[1:] = kk[1:] != kk[:-1]
+    sel_keys = kk[newk]
+    out.ravel()[sel_keys] = (combo[newk] & _U64(0xFFFFFFFF)).astype(np.uint32)
+
+    # densification: forward-fill from the left, circular per row. Two
+    # passes of maximum.accumulate over "last filled bin index ≤ j" give
+    # the wrapped fill source for every empty bin; rows with zero filled
+    # bins (empty rows) keep the sentinel.
+    filled = np.zeros((n_rows, p), dtype=bool)
+    filled.ravel()[sel_keys] = True
+    any_filled = filled.any(axis=1)
+    if not any_filled.all() or not filled.all():
+        idx = np.where(filled, np.arange(p)[None, :], -1)
+        ff = np.maximum.accumulate(idx, axis=1)  # last filled ≤ j, -1 if none
+        # wrap: positions before the first filled bin borrow from the LAST
+        # filled bin of the row (circular left-fill)
+        last = ff[:, -1]  # per-row last filled bin (or -1)
+        need_wrap = ff < 0
+        ff = np.where(need_wrap, last[:, None], ff)
+        rows_ok = np.nonzero(any_filled)[0]
+        src = ff[rows_ok]
+        out[rows_ok] = out[rows_ok[:, None], src]
+    return out
+
+
 # unpackbits column c of a little-endian uint64 view ↔ original bit
 # 8*(c//8) + (7 - c%8); this index reorders unpacked columns back to
 # bit-position order so the signature matches the plain shift-and-mask oracle

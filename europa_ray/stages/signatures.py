@@ -49,7 +49,12 @@ class SignatureStage:
         th, off = truncate_rows(th, off, cfg.max_sig_tokens)
         sh, soff = shingles(th, off, cfg.shingle_k)
         ush, uoff = unique_per_row(sh, soff)
-        sig = minhash_signatures(ush, uoff, self.perm_seeds)  # uint32 (n, p)
+        if cfg.minhash_mode == "oph":
+            from europa_ray.functions.sig import minhash_signatures_oph
+
+            sig = minhash_signatures_oph(ush, uoff, cfg.num_perm, cfg.seed)
+        else:
+            sig = minhash_signatures(ush, uoff, self.perm_seeds)  # uint32 (n, p)
         sim = self.fuzzy_fn(ush, uoff)
         n_tokens = np.diff(off)
 

@@ -60,7 +60,14 @@ def _sig_cfg_fingerprint(cfg: EngineConfig) -> str:
     from europa_ray.state.manifest import fingerprint_of
 
     return fingerprint_of(
-        "sig-v1", cfg.seed, cfg.num_perm, cfg.shingle_k, cfg.max_sig_tokens, cfg.simhash_bits
+        "sig-v1",
+        cfg.seed,
+        cfg.num_perm,
+        cfg.shingle_k,
+        cfg.max_sig_tokens,
+        cfg.simhash_bits,
+        cfg.minhash_mode,
+        cfg.fuzzy_algo,
     )
 
 

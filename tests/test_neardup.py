@@ -149,3 +149,23 @@ def test_neighbor_sets_driver_distributed_equivalent(ray_session):
     assert d1.node.tolist() == d2.node.tolist() == [1, 2, 3, 5, 6]
     assert [sorted(x) for x in d1.neighbors] == [sorted(x) for x in d2.neighbors]
     assert d1.n_neighbors.tolist() == d2.n_neighbors.tolist()
+
+
+def test_perm_mode_recall(ray_session, tiny_corpus, truth_pairs):
+    """The classic num_perm-independent-permutations mode (the golden
+    fixtures cover the default OPH mode) meets the same recall bar — both
+    MinHash families stay release-quality."""
+    import ray.data
+
+    from europa_ray.config import EngineConfig
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+
+    cfg = EngineConfig(minhash_mode="perm")
+    out = near_dup_pipeline(ray.data.read_parquet(tiny_corpus), cfg)
+    pairs = out["pairs"].to_pandas()
+    got = set(zip(pairs.a.tolist(), pairs.b.tolist()))
+    tp = len(truth_pairs & got)
+    recall = tp / len(truth_pairs)
+    precision = tp / len(got) if got else 1.0
+    assert recall >= 0.99, f"perm pair recall {recall:.4f} < 0.99"
+    assert precision >= 0.95, f"perm pair precision {precision:.4f}"
