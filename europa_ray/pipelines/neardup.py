@@ -56,7 +56,10 @@ def near_dup_pipeline(
     pairs, component count — A8) are recorded as the pipeline runs.
     """
     ds = apply_filters(files, cfg)
-    sigs = signatures(ds, cfg, id_cols=id_cols)
+    # the flagship never reads the 64-bit fuzzy column — skip its kernel
+    # (the dominant per-row compute now that MinHash is OPH); the SimHash
+    # PASS computes its own signatures when requested (cli.py)
+    sigs = signatures(ds, cfg, id_cols=id_cols, compute_fuzzy=False)
     # the signature table is consumed twice (pairs + member assembly):
     # materialize once so the actor pool doesn't recompute per consumer
     sigs = sigs.materialize()
@@ -135,7 +138,7 @@ def exact_jaccard_pairs(
     from europa_ray.stages.pairverify import verify_pairs
 
     ds = apply_filters(files, cfg)
-    sigs = signatures(ds, cfg, id_cols=id_cols).materialize()
+    sigs = signatures(ds, cfg, id_cols=id_cols, compute_fuzzy=False).materialize()
     cand = candidate_pairs(sigs, cfg, num_partitions=num_partitions).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(JACCARD_SCHEMA.empty_table())

@@ -29,14 +29,23 @@ SIG_DTYPE = np.uint32  # low 32 bits of each minhash slot: halves shuffle
 
 
 class SignatureStage:
-    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, id_cols: tuple[str, ...] = ("repo", "path", "commit")):
+    def __init__(
+        self,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+        compute_fuzzy: bool = True,
+    ):
         from europa_ray.functions.registry import get_signature
 
         self.cfg = cfg
         self.id_cols = id_cols
         self.perm_seeds = make_perm_seeds(cfg.num_perm, cfg.seed)
         # config-selected 64-bit fuzzy algorithm (keyed-DI swap, §2.10/M6);
-        # the output column keeps the name "simhash" whatever the algorithm
+        # the output column keeps the name "simhash" whatever the algorithm.
+        # compute_fuzzy=False skips it (and its column) entirely — the
+        # MinHash flagship never reads it, and with the OPH minhash the
+        # 64-bit kernel is the signature stage's dominant compute.
+        self.compute_fuzzy = compute_fuzzy
         self.fuzzy_fn = get_signature(cfg.fuzzy_algo)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -55,7 +64,7 @@ class SignatureStage:
             sig = minhash_signatures_oph(ush, uoff, cfg.num_perm, cfg.seed)
         else:
             sig = minhash_signatures(ush, uoff, self.perm_seeds)  # uint32 (n, p)
-        sim = self.fuzzy_fn(ush, uoff)
+        sim = self.fuzzy_fn(ush, uoff) if self.compute_fuzzy else None
         n_tokens = np.diff(off)
 
         sha_kept = [h for h in sha if h is not None]
@@ -71,7 +80,8 @@ class SignatureStage:
         cols["node"] = pa.array(node)
         cols["n_tokens"] = pa.array(n_tokens[keep])
         cols["minhash"] = pack_sigs(sig[keep])
-        cols["simhash"] = pa.array(sim[keep].view(np.int64))
+        if sim is not None:
+            cols["simhash"] = pa.array(sim[keep].view(np.int64))
         return pa.table(cols)
 
 
@@ -97,7 +107,8 @@ _STAGE_CACHE: dict[tuple, SignatureStage] = {}
 
 
 def signature_task(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
-                   id_cols: tuple[str, ...] = ("repo", "path", "commit")) -> pa.Table:
+                   id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+                   compute_fuzzy: bool = True) -> pa.Table:
     """Task-based signature stage: per-worker-process cached state.
 
     The permutation table still lives once per worker (module-level cache —
@@ -108,10 +119,10 @@ def signature_task(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     # key on the WHOLE frozen config (hashable dataclass): a hand-picked
     # field subset silently reuses a stale stage when two configs differ
     # only in an unlisted field (e.g. max_sig_tokens)
-    key = (cfg, id_cols)
+    key = (cfg, id_cols, compute_fuzzy)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
-        stage = SignatureStage(cfg, id_cols)
+        stage = SignatureStage(cfg, id_cols, compute_fuzzy)
         _STAGE_CACHE[key] = stage
     return stage(batch)
 
@@ -123,6 +134,7 @@ def signatures(
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     concurrency=None,
     use_actor_pool: bool = False,
+    compute_fuzzy: bool = True,
 ):
     """Attach the signature stage to a files Dataset.
 
@@ -136,14 +148,18 @@ def signatures(
     if use_actor_pool:
         return files.map_batches(
             SignatureStage,
-            fn_constructor_kwargs={"cfg": cfg, "id_cols": id_cols},
+            fn_constructor_kwargs={
+                "cfg": cfg,
+                "id_cols": id_cols,
+                "compute_fuzzy": compute_fuzzy,
+            },
             concurrency=concurrency or default_pool_size(),
             batch_size=cfg.batch_size,
             batch_format="pyarrow",
         )
     return files.map_batches(
         signature_task,
-        fn_kwargs={"cfg": cfg, "id_cols": id_cols},
+        fn_kwargs={"cfg": cfg, "id_cols": id_cols, "compute_fuzzy": compute_fuzzy},
         batch_size=cfg.batch_size,
         batch_format="pyarrow",
     )
