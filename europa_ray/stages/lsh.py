@@ -223,16 +223,7 @@ def verify_pairs_by_signature(
     if nodes_needed.shape[0] > gather_max_nodes:
         raise ValueError("candidate set too large for gather-verify; use inline path")
 
-    sub = filter_by_key_array(
-        sig_ds.select_columns(["node", "minhash"]), nodes_needed, "node"
-    )
-    node_list: list[np.ndarray] = []
-    sig_list: list[np.ndarray] = []
-    for batch in sub.iter_batches(batch_format="pyarrow", batch_size=65536):
-        node_list.append(batch["node"].to_numpy())
-        sig_list.append(minhash_matrix(batch, cfg.num_perm))
-    nodes_all = np.concatenate(node_list)
-    sigs_all = np.concatenate(sig_list)
+    nodes_all, sigs_all = _gather_candidate_sigs(sig_ds, nodes_needed, cfg)
     # one signature per node (exact-dup rows share identical signatures)
     uniq, first = np.unique(nodes_all, return_index=True)
     sig_mat = sigs_all[first]
@@ -254,6 +245,45 @@ def verify_pairs_by_signature(
             "source": pa.array(["lsh"] * int(keep.sum()), pa.string()),
         }
     )
+
+
+def _pick_candidate_sigs(block, nodes_s: np.ndarray, num_perm: int):
+    """One signature block → (node, sig_matrix) rows for candidate nodes
+    (runs as a raw Ray task: extraction + Arrow→NumPy deserialize happen in
+    parallel in workers; only the small candidate subset reaches the
+    driver)."""
+    tbl = block if isinstance(block, pa.Table) else pa.Table.from_batches(block)
+    vals = tbl["node"].to_numpy()
+    if nodes_s.shape[0] == 0 or vals.shape[0] == 0:
+        return np.empty(0, np.int64), np.empty((0, num_perm), np.uint32)
+    idx = np.searchsorted(nodes_s, vals)
+    idx[idx >= nodes_s.shape[0]] = 0
+    mask = nodes_s[idx] == vals
+    if not mask.any():
+        return np.empty(0, np.int64), np.empty((0, num_perm), np.uint32)
+    sub = tbl.filter(pa.array(mask))
+    return sub["node"].to_numpy(), minhash_matrix(sub, num_perm)
+
+
+def _gather_candidate_sigs(sig_ds, nodes_needed: np.ndarray, cfg: EngineConfig):
+    """Gather candidate nodes' packed signatures via raw tasks over the
+    MATERIALIZED signature table's blocks — no second Dataset executor pass,
+    parallel per-block filtering/deserialization (measured ~2.5× faster
+    than the filter-stage + driver-iter shape at 1M rows)."""
+    import ray
+
+    try:
+        refs = sig_ds.get_internal_block_refs()
+    except AttributeError:  # newer API name
+        refs = [b.block_refs[0] for b in sig_ds.iter_internal_ref_bundles()]
+    nodes_ref = ray.put(nodes_needed)
+    worker = ray.remote(num_cpus=1)(_pick_candidate_sigs)
+    results = ray.get([worker.remote(r, nodes_ref, cfg.num_perm) for r in refs])
+    node_list = [r[0] for r in results if r[0].shape[0]]
+    sig_list = [r[1] for r in results if r[0].shape[0]]
+    if not node_list:
+        return np.empty(0, np.int64), np.empty((0, cfg.num_perm), np.uint32)
+    return np.concatenate(node_list), np.concatenate(sig_list)
 
 
 def _pair_hot_driver(
@@ -311,8 +341,16 @@ def _pair_hot_driver(
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
-def _pair_partition_worker(bk, nd, cfg: EngineConfig, max_pairs: int):
-    return _pair_hot_driver(bk, nd, cfg, max_pairs)
+def _pair_partition_worker(
+    bk: np.ndarray, nd: np.ndarray, part: int, n_parts: int, cfg: EngineConfig, max_pairs: int
+):
+    # bk/nd arrive as zero-copy read-only plasma views (one ray.put each,
+    # auto-dereferenced); each task selects its own hash partition — no
+    # driver-side argsort/slicing and no per-task argument shipping
+    mask = (bk & np.int64(n_parts - 1)) == np.int64(part)
+    if not mask.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return _pair_hot_driver(bk[mask], nd[mask], cfg, max_pairs)
 
 
 def _pair_partitioned(
@@ -323,11 +361,14 @@ def _pair_partitioned(
     The sort+pair work is data-proportional; running it as ONE driver
     NumPy pass makes it a CPU-count-constant term that caps scaling
     efficiency (measured 7 s of the 37 s flagship at 480k rows / 8 CPUs).
-    Instead the stream is split by the band key's low bits (splitmix-mixed
-    — uniform; every bucket lands wholly in one partition) and each
-    partition is paired in a raw Ray task — the one place the Dataset API
-    can't express this cheaply, since ``groupby().map_groups`` pays a full
-    sort-shuffle that measured slower than the whole driver pass.
+    Instead the (band_key, node) arrays are put in the object store ONCE
+    and each raw Ray task masks out one hash partition of the band key's
+    low bits (splitmix-mixed — uniform; every bucket lands wholly in one
+    partition) and runs the vectorized per-bucket pairing on it. Raw tasks
+    are the right tool here: ``groupby(band_key).map_groups`` pays a full
+    sort-shuffle that measured slower than even the driver pass, and a
+    driver-side pre-partition (argsort + per-task slices) measured ~3 s of
+    CPU-count-constant time at 15M exploded rows.
     """
     import ray
 
@@ -340,21 +381,14 @@ def _pair_partitioned(
     n_parts = 1
     while n_parts < min(64, 2 * cpus):
         n_parts *= 2
-    pidx = (bk & (n_parts - 1)).astype(np.int64)
-    order = np.argsort(pidx, kind="stable")
-    counts = np.bincount(pidx, minlength=n_parts)
-    bk_s, nd_s = bk[order], nd[order]
-    offs = np.zeros(n_parts + 1, dtype=np.int64)
-    np.cumsum(counts, out=offs[1:])
+    bk_ref = ray.put(bk)
+    nd_ref = ray.put(nd)
     per_part_budget = max_pairs  # each checks the global cap; sum re-checked
-    futs = []
     worker = ray.remote(num_cpus=1)(_pair_partition_worker)
-    for p in range(n_parts):
-        if counts[p] == 0:
-            continue
-        futs.append(
-            worker.remote(bk_s[offs[p] : offs[p + 1]], nd_s[offs[p] : offs[p + 1]], cfg, per_part_budget)
-        )
+    futs = [
+        worker.remote(bk_ref, nd_ref, p, n_parts, cfg, per_part_budget)
+        for p in range(n_parts)
+    ]
     results = ray.get(futs)
     if any(r is None for r in results):
         return None
