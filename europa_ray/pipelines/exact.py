@@ -77,6 +77,10 @@ def exact_dup_clusters(
     )
     if cfg.two_pass:
         hashed = _two_pass_filter(files, hashed, cfg, id_cols)
+    # content is dropped in the hash stage, so this is the ~100 B/row
+    # metadata+digest table: materialize once instead of re-reading and
+    # re-hashing the corpus for the attach pass (2 consumers)
+    hashed = hashed.materialize()
 
     # --- duplicate detection, size-dispatched like duplicated_keys ---
     # Driver path (≤ driver_max_keys digests): stream the 64-bit digest
