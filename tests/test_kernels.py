@@ -200,3 +200,46 @@ def test_config_validation():
         EngineConfig(min_size=10, max_size=5)
     with pytest.raises(ValueError):
         EngineConfig(simhash_max_hamming=65)
+
+
+def test_hex_to_u64_arrow_parity():
+    """Vectorized nibble decode == scalar int(h[:16],16) loop, incl. the
+    irregular-width and chunked fallbacks."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from europa_ray.util import hex_to_u64, hex_to_u64_arrow
+
+    hexes = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(257)]
+    col = pa.array(hexes, pa.string())
+    assert (hex_to_u64_arrow(col) == hex_to_u64(hexes)).all()
+    # sliced + chunked input
+    ch = pa.chunked_array([col.slice(0, 100), col.slice(100)])
+    assert (hex_to_u64_arrow(ch) == hex_to_u64(hexes)).all()
+    sl = col.slice(13, 200)
+    assert (hex_to_u64_arrow(sl) == hex_to_u64(hexes[13:213])).all()
+    # irregular width falls back to the scalar loop
+    irr = pa.array(["ff" * 8, "a" * 64], pa.string())
+    assert (hex_to_u64_arrow(irr) == hex_to_u64(["ff" * 8, "a" * 64])).all()
+    assert hex_to_u64_arrow(pa.array([], pa.string())).shape == (0,)
+
+
+def test_oph_chunked_equals_unchunked_layout():
+    """Row-aligned chunked sort is exactly the global min-per-(row,bin):
+    batch output equals per-row output for every row."""
+    import numpy as np
+
+    from europa_ray.functions.sig import minhash_signatures_oph
+
+    rng = np.random.default_rng(5)
+    lens = rng.integers(0, 3000, 64)
+    flat = rng.integers(0, 2**63, int(lens.sum())).astype(np.uint64)
+    off = np.zeros(65, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    batch = minhash_signatures_oph(flat, off, 128, 11)
+    for i in range(64):
+        row = flat[off[i] : off[i + 1]]
+        single = minhash_signatures_oph(row, np.array([0, len(row)], np.int64), 128, 11)
+        assert (batch[i] == single[0]).all(), i
