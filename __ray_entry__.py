@@ -179,7 +179,9 @@ def _q_simhash_pairs(sf_dir: str):
     from europa_ray.stages.signatures import signatures
     from europa_ray.stages.simhash_pass import simhash_pairs
 
-    sigs = signatures(with_mutants(_docs(sf_dir)), id_cols=("doc_id",)).materialize()
+    sigs = signatures(
+        with_mutants(_docs(sf_dir)), id_cols=("doc_id",), compute_minhash=False
+    ).materialize()
     return simhash_pairs(sigs)
 
 

@@ -126,7 +126,7 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 2)
     )
     bench(
         "simhash",
-        lambda: simhash_pairs(signatures(read()).materialize()).count(),
+        lambda: simhash_pairs(signatures(read(), compute_minhash=False).materialize()).count(),
     )
     def textstats():
         counted = read().map_batches(

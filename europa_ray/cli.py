@@ -82,7 +82,10 @@ def cmd_neardup(args) -> dict:
     if args.substr:
         extra = substring_pairs(read_files(args.input), cfg)
     if args.simhash:
-        sh = simhash_pairs(signatures(read_files(args.input), cfg).materialize(), cfg)
+        sh = simhash_pairs(
+            signatures(read_files(args.input), cfg, compute_minhash=False).materialize(),
+            cfg,
+        )
         extra = sh if extra is None else extra.union(sh)
 
     if args.checkpoint:

@@ -34,6 +34,7 @@ class SignatureStage:
         cfg: EngineConfig = DEFAULT_CONFIG,
         id_cols: tuple[str, ...] = ("repo", "path", "commit"),
         compute_fuzzy: bool = True,
+        compute_minhash: bool = True,
     ):
         from europa_ray.functions.registry import get_signature
 
@@ -42,10 +43,11 @@ class SignatureStage:
         self.perm_seeds = make_perm_seeds(cfg.num_perm, cfg.seed)
         # config-selected 64-bit fuzzy algorithm (keyed-DI swap, §2.10/M6);
         # the output column keeps the name "simhash" whatever the algorithm.
-        # compute_fuzzy=False skips it (and its column) entirely — the
-        # MinHash flagship never reads it, and with the OPH minhash the
-        # 64-bit kernel is the signature stage's dominant compute.
+        # compute_fuzzy=False / compute_minhash=False skip the respective
+        # kernel (and its column) entirely — the MinHash flagship never
+        # reads simhash, the SimHash pass never reads minhash.
         self.compute_fuzzy = compute_fuzzy
+        self.compute_minhash = compute_minhash
         self.fuzzy_fn = get_signature(cfg.fuzzy_algo)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -58,7 +60,9 @@ class SignatureStage:
         th, off = truncate_rows(th, off, cfg.max_sig_tokens)
         sh, soff = shingles(th, off, cfg.shingle_k)
         ush, uoff = unique_per_row(sh, soff)
-        if cfg.minhash_mode == "oph":
+        if not self.compute_minhash:
+            sig = None
+        elif cfg.minhash_mode == "oph":
             from europa_ray.functions.sig import minhash_signatures_oph
 
             sig = minhash_signatures_oph(ush, uoff, cfg.num_perm, cfg.seed)
@@ -79,7 +83,8 @@ class SignatureStage:
         cols["sha256"] = pa.array(sha_kept, pa.string())
         cols["node"] = pa.array(node)
         cols["n_tokens"] = pa.array(n_tokens[keep])
-        cols["minhash"] = pack_sigs(sig[keep])
+        if sig is not None:
+            cols["minhash"] = pack_sigs(sig[keep])
         if sim is not None:
             cols["simhash"] = pa.array(sim[keep].view(np.int64))
         return pa.table(cols)
@@ -108,7 +113,8 @@ _STAGE_CACHE: dict[tuple, SignatureStage] = {}
 
 def signature_task(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
                    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
-                   compute_fuzzy: bool = True) -> pa.Table:
+                   compute_fuzzy: bool = True,
+                   compute_minhash: bool = True) -> pa.Table:
     """Task-based signature stage: per-worker-process cached state.
 
     The permutation table still lives once per worker (module-level cache —
@@ -119,10 +125,10 @@ def signature_task(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     # key on the WHOLE frozen config (hashable dataclass): a hand-picked
     # field subset silently reuses a stale stage when two configs differ
     # only in an unlisted field (e.g. max_sig_tokens)
-    key = (cfg, id_cols, compute_fuzzy)
+    key = (cfg, id_cols, compute_fuzzy, compute_minhash)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
-        stage = SignatureStage(cfg, id_cols, compute_fuzzy)
+        stage = SignatureStage(cfg, id_cols, compute_fuzzy, compute_minhash)
         _STAGE_CACHE[key] = stage
     return stage(batch)
 
@@ -135,6 +141,7 @@ def signatures(
     concurrency=None,
     use_actor_pool: bool = False,
     compute_fuzzy: bool = True,
+    compute_minhash: bool = True,
 ):
     """Attach the signature stage to a files Dataset.
 
@@ -152,6 +159,7 @@ def signatures(
                 "cfg": cfg,
                 "id_cols": id_cols,
                 "compute_fuzzy": compute_fuzzy,
+                "compute_minhash": compute_minhash,
             },
             concurrency=concurrency or default_pool_size(),
             batch_size=cfg.batch_size,
@@ -159,7 +167,12 @@ def signatures(
         )
     return files.map_batches(
         signature_task,
-        fn_kwargs={"cfg": cfg, "id_cols": id_cols, "compute_fuzzy": compute_fuzzy},
+        fn_kwargs={
+            "cfg": cfg,
+            "id_cols": id_cols,
+            "compute_fuzzy": compute_fuzzy,
+            "compute_minhash": compute_minhash,
+        },
         batch_size=cfg.batch_size,
         batch_format="pyarrow",
     )
