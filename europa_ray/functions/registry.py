@@ -15,14 +15,22 @@ with Hamming distance as the similarity metric (threshold rule
 ``Api/Client/QdrantRepository.cs:192``), so the SimHash pass machinery
 (piece banding + popcount verify) works unchanged for every algorithm.
 
+Each registration declares whether the algorithm is ORDER-SENSITIVE.
+Set-semantics algorithms (simhash) receive the sorted-unique shingle set;
+order-sensitive algorithms (diffhash) receive the document-order shingle
+stream — feeding a sorted stream to diffhash would make every long document
+hash to all-ones (strictly increasing anchors) and short documents hash by
+shingle count alone, collapsing the 64-bit pass.
+
 Registered:
 
 - ``simhash``: classic SimHash over the shingle multiset (pHash analog —
-  dense transform of the whole content).
+  dense transform of the whole content). Set semantics.
 - ``diffhash``: order-sensitive difference hash (dHash analog): sample 65
-  evenly-spaced anchors from the TOKEN stream, bit i = anchor[i] < anchor[i+1]
-  — like dHash's adjacent-cell gradient signs, it encodes local structure
-  and is robust to global perturbations that preserve local order.
+  evenly-spaced anchors from the document-order SHINGLE stream,
+  bit i = anchor[i] < anchor[i+1] — like dHash's adjacent-cell gradient
+  signs, it encodes local structure and is robust to global perturbations
+  that preserve local order.
 
 Third-party algorithms register via :func:`register_signature`.
 """
@@ -37,18 +45,32 @@ _U64 = np.uint64
 
 SignatureFn = Callable[[np.ndarray, np.ndarray], np.ndarray]
 
-_REGISTRY: dict[str, SignatureFn] = {}
+_REGISTRY: dict[str, tuple[SignatureFn, bool]] = {}
 
 
-def register_signature(name: str, fn: SignatureFn) -> None:
+def register_signature(name: str, fn: SignatureFn, *, order_sensitive: bool = False) -> None:
     """Register a 64-bit signature algorithm (overwrites quietly, like keyed
-    DI registration order in the reference)."""
-    _REGISTRY[name] = fn
+    DI registration order in the reference).
+
+    ``order_sensitive=True`` makes the signature stage feed the algorithm
+    the document-order shingle stream instead of the sorted-unique shingle
+    set (required by anchor/gradient-style algorithms like diffhash)."""
+    _REGISTRY[name] = (fn, order_sensitive)
 
 
 def get_signature(name: str) -> SignatureFn:
     try:
-        return _REGISTRY[name]
+        return _REGISTRY[name][0]
+    except KeyError:
+        raise ValueError(
+            f"unknown fuzzy signature algorithm {name!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def signature_order_sensitive(name: str) -> bool:
+    """Whether ``name`` requires the document-order shingle stream."""
+    try:
+        return _REGISTRY[name][1]
     except KeyError:
         raise ValueError(
             f"unknown fuzzy signature algorithm {name!r}; registered: {sorted(_REGISTRY)}"
@@ -72,6 +94,10 @@ def diffhash_signatures(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     row's hash stream (with repetition when the row is shorter); bit i is
     ``anchor[i] < anchor[i+1]``. Fully vectorized across the batch: one
     (n_rows, 65) gather + one comparison. Rows with < 2 values hash to 0.
+
+    ORDER-SENSITIVE: the input must be the document-order shingle stream
+    (registered with ``order_sensitive=True``); a sorted stream degenerates
+    to all-ones / count-only hashes.
     """
     n_rows = offsets.shape[0] - 1
     out = np.zeros(n_rows, dtype=_U64)
@@ -94,4 +120,4 @@ def diffhash_signatures(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 register_signature("simhash", _simhash)
-register_signature("diffhash", diffhash_signatures)
+register_signature("diffhash", diffhash_signatures, order_sensitive=True)

@@ -69,7 +69,7 @@ def exact_dup_clusters(
     import numpy as np
     import ray
 
-    from europa_ray.util import hex_to_u64_arrow
+    from europa_ray.util import hex_to_u256_arrow
 
     ds = apply_filters(files, cfg)
     hashed = ds.map_batches(
@@ -83,10 +83,13 @@ def exact_dup_clusters(
     hashed = hashed.materialize()
 
     # --- duplicate detection, size-dispatched like duplicated_keys ---
-    # Driver path (≤ driver_max_keys digests): stream the 64-bit digest
-    # prefix (8 B/row; vectorized nibble decode, no Python strings), one
-    # np.sort for counts — replaces a string-keyed hash-shuffle groupby
-    # whose fixed aggregator startup dominates small/medium corpora.
+    # Driver path (≤ driver_max_keys digests): stream the FULL 256-bit
+    # digest as a structured 4×uint64 key (32 B/row; vectorized nibble
+    # decode, no Python strings), one np.sort for counts — replaces a
+    # string-keyed hash-shuffle groupby whose fixed aggregator startup
+    # dominates small/medium corpora. Full-digest keys make this path
+    # digest-exact like the distributed fallback: a 64-bit prefix collision
+    # between distinct contents can never fabricate a false cluster.
     driver_max_keys = 100_000_000
     node_parts: list[np.ndarray] = []
     total = 0
@@ -98,7 +101,7 @@ def exact_dup_clusters(
         if total > driver_max_keys:
             over = True
             break
-        node_parts.append(hex_to_u64_arrow(b["sha256"]))
+        node_parts.append(hex_to_u256_arrow(b["sha256"]))
 
     if not over:
         if not node_parts:
@@ -118,7 +121,7 @@ def exact_dup_clusters(
 
         def attach(batch: pa.Table) -> pa.Table:
             dk, dc = ray.get(dup_ref)
-            nds = hex_to_u64_arrow(batch["sha256"])
+            nds = hex_to_u256_arrow(batch["sha256"])
             idx = np.searchsorted(dk, nds)
             idx[idx >= dk.shape[0]] = 0
             hit = dk[idx] == nds

@@ -36,7 +36,7 @@ class SignatureStage:
         compute_fuzzy: bool = True,
         compute_minhash: bool = True,
     ):
-        from europa_ray.functions.registry import get_signature
+        from europa_ray.functions.registry import get_signature, signature_order_sensitive
 
         self.cfg = cfg
         self.id_cols = id_cols
@@ -49,6 +49,10 @@ class SignatureStage:
         self.compute_fuzzy = compute_fuzzy
         self.compute_minhash = compute_minhash
         self.fuzzy_fn = get_signature(cfg.fuzzy_algo)
+        # order-sensitive algorithms (diffhash) get the document-order
+        # shingle stream; set-semantics algorithms (simhash) the sorted-
+        # unique set — a sorted stream collapses anchor-comparison hashes
+        self.fuzzy_ordered = signature_order_sensitive(cfg.fuzzy_algo)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -68,7 +72,12 @@ class SignatureStage:
             sig = minhash_signatures_oph(ush, uoff, cfg.num_perm, cfg.seed)
         else:
             sig = minhash_signatures(ush, uoff, self.perm_seeds)  # uint32 (n, p)
-        sim = self.fuzzy_fn(ush, uoff) if self.compute_fuzzy else None
+        if not self.compute_fuzzy:
+            sim = None
+        elif self.fuzzy_ordered:
+            sim = self.fuzzy_fn(sh, soff)
+        else:
+            sim = self.fuzzy_fn(ush, uoff)
         n_tokens = np.diff(off)
 
         sha_kept = [h for h in sha if h is not None]

@@ -158,6 +158,51 @@ def hex_to_u64(hex_ids) -> np.ndarray:
     return np.array([int(h[:16], 16) for h in hex_ids], dtype=np.uint64)
 
 
+# full-digest key: 4×uint64 structured dtype — numpy sort/unique/searchsorted
+# compare field-by-field, giving an exact total order over the whole 256-bit
+# digest (no prefix-collision risk, unlike the 64-bit fast key)
+U256_DTYPE = np.dtype([("q0", "<u8"), ("q1", "<u8"), ("q2", "<u8"), ("q3", "<u8")])
+
+
+def hex_to_u256_arrow(col) -> np.ndarray:
+    """Full 64-char sha256 hex column → structured (4×uint64) key array.
+
+    Exact: equality of keys ⇔ equality of full digests. Used by the
+    exact-dedup driver fast path so a 64-bit prefix collision between
+    distinct contents can never fabricate a false duplicate cluster
+    (the distributed fallback groups on the full digest string — both
+    dispatch paths are now digest-exact). Vectorized nibble decode from the
+    raw Arrow buffer; scalar fallback for irregular inputs."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    out = np.zeros(n, dtype=U256_DTYPE)
+    if n == 0:
+        return out
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    regular = not col.null_count and bufs[1] is not None
+    if regular:
+        offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
+        regular = bool((np.diff(offs) == 64).all())
+    if not regular:
+        for i, h in enumerate(col.to_pylist()):
+            v = int(h, 16)
+            for qi in range(4):
+                out[f"q{qi}"][i] = (v >> (64 * (3 - qi))) & 0xFFFFFFFFFFFFFFFF
+        return out
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[int(offs[0]) : int(offs[-1])]
+    nib = (data & 0x0F) + 9 * (data >> 6)  # ascii hex → nibble
+    nib = nib.reshape(n, 4, 16).astype(np.uint64)
+    shifts = (np.uint64(4) * np.arange(15, -1, -1, dtype=np.uint64))[None, None, :]
+    quads = (nib << shifts).sum(axis=2, dtype=np.uint64)  # (n, 4)
+    for qi in range(4):
+        out[f"q{qi}"] = quads[:, qi]
+    return out
+
+
 def hex_to_u64_arrow(col) -> np.ndarray:
     """Vectorized :func:`hex_to_u64` straight from an Arrow string column of
     NON-NULL fixed-width (64-char lowercase hex) values: nibble-decode the

@@ -226,6 +226,38 @@ def test_hex_to_u64_arrow_parity():
     assert hex_to_u64_arrow(pa.array([], pa.string())).shape == (0,)
 
 
+def test_hex_to_u256_arrow_full_digest_exact():
+    """Full-digest structured keys: scalar parity, slice/chunk handling, and
+    the prefix-collision property the exact-dedup driver path relies on —
+    two digests sharing a 16-hex prefix but differing later are DIFFERENT
+    keys (the 64-bit prefix key would have conflated them)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from europa_ray.util import hex_to_u256_arrow
+
+    hexes = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(300)]
+    col = pa.array(hexes, pa.string())
+    keys = hex_to_u256_arrow(col)
+    for i in (0, 7, 299):
+        v = int(hexes[i], 16)
+        for qi in range(4):
+            assert int(keys[f"q{qi}"][i]) == (v >> (64 * (3 - qi))) & (2**64 - 1)
+    sl = hex_to_u256_arrow(col.slice(13, 200))
+    assert (sl == keys[13:213]).all()
+    ch = hex_to_u256_arrow(pa.chunked_array([col.slice(0, 100), col.slice(100)]))
+    assert (ch == keys).all()
+    # shared 16-hex prefix, different tails → distinct keys; exact dups equal
+    a = hexes[0][:16] + "0" * 48
+    b = hexes[0][:16] + "f" * 48
+    kk = hex_to_u256_arrow(pa.array([a, b, a], pa.string()))
+    assert kk[0] != kk[1] and kk[0] == kk[2]
+    assert np.unique(kk).shape[0] == 2
+    assert hex_to_u256_arrow(pa.array([], pa.string())).shape == (0,)
+
+
 def test_oph_chunked_equals_unchunked_layout():
     """Row-aligned chunked sort is exactly the global min-per-(row,bin):
     batch output equals per-row output for every row."""

@@ -46,6 +46,55 @@ def test_diffhash_properties():
     assert hm[1] == 0 and hm[2] == 0
 
 
+def test_diffhash_through_signature_stage_distinguishes_docs():
+    """Regression: SignatureStage must feed ORDER-SENSITIVE algorithms the
+    document-order shingle stream, not the sorted-unique set. With sorted
+    input, every doc with ≥ 65 unique shingles hashed to all-ones and
+    shorter docs hashed by shingle count only — distinct documents became
+    Hamming-0 "near-dups" and the 64-bit pass linked the whole corpus."""
+    import pyarrow as pa
+
+    from europa_ray.config import EngineConfig
+    from europa_ray.functions.sig import hamming64
+    from europa_ray.stages.signatures import SignatureStage
+
+    rng = np.random.default_rng(11)
+    docs = [
+        " ".join(f"w{rng.integers(0, 50_000)}" for _ in range(300)) for _ in range(5)
+    ]
+    batch = pa.table(
+        {
+            "repo": pa.array(["r"] * 5),
+            "path": pa.array([f"{i}.txt" for i in range(5)]),
+            "commit": pa.array(["c" * 40] * 5),
+            "content": pa.array(docs),
+        }
+    )
+    stage = SignatureStage(EngineConfig(fuzzy_algo="diffhash"))
+    out = stage(batch)
+    hashes = out["simhash"].to_numpy().view(np.uint64)
+    assert len(set(hashes.tolist())) == 5, "distinct docs must get distinct diffhashes"
+    all_ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    assert not (hashes == all_ones).any(), "sorted-stream degenerate all-ones hash"
+    for i in range(5):
+        for j in range(i + 1, 5):
+            d = hamming64(hashes[i : i + 1], hashes[j : j + 1])[0]
+            assert d > 10, f"distinct docs {i},{j} too close (Hamming {d})"
+    # locality: a single mid-document token substitution stays close
+    toks = docs[0].split(" ")
+    toks[150] = "wSUBST"
+    batch2 = pa.table(
+        {
+            "repo": pa.array(["r"]),
+            "path": pa.array(["m.txt"]),
+            "commit": pa.array(["c" * 40]),
+            "content": pa.array([" ".join(toks)]),
+        }
+    )
+    h2 = stage(batch2)["simhash"].to_numpy().view(np.uint64)
+    assert hamming64(hashes[0:1], h2)[0] <= 8
+
+
 def test_fuzzy_algo_swap_runs_pass(ray_session, tiny_corpus):
     """The SimHash pass machinery works unchanged under the dHash-analog:
     every emitted pair re-verifies at Hamming ≤ 3 of the diffhash."""
