@@ -386,6 +386,21 @@ def oracle_sql() -> dict[str, str]:
                        * 1000000 // greatest(length(text), 1) AS ws_ppm
             FROM documents
         """,
+        "file_kind_counts": """
+            SELECT kind, count(*) AS n_files FROM (
+                SELECT CASE
+                    WHEN lang IN ('python','rust','go','java','js','c','md','txt')
+                        THEN lang
+                    ELSE CASE doc_id % 8
+                        WHEN 0 THEN 'python' WHEN 1 THEN 'rust'
+                        WHEN 2 THEN 'go'     WHEN 3 THEN 'java'
+                        WHEN 4 THEN 'js'     WHEN 5 THEN 'c'
+                        WHEN 6 THEN 'md'     WHEN 7 THEN 'txt'
+                    END
+                END AS kind
+                FROM documents
+            ) GROUP BY kind
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -32,23 +32,37 @@ def read_files(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     )
 
 
+# deterministic per-doc path extension (doc_id % 8) so the file-type
+# identification chain (stages/classify.py) is exercised over real variety;
+# index i maps to the kind the classifier assigns that extension
+DOC_EXTS = ("py", "rs", "go", "java", "js", "c", "md", "txt")
+
+
 def _docs_to_files(batch):
     """documents(doc_id,text,lang,source,n_chars) → files shape.
 
     Mapping per FIXTURES.md §3: text→content, source→repo, doc_id→path,
-    lang→lang; ``commit`` synthesized deterministically from doc_id. doc_id
+    lang→lang; ``commit`` synthesized deterministically from doc_id; the
+    path extension cycles ``DOC_EXTS[doc_id % 8]`` (SQL-expressible, so the
+    ``file_kind_counts`` DuckDB oracle can verify the classifier). doc_id
     is retained so driver queries can emit doc-level results.
     """
+    import numpy as np
     import pyarrow as pa
 
     doc_id = batch["doc_id"]
+    ids = doc_id.to_numpy() if not isinstance(doc_id, pa.ChunkedArray) else doc_id.combine_chunks().to_numpy()
+    exts = np.asarray(DOC_EXTS, dtype=object)[ids % 8]
     commit = pc.utf8_lpad(pc.cast(doc_id, pa.string()), 40, "0")
     return pa.table(
         {
             "doc_id": doc_id,
             "repo": batch["source"],
             "path": pc.binary_join_element_wise(
-                pc.cast(doc_id, pa.string()), pa.scalar(".txt"), ""
+                pc.cast(doc_id, pa.string()),
+                pa.scalar("."),
+                pa.array(exts, pa.string()),
+                "",
             ),
             "commit": commit,
             "lang": batch["lang"],

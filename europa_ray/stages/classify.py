@@ -10,7 +10,6 @@ a side channel (``:234-236`` pushes a notification instead).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -28,29 +27,50 @@ _EXT_KINDS: list[tuple[str, tuple[str, ...]]] = [
 _LANG_KINDS = {k for k, _ in _EXT_KINDS}
 
 
+_EXT_MAP = {e: k for k, exts in _EXT_KINDS for e in exts}
+
+
+def _dict_mapped(col: pa.Array | pa.ChunkedArray, mapper) -> pa.Array:
+    """Map a low-cardinality string column through ``mapper(value) -> str |
+    None`` by dictionary-encoding: Python runs once per DISTINCT value, the
+    per-row work is a vectorized ``take``. Nulls map to null."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    mapped = pa.array(
+        [mapper(v) for v in enc.dictionary.to_pylist()], pa.string()
+    )
+    if len(mapped) == 0:
+        return pa.nulls(len(col), pa.string())
+    return mapped.take(enc.indices)
+
+
 def identify_kind(batch: pa.Table) -> pa.Table:
     """Append ``kind``: the ``lang`` column when it names a known kind (the
     primary identifier), else the path-extension chain (the fallback
-    identifier — SF5, ``FileDto.cs:36``), else 'unknown'."""
+    identifier — SF5, ``FileDto.cs:36``), else 'unknown'.
+
+    Fully vectorized: both identifier chains are dictionary-encoded maps
+    (Python per distinct value only) combined with one ``coalesce`` —
+    no per-row Python, no ``to_pylist`` over row data."""
     n = batch.num_rows
-    kinds = np.full(n, "unknown", dtype=object)
-
+    lang_kind = pa.nulls(n, pa.string())
     if "lang" in batch.column_names:
-        langs = batch["lang"].to_pylist()
-        for i, lg in enumerate(langs):
-            if lg in _LANG_KINDS:
-                kinds[i] = lg
-
+        lang_kind = _dict_mapped(
+            batch["lang"], lambda v: v if v in _LANG_KINDS else None
+        )
+    ext_kind = pa.nulls(n, pa.string())
     if "path" in batch.column_names:
-        paths = batch["path"].to_pylist()
-        ext_map = {e: k for k, exts in _EXT_KINDS for e in exts}
-        for i, p in enumerate(paths):
-            if kinds[i] != "unknown" or not p:
-                continue
-            dot = p.rfind(".")
-            if dot >= 0:
-                kinds[i] = ext_map.get(p[dot + 1 :].lower(), "unknown")
-    return batch.append_column("kind", pa.array(kinds.tolist(), pa.string()))
+        path = batch["path"]
+        if isinstance(path, pa.ChunkedArray):
+            path = path.combine_chunks()
+        # extension = chars after the LAST dot (rfind semantics: [^.]* may
+        # span '/', such values simply miss the map → unknown)
+        ext_struct = pc.extract_regex(path, r"\.(?P<ext>[^.]*)$")
+        ext = pc.utf8_lower(pc.struct_field(ext_struct, "ext"))
+        ext_kind = _dict_mapped(ext, lambda v: _EXT_MAP.get(v) if v else None)
+    kind = pc.coalesce(lang_kind, ext_kind, pa.scalar("unknown", pa.string()))
+    return batch.append_column("kind", kind)
 
 
 def kind_counts(files_ds):
