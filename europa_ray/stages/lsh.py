@@ -525,8 +525,10 @@ def _candidate_pairs_inline(sig_ds, kn, cfg: EngineConfig, num_partitions: int):
     return dedupe_pairs(pairs, source="lsh")
 
 
-def filter_by_key_array(ds, keys: np.ndarray, key_col: str):
-    """Vectorized broadcast semi-join against a SORTED key array."""
+def filter_by_key_array(ds, keys: np.ndarray, key_col: str, *, invert: bool = False):
+    """Vectorized broadcast semi-join against a SORTED key array
+    (``invert=True`` flips it to an anti-join: keep rows whose key is NOT
+    in the array)."""
     import ray
 
     keys_ref = ray.put(keys)
@@ -535,10 +537,12 @@ def filter_by_key_array(ds, keys: np.ndarray, key_col: str):
         ks = ray.get(keys_ref)
         vals = batch[key_col].to_numpy()
         if ks.shape[0] == 0:
-            return batch.slice(0, 0)
+            return batch if invert else batch.slice(0, 0)
         idx = np.searchsorted(ks, vals)
         idx[idx >= ks.shape[0]] = 0
         mask = ks[idx] == vals
+        if invert:
+            mask = ~mask
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(filt, batch_format="pyarrow")

@@ -100,6 +100,149 @@ def test_incremental_pairs_anti_join(ray_session, tiny_corpus, tmp_path):
     assert k(merged1.to_pandas()) == k(merged2.to_pandas())
 
 
+def test_incremental_signatures_distributed_paths_equivalent(ray_session, tiny_corpus, tmp_path):
+    """Forcing every cache budget to 0 (distributed delta write, distributed
+    attach join) must reproduce the driver path's signature table and the
+    exact delta counters — the scale shape is equivalence-tested, not just
+    present."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.state.sigcache import cached_nodes, incremental_signatures
+
+    files = ray.data.read_parquet(tiny_corpus)
+    root_drv = str(tmp_path / "cache_drv")
+    root_dist = str(tmp_path / "cache_dist")
+
+    # run 1 (cold) on both roots
+    s1d, c1d = incremental_signatures(files, cache_root=root_drv)
+    s1x, c1x = incremental_signatures(files, cache_root=root_dist, driver_max_rows=0)
+    a, b = _sig_key(s1d.to_pandas()), _sig_key(s1x.to_pandas())
+    assert a.node.tolist() == b.node.tolist()
+    assert [bytes(x) for x in a.minhash] == [bytes(x) for x in b.minhash]
+    assert c1d["sig_nodes_computed"] == c1x["sig_nodes_computed"] > 0
+    import glob
+    import os
+
+    sig_dirs = glob.glob(os.path.join(root_dist, "signatures-*"))
+    assert sig_dirs and sorted(
+        cached_nodes(sig_dirs[0]).tolist()
+    ) == sorted(cached_nodes(glob.glob(os.path.join(root_drv, "signatures-*"))[0]).tolist())
+
+    # run 2 (warm): forced-0 broadcast budget → distributed attach join
+    s2, c2 = incremental_signatures(
+        files, cache_root=root_dist, driver_max_rows=0, broadcast_max_nodes=0
+    )
+    d2 = _sig_key(s2.to_pandas())
+    assert c2["sig_nodes_computed"] == 0
+    assert c2["rows_from_cache"] == len(d2)
+    assert d2.node.tolist() == a.node.tolist()
+    assert [bytes(x) for x in d2.minhash] == [bytes(x) for x in a.minhash]
+    assert d2.simhash.tolist() == a.simhash.tolist()
+    assert d2.n_tokens.tolist() == a.n_tokens.tolist()
+
+
+def test_incremental_pairs_distributed_equivalent(ray_session, tiny_corpus, tmp_path):
+    """driver_max_rows=0 forces the left_outer-join anti-join + write_parquet
+    delta shape; pair set and counters must match the driver shape."""
+    import ray.data
+
+    from europa_ray.stages.lsh import candidate_pairs
+    from europa_ray.state.sigcache import incremental_pairs, incremental_signatures
+
+    files = ray.data.read_parquet(tiny_corpus)
+    roots = {"drv": str(tmp_path / "p_drv"), "dist": str(tmp_path / "p_dist")}
+    merged = {}
+    for name, root in roots.items():
+        kw = {"driver_max_rows": 0} if name == "dist" else {}
+        sigs, _ = incremental_signatures(files, cache_root=root)
+        sigs = sigs.materialize()
+        m1, c1 = incremental_pairs(candidate_pairs(sigs), cache_root=root, **kw)
+        n1 = m1.count()
+        assert c1["pairs_from_cache"] == 0 and c1["pairs_new"] == n1 > 0
+        m2, c2 = incremental_pairs(candidate_pairs(sigs), cache_root=root, **kw)
+        assert c2["pairs_new"] == 0 and c2["pairs_from_cache"] == n1
+        merged[name] = m2.to_pandas()
+    k = lambda df: sorted(zip(df.a, df.b))
+    assert k(merged["drv"]) == k(merged["dist"])
+
+
+def test_compact_and_gc_cache(ray_session, tiny_corpus, tmp_path):
+    """After several appending runs, compaction folds the cache to one part
+    per dir with identical contents; GC prunes dirs of dead fingerprints."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.config import EngineConfig
+    from europa_ray.stages.lsh import candidate_pairs
+    from europa_ray.state.sigcache import (
+        cached_nodes,
+        compact_cache,
+        gc_cache,
+        incremental_pairs,
+        incremental_signatures,
+    )
+
+    root = str(tmp_path / "cc")
+    files = ray.data.read_parquet(tiny_corpus)
+    # three growing runs → ≥3 signature parts
+    for i in range(3):
+        extra = pa.table(
+            {
+                "repo": pa.array([f"r{i}"]),
+                "path": pa.array([f"grow/{i}.py"]),
+                "commit": pa.array([f"c{i}"]),
+                "lang": pa.array(["python"]),
+                "content": pa.array([f"unique grown content number {i} " * 30]),
+            }
+        )
+        grown = files.union(ray.data.from_arrow(extra))
+        sigs, _ = incremental_signatures(grown, cache_root=root)
+        incremental_pairs(candidate_pairs(sigs.materialize()), cache_root=root)
+    sig_dir = glob.glob(os.path.join(root, "signatures-*"))[0]
+    n_parts_before = len(glob.glob(os.path.join(sig_dir, "*.parquet")))
+    assert n_parts_before >= 3
+    nodes_before = cached_nodes(sig_dir).tolist()
+
+    stats = compact_cache(root, max_parts=1)
+    assert os.path.basename(sig_dir) in stats
+    assert len(glob.glob(os.path.join(sig_dir, "*.parquet"))) == 1
+    assert cached_nodes(sig_dir).tolist() == nodes_before
+
+    # post-compaction warm run: still zero recompute, identical output
+    grown = files.union(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "repo": pa.array(["r0", "r1", "r2"]),
+                    "path": pa.array(["grow/0.py", "grow/1.py", "grow/2.py"]),
+                    "commit": pa.array(["c0", "c1", "c2"]),
+                    "lang": pa.array(["python"] * 3),
+                    "content": pa.array(
+                        [f"unique grown content number {i} " * 30 for i in range(3)]
+                    ),
+                }
+            )
+        )
+    )
+    _, c = incremental_signatures(grown, cache_root=root)
+    assert c["sig_nodes_computed"] == 0
+
+    # GC: a foreign-config cache dir is pruned, the live one kept
+    other = EngineConfig(seed=7)
+    s_other, _ = incremental_signatures(files, other, cache_root=root)
+    s_other.materialize()
+    assert len(glob.glob(os.path.join(root, "signatures-*"))) == 2
+    removed = gc_cache(root, [EngineConfig()])
+    assert len(removed) >= 1
+    assert glob.glob(os.path.join(root, "signatures-*")) == [sig_dir]
+    _, c2 = incremental_signatures(grown, cache_root=root)
+    assert c2["sig_nodes_computed"] == 0, "GC must not touch the live cache"
+
+
 def test_cli_checkpoint_counters_and_identical_resume(ray_session, tiny_corpus, tmp_path):
     """CLI --checkpoint records non-empty stage counters (A8) and a re-run
     from the populated cache reproduces byte-identical clusters."""
