@@ -270,15 +270,22 @@ def _q_ann_topk_lsh(sf_dir: str):
 
 
 def _q_embedding_dup_pairs(sf_dir: str):
+    """Exact cosine ≥ 0.9 over the dup-augmented embeddings (the raw table
+    has no near-dups, so the un-augmented query proved only 'runs' — the
+    planted exact copies make it prove 'finds', value-checked vs DuckDB)."""
+    from europa_ray.sources.augment import with_embedding_dups
     from europa_ray.stages.ann import exact_cosine_pairs
 
-    return exact_cosine_pairs(_load_embeddings(sf_dir), threshold=0.9)
+    return exact_cosine_pairs(with_embedding_dups(_load_embeddings(sf_dir)), threshold=0.9)
 
 
 def _q_embedding_dup_pairs_lsh(sf_dir: str):
+    from europa_ray.sources.augment import with_embedding_dups
     from europa_ray.stages.ann import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_load_embeddings(sf_dir), threshold=0.9)
+    return embedding_near_dup_pairs(
+        with_embedding_dups(_load_embeddings(sf_dir)), threshold=0.9
+    )
 
 
 def _q_multimodal_features(sf_dir: str):
@@ -415,9 +422,15 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "embedding_dup_pairs": """
+            WITH emb AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 5000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 20 = 0
+            )
             SELECT x.vec_id AS a, y.vec_id AS b,
                    round(CAST(list_cosine_similarity(x.embedding, y.embedding) AS DOUBLE), 4) AS score
-            FROM embeddings x CROSS JOIN embeddings y
+            FROM emb x CROSS JOIN emb y
             WHERE x.vec_id < y.vec_id
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.9
         """,

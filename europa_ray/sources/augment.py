@@ -1,36 +1,91 @@
-"""Deterministic near-duplicate augmentation of the driver's ``documents``
-table: the test tables contain (almost) no planted near-dups, so the
-conformance queries derive mutants from the input itself — every 5th doc
-gets one mutant (every 11th token dropped) under a shifted doc_id. Pure
-function of the input; no randomness."""
+"""Deterministic augmentation of the driver's test tables: the synthetic
+tables contain (almost) no planted duplicates, so the conformance queries
+derive them from the input itself — pure functions of the input, no
+randomness:
+
+- ``with_mutants``: every 5th doc gets one near-duplicate mutant (every
+  11th token dropped) under a shifted doc_id — the MinHash/SimHash recall
+  targets.
+- every 50th doc additionally spawns a PAIR of substring mutants sharing a
+  verbatim ``SUBSTR_BLOCK_TOKENS``-token block (≥ the engine's 256-token
+  substring threshold) wrapped in disjoint filler halves, so their overall
+  Jaccard (≈ 1/3) stays far below the MinHash threshold — ONLY the
+  long-shared-substring pass can link them. Without these the driver's
+  ``substr_pairs`` artifact is vacuously empty ("runs" ≠ "finds").
+- ``with_embedding_dups``: every 20th vector gets an exact copy under a
+  shifted vec_id — cosine exactly 1.0 on both the engine and the DuckDB
+  oracle side (a float-perturbed copy would risk 4-dp rounding skew
+  between numpy and DuckDB), so ``embedding_dup_pairs`` verifies >0 rows
+  value-for-value.
+"""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 MUTANT_OFFSET = 10_000_000
+SUBSTR_OFFSET_A = 20_000_000
+SUBSTR_OFFSET_B = 30_000_000
+SUBSTR_EVERY = 50
+SUBSTR_BLOCK_TOKENS = 300  # > substr_min_tokens=256 with margin
+_FILLER_TOKENS = 300       # disjoint halves keep Jaccard ≈ 1/3 < τ=0.72
+
+EMB_DUP_OFFSET = 5_000_000
+EMB_DUP_EVERY = 20
+
+
+def _det_tokens(key: int, n: int, tag: str) -> str:
+    """Deterministic token sequence from a key (splitmix64 stream)."""
+    from europa_ray.util import splitmix64
+
+    vals = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(key))
+    return " ".join(f"{tag}{int(v) % 1_000_000}" for v in vals)
+
+
+def _mutant_rows(batch: pa.Table) -> list[tuple[int, str]]:
+    """(new_doc_id, new_content) rows derived from one batch."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["content"].to_pylist()
+    out: list[tuple[int, str]] = []
+    for d, t in zip(doc_ids, texts):
+        if not t:
+            continue
+        if d % 5 == 0:
+            toks = t.split(" ")
+            kept = [w for j, w in enumerate(toks) if j % 11 != 0]
+            out.append((d + MUTANT_OFFSET, " ".join(kept)))
+        if d % SUBSTR_EVERY == 0:
+            # verbatim shared block wrapped in disjoint halves: a winnowed
+            # 300-token block guarantees a sampled-gram collision
+            # (L=300, w=16, mod=8 ⇒ ~35 shared sampled grams) and a
+            # verified run of 285 ≥ 241 grams (stages/substr.py:9-16)
+            block = _det_tokens(d * 1_000 + 1, SUBSTR_BLOCK_TOKENS, "sb")
+            fill_a = _det_tokens(d * 1_000 + 2, _FILLER_TOKENS, "fa")
+            fill_b = _det_tokens(d * 1_000 + 3, _FILLER_TOKENS, "fb")
+            out.append((d + SUBSTR_OFFSET_A, fill_a + " " + block))
+            out.append((d + SUBSTR_OFFSET_B, block + " " + fill_b))
+    return out
 
 
 def _mutate_batch(batch: pa.Table) -> pa.Table:
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["content"].to_pylist()
-    out_rows = {c: [] for c in batch.column_names}
-    for i, (d, t) in enumerate(zip(doc_ids, texts)):
-        if d % 5 != 0 or not t:
-            continue
-        toks = t.split(" ")
-        kept = [w for j, w in enumerate(toks) if j % 11 != 0]
-        mutant = " ".join(kept)
+    rows = _mutant_rows(batch)
+    ids_orig = batch["doc_id"].to_pylist()
+    pos_of = {d: i for i, d in enumerate(ids_orig)}
+    out_rows: dict[str, list] = {c: [] for c in batch.column_names}
+    for new_id, content in rows:
+        src = new_id % 10_000_000  # original doc_id under any offset
+        i = pos_of[src]
         for c in batch.column_names:
             if c == "doc_id":
-                out_rows[c].append(d + MUTANT_OFFSET)
+                out_rows[c].append(new_id)
             elif c == "content":
-                out_rows[c].append(mutant)
+                out_rows[c].append(content)
             elif c == "path":
-                out_rows[c].append(f"{d + MUTANT_OFFSET}.txt")
+                out_rows[c].append(f"{new_id}.txt")
             elif c == "commit":
-                out_rows[c].append(str(d + MUTANT_OFFSET).rjust(40, "0"))
+                out_rows[c].append(str(new_id).rjust(40, "0"))
             else:
                 out_rows[c].append(batch[c][i].as_py())
     return pa.table(
@@ -42,3 +97,21 @@ def with_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     """files-shaped Dataset (with doc_id) ∪ deterministic mutants."""
     mutants = files_ds.map_batches(_mutate_batch, batch_format="pyarrow")
     return files_ds.union(mutants)
+
+
+def _dup_embeddings(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    ids = batch["vec_id"].to_numpy()
+    mask = pa.array(ids % EMB_DUP_EVERY == 0)
+    sub = batch.filter(mask)
+    new_ids = pc.add(sub["vec_id"], pa.scalar(EMB_DUP_OFFSET, pa.int64()))
+    return sub.set_column(sub.column_names.index("vec_id"), "vec_id", new_ids)
+
+
+def with_embedding_dups(embeddings_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """embeddings Dataset ∪ exact copies of every ``EMB_DUP_EVERY``-th
+    vector under ``vec_id + EMB_DUP_OFFSET`` (cosine exactly 1.0 with the
+    original — SQL-reproducible)."""
+    dups = embeddings_ds.map_batches(_dup_embeddings, batch_format="pyarrow")
+    return embeddings_ds.union(dups)

@@ -107,3 +107,49 @@ def test_near_dup_queries_nonempty_with_mutants(entry_mod):
     assert len(clusters) > 0
     pairs = _to_df(entry_mod.queries()["minhash_pairs"](SF_TINY))
     assert len(pairs) > 0
+
+
+def test_planted_substr_pairs_found_exactly(entry_mod):
+    """The substring query must find EXACTLY the planted verbatim-block
+    mutant pairs (positive driver signal — 'finds', not just 'runs' —
+    with zero false positives on the unique-document corpus)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from europa_ray.sources.augment import _mutant_rows
+    from europa_ray.util import hex_to_u64
+
+    got = _to_df(entry_mod.queries()["substr_pairs"](SF_TINY))
+    docs = pq.read_table(SF_TINY + "/documents.parquet", columns=["doc_id", "text"])
+    batch = docs.rename_columns(["doc_id", "content"])
+    expected_pairs = set()
+    by_src: dict[int, dict[int, str]] = {}
+    for new_id, content in _mutant_rows(batch):
+        if new_id < 20_000_000:
+            continue  # token-drop mutants aren't substring pairs
+        by_src.setdefault(new_id % 10_000_000, {})[new_id // 10_000_000] = content
+
+    def node_of(text: str) -> int:
+        h = hashlib.sha256(text.encode()).hexdigest()
+        return int(hex_to_u64([h]).view(np.int64)[0])
+
+    for src, two in by_src.items():
+        na, nb = node_of(two[2]), node_of(two[3])
+        expected_pairs.add((min(na, nb), max(na, nb)))
+    assert len(expected_pairs) > 0
+    found = set(zip(got.a, got.b))
+    assert found == expected_pairs, (len(found), len(expected_pairs))
+
+
+def test_planted_embedding_dups_found(entry_mod):
+    """The embedding near-dup queries must find the planted exact copies
+    (score 1.0) — exact and LSH variants agree."""
+    exact = _to_df(entry_mod.queries()["embedding_dup_pairs"](SF_TINY))
+    lsh = _to_df(entry_mod.queries()["embedding_dup_pairs_lsh"](SF_TINY))
+    assert len(exact) > 0
+    assert (exact.b - exact.a == 5_000_000).all()
+    assert (exact.score == 1.0).all()
+    k = lambda df: sorted(zip(df.a, df.b))
+    assert k(exact) == k(lsh)
