@@ -122,6 +122,7 @@ def exact_jaccard_pairs(
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     num_partitions: int | None = None,
     driver_max_payload_bytes: int = 512 << 20,
+    driver_max_cand_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
     """n-gram Jaccard as a first-class operator: LSH candidate pairs
     re-verified with TRUE 5-gram-set Jaccard (not the MinHash estimate).
@@ -134,20 +135,13 @@ def exact_jaccard_pairs(
     ``groupby(pair_idx).map_groups`` shuffle above it (equivalence-tested by
     forcing the budget to 0); no unguarded driver materialization.
     """
-    from europa_ray.stages.lsh import PAIRS_SCHEMA
-    from europa_ray.stages.pairverify import verify_pairs
+    from europa_ray.stages.pairverify import verify_pairs_chunked
 
     ds = apply_filters(files, cfg)
     sigs = signatures(ds, cfg, id_cols=id_cols, compute_fuzzy=False).materialize()
     cand = candidate_pairs(sigs, cfg, num_partitions=num_partitions).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(JACCARD_SCHEMA.empty_table())
-    a_parts, b_parts = [], []
-    for bt in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        a_parts.append(bt["a"].to_numpy())
-        b_parts.append(bt["b"].to_numpy())
-    a = np.concatenate(a_parts)
-    b = np.concatenate(b_parts)
     k = cfg.shingle_k
     tau = cfg.jaccard_threshold
 
@@ -160,15 +154,16 @@ def exact_jaccard_pairs(
             return None
         return round(jac, 6)
 
-    return verify_pairs(
+    # candidate (a, b) list gathered in enforced-budget chunks
+    return verify_pairs_chunked(
         ds,
-        a,
-        b,
+        cand,
         lambda col: shingle_set_payload(col, k),
         metric,
         JACCARD_SCHEMA,
         lambda na, nb, j: (na, nb, j),
         driver_max_payload_bytes=driver_max_payload_bytes,
+        chunk_rows=driver_max_cand_rows,
     )
 
 

@@ -18,9 +18,11 @@ equivalence-tested deployment shapes, dispatched on measured payload volume:
    gathered and each pair verified locally — no shuffle, no aggregator
    startup. The gather is guarded byte-by-byte: crossing the budget aborts
    it and falls through to shape 3.
-3. **Distributed shape**: ``groupby(pair_idx).map_groups`` verifies each
-   pair from its two payload rows — the shuffle moves candidate payloads
-   only and no process ever holds more than one group.
+3. **Distributed shape**: ``groupby(pair_idx >> PAIR_BUCKET_SHIFT)``
+   cogroups ~64 pairs per bucket and verifies each bucket with one sorted
+   segment sweep — the shuffle moves candidate payloads only, no process
+   ever holds more than one bucket, and Python group-call overhead is paid
+   once per 64 pairs instead of once per pair.
 
 Scale note: payload volume is amplified by pair-degree (a node in d pairs
 ships its payload d times). Candidate generation bounds degree upstream
@@ -41,6 +43,8 @@ import numpy as np
 import pyarrow as pa
 
 from europa_ray.util import hex_to_u64, sha256_hex_arrow
+
+PAIR_BUCKET_SHIFT = 6  # 64 pairs per distributed verify group
 
 PAYLOAD_SCHEMA = pa.schema(
     [
@@ -159,6 +163,79 @@ def payload_rows(
     return files.map_batches(explode, batch_format="pyarrow")
 
 
+def gather_ab_chunks(cand_ds, chunk_rows: int):
+    """Stream a candidate-pair Dataset's (a, b) columns to the driver in
+    chunks of ≤ ``chunk_rows`` — the explicit budget for the pair-list
+    broadcast (each chunk's membership arrays are ≤ chunk_rows × 24 B).
+    Yields (a, b) int64 array pairs."""
+    buf_a: list[np.ndarray] = []
+    buf_b: list[np.ndarray] = []
+    n = 0
+    for bt in cand_ds.iter_batches(
+        batch_format="pyarrow", batch_size=min(max(chunk_rows, 1), 1 << 20)
+    ):
+        av = bt["a"].to_numpy()
+        bv = bt["b"].to_numpy()
+        pos = 0
+        while pos < av.shape[0]:
+            take = min(av.shape[0] - pos, chunk_rows - n)
+            buf_a.append(av[pos : pos + take])
+            buf_b.append(bv[pos : pos + take])
+            n += take
+            pos += take
+            if n >= chunk_rows:
+                yield np.concatenate(buf_a), np.concatenate(buf_b)
+                buf_a, buf_b, n = [], [], 0
+    if n:
+        yield np.concatenate(buf_a), np.concatenate(buf_b)
+
+
+def verify_pairs_chunked(
+    files,
+    cand_ds,
+    payload_fn,
+    pair_metric,
+    out_schema: pa.Schema,
+    emit,
+    *,
+    content_col: str = "content",
+    node_col: str | None = None,
+    driver_max_payload_bytes: int = 512 << 20,
+    chunk_rows: int = 5_000_000,
+):
+    """:func:`verify_pairs` over a candidate-pair DATASET with an enforced
+    driver budget: the (a, b) list is gathered in ≤ ``chunk_rows`` chunks,
+    each verified independently (one corpus payload pass per chunk — the
+    map stage is the cheap part and multi-chunk runs are the rare
+    over-budget case), results unioned. Candidate generators upstream are
+    budget-capped, so a single chunk is the norm."""
+    import ray.data
+
+    outs = []
+    for a, b in gather_ab_chunks(cand_ds, chunk_rows):
+        outs.append(
+            verify_pairs(
+                files,
+                a,
+                b,
+                payload_fn,
+                pair_metric,
+                out_schema,
+                emit,
+                content_col=content_col,
+                node_col=node_col,
+                driver_max_payload_bytes=driver_max_payload_bytes,
+            )
+        )
+    if not outs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    if len(outs) == 1:
+        return outs[0]
+    # one variadic union node — a chained a.union(b).union(c)... plan
+    # recurses per link and blows the stack at many chunks
+    return outs[0].union(*outs[1:])
+
+
 def verify_pairs(
     files,
     a: np.ndarray,
@@ -228,26 +305,58 @@ def verify_pairs(
         # over budget: fall through to the cogroup shuffle (recompute the
         # explode — rare, and the map stage is the cheap part)
 
-    # --- distributed shape ---
+    # --- distributed shape (bucketed cogroup) ---
+    # Grouping on raw pair_idx pays one Python map_groups call + one 1-row
+    # output table PER PAIR — exactly on the runs that are huge. Bucketing
+    # ``pair_idx >> PAIR_BUCKET_SHIFT`` verifies up to 2^shift pairs per
+    # group call (one sort + one output table per bucket), cutting group
+    # overhead 64× while moving the identical rows through the shuffle.
     import ray
 
     ab_ref = ray.put((a, b))
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        aa, bb = ray.get(ab_ref)
-        p_i = int(group["pair_idx"][0].as_py())
-        sides = group["side"].to_numpy()
-        i0 = np.nonzero(sides == 0)[0]
-        i1 = np.nonzero(sides == 1)[0]
-        if i0.shape[0] == 0 or i1.shape[0] == 0:
-            return out_schema.empty_table()
-        pay = group["payload"]
-        pa_buf = unpack_payload(pay[int(i0[0])].as_py())
-        pb_buf = unpack_payload(pay[int(i1[0])].as_py())
-        m = pair_metric(pa_buf, pb_buf)
-        if m is None:
-            return out_schema.empty_table()
-        row = emit(int(aa[p_i]), int(bb[p_i]), m)
-        return pa.table({f.name: pa.array([v], f.type) for f, v in zip(out_schema, row)})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        pidx = batch["pair_idx"].to_numpy()
+        return batch.append_column(
+            "pair_bucket", pa.array(pidx >> PAIR_BUCKET_SHIFT)
+        )
 
-    return rows_ds.groupby("pair_idx").map_groups(verify_group, batch_format="pyarrow")
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        aa, bb = ray.get(ab_ref)
+        pidx = group["pair_idx"].to_numpy()
+        sides = group["side"].to_numpy()
+        # stable (pair, side) sort: the first side-k row per pair is the
+        # earliest original occurrence — same payload choice as the
+        # one-group-per-pair shape (equivalence-tested at budget 0)
+        order = np.lexsort((sides, pidx))
+        ps, ss = pidx[order], sides[order]
+        pay = group["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        seg_starts = np.nonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))[0]
+        seg_ends = np.concatenate([seg_starts[1:], [ps.shape[0]]])
+        out_rows = []
+        for s0, s1 in zip(seg_starts, seg_ends):
+            seg_sides = ss[s0:s1]
+            i0 = np.nonzero(seg_sides == 0)[0]
+            i1 = np.nonzero(seg_sides == 1)[0]
+            if i0.shape[0] == 0 or i1.shape[0] == 0:
+                continue
+            pa_buf = unpack_payload(pay[int(order[s0 + i0[0]])].as_py())
+            pb_buf = unpack_payload(pay[int(order[s0 + i1[0]])].as_py())
+            m = pair_metric(pa_buf, pb_buf)
+            if m is None:
+                continue
+            p_i = int(ps[s0])
+            out_rows.append(emit(int(aa[p_i]), int(bb[p_i]), m))
+        if not out_rows:
+            return out_schema.empty_table()
+        cols = list(zip(*out_rows))
+        return pa.table(
+            {f.name: pa.array(list(c), f.type) for f, c in zip(out_schema, cols)}
+        )
+
+    bucketed = rows_ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("pair_bucket").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )

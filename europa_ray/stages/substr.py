@@ -35,7 +35,7 @@ import ray.data
 from europa_ray.config import DEFAULT_CONFIG, EngineConfig
 from europa_ray.functions.text import shingles, tokenize_arrow
 from europa_ray.stages.lsh import PAIRS_SCHEMA
-from europa_ray.stages.pairverify import verify_pairs
+from europa_ray.stages.pairverify import verify_pairs_chunked
 from europa_ray.util import default_num_partitions, hex_to_u64, sha256_hex_arrow
 
 
@@ -120,6 +120,7 @@ def substring_pairs(
     *,
     num_partitions: int | None = None,
     driver_max_payload_bytes: int = 512 << 20,
+    driver_max_cand_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
     """files Dataset → verified long-shared-substring pairs."""
     if num_partitions is None:
@@ -157,13 +158,6 @@ def substring_pairs(
     if cand.count() == 0:
         return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
 
-    a_parts, b_parts = [], []
-    for bt in cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        a_parts.append(bt["a"].to_numpy())
-        b_parts.append(bt["b"].to_numpy())
-    a = np.concatenate(a_parts)
-    b = np.concatenate(b_parts)
-
     w = cfg.substr_window
     min_run = cfg.substr_min_tokens - w + 1
 
@@ -177,13 +171,15 @@ def substring_pairs(
         lo, hi = (na, nb) if na < nb else (nb, na)
         return (lo, hi, est, "substr")
 
-    return verify_pairs(
+    # candidate (a, b) list gathered in enforced-budget chunks — bounded
+    # even if an upstream cap is misconfigured
+    return verify_pairs_chunked(
         files,
-        a,
-        b,
+        cand,
         lambda col: wgram_payload(col, w),
         metric,
         PAIRS_SCHEMA,
         emit,
         driver_max_payload_bytes=driver_max_payload_bytes,
+        chunk_rows=driver_max_cand_rows,
     )

@@ -140,6 +140,33 @@ def test_jaccard_distributed_verify_equivalent(ray_session, corpus_ds):
     pd.testing.assert_frame_equal(_sorted_pairs(driver, cols), _sorted_pairs(dist, cols))
 
 
+def test_substr_candidate_chunk_budget_equivalent(ray_session, corpus_ds):
+    """chunk_rows=500 splits the ~1400 tiny-corpus candidates into 3 verify
+    passes; the pair set must match the single-gather default — the
+    candidate driver gather is now an enforced budget, not an inherited
+    one."""
+    import pandas as pd
+
+    from europa_ray.stages.substr import substring_pairs
+
+    default = substring_pairs(corpus_ds).to_pandas()
+    chunked = substring_pairs(corpus_ds, driver_max_cand_rows=500).to_pandas()
+    cols = ["a", "b", "est"]
+    pd.testing.assert_frame_equal(_sorted_pairs(default, cols), _sorted_pairs(chunked, cols))
+
+
+def test_jaccard_candidate_chunk_budget_equivalent(ray_session, corpus_ds):
+    import pandas as pd
+
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+
+    default = exact_jaccard_pairs(corpus_ds).to_pandas()
+    chunked = exact_jaccard_pairs(corpus_ds, driver_max_cand_rows=500).to_pandas()
+    assert len(default) > 0
+    cols = ["a", "b", "jaccard"]
+    pd.testing.assert_frame_equal(_sorted_pairs(default, cols), _sorted_pairs(chunked, cols))
+
+
 def test_candidate_pairs_row_guard_falls_back_inline(ray_session, corpus_ds):
     """driver_max_cand_rows=0 forces the fully-distributed inline band path;
     the verified pair set must match the default path's."""
