@@ -162,9 +162,129 @@ def _profile_hashes() -> list[np.ndarray]:
 
 _PROFILE_HASHES = _profile_hashes()
 
+# Char-trigram fallback profiles (Cavnar & Trenkle-style n-gram text
+# categorization, "N-Gram-Based Text Categorization", SDAIR'94): when a
+# document hits NO stopword lexicon (technical prose, inflected forms,
+# compound-heavy text), score byte trigrams of the lowered UTF-8 text
+# against per-language high-frequency trigram lists instead of emitting
+# 'und'. Curated from public language trigram-frequency tables; union'd
+# with the trigrams of the lexicon words themselves (space-padded, so
+# word-boundary grams like " de" / "er " are included).
+_FALLBACK_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "ion", "ent", "ati", "tio", "ter", "ere", "her",
+           "ate", "est", "all", "eve", "ith", "ver", "res", "ons", "men"),
+    "de": ("sch", "ich", "ein", "cht", "nde", "che", "ung", "gen", "und",
+           "der", "die", "end", "ber", "hen", "eit", "lic", "ver", "ten"),
+    "fr": ("ent", "les", "ion", "ait", "eur", "our", "ais", "men", "qué",
+           "tio", "que", "eme", "ons", "ant", "iqu", "ell", "nce", "es "),
+    "es": ("ció", "ión", "aci", "ent", "ado", "est", "nte", "con",
+           "cia", "mie", "sta", "per", "ien", "res", "tra", "cas", "oso"),
+    "it": ("zio", "ion", "che", "ell", "nte", "per", "ato", "gli", "ita",
+           "men", "ere", "ant", "ono", "tta", "sta", "ssi", "ale"),
+    "pt": ("ção", "ent", "ado", "est", "nte", "com", "aca", "ura",
+           "men", "ria", "dos", "ess", "nha", "oes", "ões", "eir"),
+    "nl": ("aar", "oor", "ijk", "nde", "ver", "gen", "een", "cht", "sch",
+           "der", "ing", "eli", "ete", "eer", "ien", "aat"),
+    "sv": ("för", "och", "ill", "tt ", "ng ", "ans", "nin", "ade", "are",
+           "sjö", "ång", "äll", "ter", "nde", "lig", "ken", "mma"),
+    "pl": ("prz", "rze", "ego", "owa", "nie", "sta", "ani", "owi", "ych",
+           "ej ", "ści", "dzi", "ała", "czn", "ost", "wie", "sze"),
+    "tr": ("lar", "ler", "bir", "in ", "an ", "den", "eri", "ını", "ara",
+           "ile", "yor", "mak", "lik", "ası", "da ", "tır", "nda"),
+}
+
+
+def _byte_trigram_codes(data: np.ndarray) -> np.ndarray:
+    """All overlapping byte trigrams of a uint8 array as uint32 codes."""
+    if data.shape[0] < 3:
+        return np.empty(0, dtype=np.uint32)
+    d = data.astype(np.uint32)
+    return (d[:-2] << 16) | (d[1:-1] << 8) | d[2:]
+
+
+# Additional common words per language used ONLY for trigram derivation
+# (affix/orthography carriers: the fallback fires precisely on text whose
+# exact stopwords are absent, so the profiles need in-word morphology —
+# -ung/-lich/-keit, -ción, -ção, -zione, -ning, -ijk, -ować, -lar/-ler).
+_FALLBACK_WORDS: dict[str, tuple[str, ...]] = {
+    "en": ("development", "information", "system", "testing", "require",
+           "important", "different", "language", "through", "because"),
+    "de": ("entwicklung", "prüfung", "sprache", "möglich", "wichtig",
+           "schwierig", "zuverlässig", "während", "system", "keit"),
+    "fr": ("développement", "vérification", "système", "important",
+           "différent", "langage", "toujours", "nouveau", "pendant"),
+    "es": ("desarrollo", "verificación", "sistema", "importante",
+           "diferente", "lenguaje", "siempre", "durante", "también"),
+    "it": ("sviluppo", "verifica", "sistema", "importante", "differente",
+           "linguaggio", "sempre", "durante", "perché", "situazione"),
+    "pt": ("desenvolvimento", "verificação", "sistema", "importante",
+           "diferente", "linguagem", "sempre", "durante", "também"),
+    "nl": ("ontwikkeling", "verificatie", "systeem", "belangrijk",
+           "verschillend", "moeilijk", "betrouwbaar", "tijdens",
+           "zorgvuldig", "waarderen", "programmeertalen"),
+    "sv": ("utveckling", "verifiering", "språk", "viktig", "pålitlig",
+           "svår", "förändring", "noggrann", "användning", "skattar"),
+    "pl": ("rozwój", "weryfikacja", "język", "ważny", "różny", "trudny",
+           "niezawodny", "podczas", "programowanie", "używać"),
+    "tr": ("geliştirme", "doğrulama", "sistem", "önemli", "farklı",
+           "zorlu", "güvenilir", "sırasında", "programlama", "kullanmak",
+           "gerektirir", "dilleri"),
+}
+
+
+def _trigram_profiles() -> list[np.ndarray]:
+    profs = []
+    for lang in _LANG_ORDER:
+        grams: set[int] = set()
+        for g in _FALLBACK_TRIGRAMS[lang]:
+            b = g.encode("utf-8")
+            for i in range(len(b) - 2):
+                grams.add((b[i] << 16) | (b[i + 1] << 8) | b[i + 2])
+        for w in _LANG_PROFILES[lang] + _FALLBACK_WORDS[lang]:
+            b = (" " + w + " ").encode("utf-8")
+            for i in range(len(b) - 2):
+                grams.add((b[i] << 16) | (b[i + 1] << 8) | b[i + 2])
+        profs.append(np.array(sorted(grams), dtype=np.uint32))
+    return profs
+
+
+_TRIGRAM_PROFILES = _trigram_profiles()
+
+_MAX_LANG_BYTES = 2048  # fallback looks at the first 2 KiB only
+_MIN_LEXICON_SCORE = 0.06  # below this the lexicon verdict is noise
+
+
+def _trigram_scores(col: pa.Array, rows: np.ndarray) -> np.ndarray:
+    """(n_lang, len(rows)) trigram-hit fractions for the selected rows of a
+    lowered string array — fully vectorized (one flat trigram stream +
+    ``add.reduceat`` per language; row-crossing trigrams masked out)."""
+    sub = col.take(pa.array(rows))
+    sub = pc.binary_slice(sub.cast(pa.binary()), 0, _MAX_LANG_BYTES)
+    data, off = arrow_string_bytes(sub)
+    n = rows.shape[0]
+    scores = np.zeros((len(_LANG_ORDER), n), dtype=np.float64)
+    tri = _byte_trigram_codes(data)
+    if tri.shape[0] == 0:
+        return scores
+    # a trigram starting at byte p belongs to row r iff p+3 <= off[r+1]
+    tri_row = np.searchsorted(off, np.arange(tri.shape[0], dtype=np.int64), side="right") - 1
+    valid = np.arange(tri.shape[0], dtype=np.int64) + 3 <= off[tri_row + 1]
+    tri = tri[valid]
+    tri_row = tri_row[valid]
+    if tri.shape[0] == 0:
+        return scores
+    counts = np.bincount(tri_row, minlength=n).astype(np.float64)
+    denom = np.maximum(counts, 1.0)
+    for li, prof in enumerate(_TRIGRAM_PROFILES):
+        hits = np.isin(tri, prof)
+        scores[li] = np.bincount(tri_row, weights=hits, minlength=n) / denom
+    return scores
+
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Vectorized lexicon-profile language ID over the first 400 tokens."""
+    """Vectorized language ID: lexicon-profile scoring over the first 400
+    tokens, with a char-trigram profile fallback (Cavnar–Trenkle style) for
+    documents that hit no lexicon word — those used to be 'und'."""
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -183,6 +303,19 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             scores[li, nonempty] = np.add.reduceat(hits, starts) / denom
     best_idx = np.argmax(scores, axis=0)  # ties → first language in order
     best_s = scores[best_idx, np.arange(n_rows)]
+    # Trigram fallback for rows the lexicon can't speak for: zero hits, OR a
+    # best score under _MIN_LEXICON_SCORE. Natural text in-language runs
+    # 15–40% stopword ratio; scores below 6% are almost always spurious
+    # fragments (the ASCII tokenizer splits "während" → "w" + "hrend", and
+    # "w" is a Polish stopword).
+    fb_rows = np.nonzero((best_s < _MIN_LEXICON_SCORE) & nonempty)[0]
+    if fb_rows.shape[0]:
+        fb_scores = _trigram_scores(pc.fill_null(lowered, ""), fb_rows)
+        fb_best = np.argmax(fb_scores, axis=0)
+        fb_s = fb_scores[fb_best, np.arange(fb_rows.shape[0])]
+        hit = fb_s > 0
+        best_idx[fb_rows[hit]] = fb_best[hit]
+        best_s[fb_rows[hit]] = fb_s[hit]
     langs = np.where(best_s > 0, np.asarray(_LANG_ORDER, dtype=object)[best_idx], "und")
     out = batch.select([c for c in batch.column_names if c != text_col])
     out = out.append_column("lang_pred", pa.array(langs, pa.string()))

@@ -153,3 +153,73 @@ def test_lang_id_labeled_sample_accuracy(ray_session):
     truth = [l for l, _ in LABELED_SAMPLE]
     acc = sum(p == t_ for p, t_ in zip(pred, truth)) / len(truth)
     assert acc >= 0.9, f"lang-id accuracy {acc}: {list(zip(truth, pred))}"
+
+
+NO_STOPWORD_SAMPLE = [
+    # content-word-only phrasing: zero (or spurious-fragment-only) lexicon
+    # hits, so every row exercises the char-trigram fallback path — these
+    # were all classified 'und' before the fallback existed
+    ("en", "development information systems require testing, different"
+           " languages matter because important"),
+    ("de", "Entwicklung zuverlässiger Software erfordert sorgfältige"
+           " Prüfung während schwieriger Situationen"),
+    ("fr", "développement vérification systèmes importants différents"
+           " langages nouveaux pendant toujours"),
+    ("es", "desarrollo verificación sistemas importantes diferentes"
+           " lenguajes siempre durante también"),
+    ("it", "sviluppo verifica sistemi importanti differenti linguaggi"
+           " sempre durante situazione perché"),
+    ("pt", "desenvolvimento verificação sistemas importantes diferentes"
+           " linguagens sempre durante também"),
+    ("nl", "ontwikkeling betrouwbare software vereist zorgvuldige"
+           " verificatie tijdens moeilijke situaties programmeertalen"),
+    ("sv", "utveckling pålitlig programvara kräver noggrann verifiering"
+           " språk förändring användning viktig"),
+    ("pl", "rozwój niezawodnego oprogramowania wymaga weryfikacji podczas"
+           " trudnych sytuacji programowanie języków"),
+    ("tr", "güvenilir yazılım geliştirme sırasında doğrulama gerektirir"
+           " farklı programlama dilleri önemli"),
+]
+
+
+def test_lang_id_trigram_fallback_accuracy(ray_session):
+    """Documented accuracy of the char-trigram fallback on documents with
+    no stopword-lexicon hits: must classify ≥ 0.9 of the no-stopword
+    sample (these rows were 'und' before the fallback)."""
+    import pyarrow as pa
+
+    from europa_ray.pipelines.textstats import lang_id_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(NO_STOPWORD_SAMPLE)))),
+            "text": pa.array([s for _, s in NO_STOPWORD_SAMPLE]),
+        }
+    )
+    out = lang_id_batch(t)
+    pred = out["lang_pred"].to_pylist()
+    truth = [l for l, _ in NO_STOPWORD_SAMPLE]
+    acc = sum(p == t_ for p, t_ in zip(pred, truth)) / len(truth)
+    assert acc >= 0.9, f"fallback accuracy {acc}: {list(zip(truth, pred))}"
+    assert "und" not in pred, f"fallback left rows unclassified: {pred}"
+
+
+def test_lang_id_mixed_sample_combined(ray_session):
+    """Lexicon and fallback rows batched together must each keep their
+    verdicts (the fallback only rewrites rows the lexicon can't speak
+    for, and must not disturb confident lexicon rows)."""
+    import pyarrow as pa
+
+    from europa_ray.pipelines.textstats import lang_id_batch
+
+    combined = LABELED_SAMPLE + NO_STOPWORD_SAMPLE
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(combined)))),
+            "text": pa.array([s for _, s in combined]),
+        }
+    )
+    pred = lang_id_batch(t)["lang_pred"].to_pylist()
+    truth = [l for l, _ in combined]
+    acc = sum(p == t_ for p, t_ in zip(pred, truth)) / len(truth)
+    assert acc >= 0.9, f"combined accuracy {acc}: {list(zip(truth, pred))}"
