@@ -421,6 +421,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id != q.vec_id
             QUALIFY rank <= 5
         """,
+        # exact by construction: the engine's prefix-filter (AllPairs/PPJoin)
+        # candidates are complete for true Jaccard >= 0.72, so an all-pairs
+        # SQL oracle is a TRUE oracle (no LSH recall caveat). The oracle
+        # mirrors the engine semantics exactly: mutant augmentation
+        # (sources/augment.py drop-every-11th mutants; substring mutants are
+        # omitted — their Jaccard ~ 1/3 can never reach 0.72), node identity
+        # (int64 view of the sha256's leading 64 bits, distinct contents
+        # only — exact duplicates collapse to one node, no self-pairs), the
+        # tokenizer regex, 5-gram shingle SETS with the <5-token whole-row
+        # fallback (functions/text.py:shingles short_row_fallback).
+        "ngram_jaccard_pairs": r"""
+            WITH alldocs AS (
+              SELECT text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT array_to_string(
+                       list_filter(string_split(text, ' '), (w, i) -> (i - 1) % 11 <> 0),
+                       ' ')
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+            ),
+            nodes AS (
+              SELECT text,
+                     CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
+                          - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                      >= 9223372036854775808::UBIGINT
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0::HUGEINT END
+                          AS BIGINT) AS node
+              FROM (SELECT DISTINCT text FROM alldocs)
+            ),
+            toks AS (SELECT node, regexp_extract_all(text, '\w+|[^\w\s]') AS tk FROM nodes),
+            grams AS (
+              SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+              UNION
+              SELECT node, array_to_string(tk, ' ') AS gram
+              FROM toks WHERE len(tk) BETWEEN 1 AND 4
+            ),
+            sizes AS (SELECT node, count(*) AS n FROM grams GROUP BY node),
+            inter AS (
+              SELECT g1.node AS na, g2.node AS nb, count(*) AS c
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.node < g2.node GROUP BY 1, 2
+            )
+            SELECT na AS a, nb AS b,
+                   round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.node = inter.na
+            JOIN sizes sb ON sb.node = inter.nb
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.72
+        """,
         "embedding_dup_pairs": """
             WITH emb AS (
                 SELECT vec_id, embedding FROM embeddings

@@ -124,22 +124,26 @@ def exact_jaccard_pairs(
     driver_max_payload_bytes: int = 512 << 20,
     driver_max_cand_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
-    """n-gram Jaccard as a first-class operator: LSH candidate pairs
-    re-verified with TRUE 5-gram-set Jaccard (not the MinHash estimate).
+    """n-gram Jaccard as a first-class EXACT operator: prefix-filter
+    candidates (AllPairs/PPJoin, :mod:`europa_ray.stages.ppjoin` — complete
+    by construction, no LSH recall gap) verified with TRUE 5-gram-set
+    Jaccard. Output is deterministically equal to an all-pairs SQL oracle
+    (``oracle_sql()['ngram_jaccard_pairs']``).
 
-    Candidates come from the banding pass (recall ≥ 0.99 at τ per the golden
-    tests); the exact verification recomputes shingle sets for candidate
-    nodes only (second streaming pass, vectorized via the zero-copy
-    tokenizer) and verifies through :mod:`europa_ray.stages.pairverify` —
-    driver-local below a payload byte budget, cogroup
-    ``groupby(pair_idx).map_groups`` shuffle above it (equivalence-tested by
-    forcing the budget to 0); no unguarded driver materialization.
+    The exact verification recomputes shingle sets for candidate nodes only
+    (second streaming pass, vectorized via the zero-copy tokenizer) and
+    verifies through :mod:`europa_ray.stages.pairverify` — driver-local
+    below a payload byte budget, cogroup ``groupby(pair_idx).map_groups``
+    shuffle above it (equivalence-tested by forcing the budget to 0); no
+    unguarded driver materialization.
     """
     from europa_ray.stages.pairverify import verify_pairs_chunked
+    from europa_ray.stages.ppjoin import prefix_candidate_pairs
 
     ds = apply_filters(files, cfg)
-    sigs = signatures(ds, cfg, id_cols=id_cols, compute_fuzzy=False).materialize()
-    cand = candidate_pairs(sigs, cfg, num_partitions=num_partitions).materialize()
+    cand = prefix_candidate_pairs(
+        ds, cfg, num_partitions=num_partitions
+    ).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(JACCARD_SCHEMA.empty_table())
     k = cfg.shingle_k

@@ -1,0 +1,280 @@
+"""Exact set-similarity self-join candidates via prefix filtering
+(AllPairs / PPJoin).
+
+Candidate generation for TRUE Jaccard >= tau over per-document k-gram
+shingle sets with a **completeness guarantee**: every qualifying pair is
+produced (no LSH recall gap), so the exact n-gram Jaccard operator built on
+top is deterministically equal to an all-pairs SQL oracle.
+
+Published algorithms (public work):
+- Bayardo, Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007
+  (AllPairs prefix filter).
+- Xiao, Wang, Lin, Yu, "Efficient Similarity Joins for Near Duplicate
+  Detection", WWW 2008 (PPJoin; we use its prefix + length filters, not the
+  positional filter).
+
+Prefix-filter lemma: order every shingle universe by one fixed total order
+(ascending 64-bit shingle hash here). If ``J(A, B) >= tau`` then the first
+``|A| - ceil(tau * |A|) + 1`` elements of A and the first
+``|B| - ceil(tau * |B|) + 1`` elements of B share at least one element.
+Proof sketch: ``J >= tau`` forces ``|A ∩ B| >= tau * max(|A|, |B|)``; if the
+two prefixes were disjoint, whichever prefix ends at the globally smaller
+boundary element would contain only elements outside the other SET's prefix
+— counting elements below that boundary in both sets shows more than
+``(1 - tau)`` of one set lies outside the intersection, contradiction.
+(Golden-tested against brute force in ``tests/test_ppjoin.py``.)
+
+Length filter: ``J(A, B) <= min/max`` of the two set sizes, so pairs with
+``min_size < tau * max_size`` are dropped before verification.
+
+Scale shape: the prefix explode is (gram, node, size) = 24 B/row,
+~``(1 - tau)``·|shingles| rows — a data-proportional shuffle (word-count
+class), the price of exactness vs the MinHash band explode's 16 B × bands
+per DOC. Dispatch mirrors ``stages/lsh.py:candidate_pairs``: below the row
+budget the explode is gathered once and grouped/paired in vectorized driver
+NumPy; above it, duplicated gram keys are detected distributed, the explode
+is semi-joined to them and paired inside ``groupby(gram)`` groups
+(equivalence-tested by forcing the budget to 0). Hash order makes prefix
+gram popularity random; the classic df-ascending ordering (rarest grams
+first) is the known refinement if a corpus shows hot prefix grams — it
+needs one extra gram-frequency pass and is not implemented here.
+
+Reference parity: the reference verifies near-duplicates by similarity
+search over signatures (`/root/reference/Api/Client/QdrantRepository.cs`
+range search); this operator strengthens the engine's n-gram Jaccard pass
+from "LSH candidates re-verified" to exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from europa_ray.config import DEFAULT_CONFIG, EngineConfig
+
+PAIR_AB_SCHEMA = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
+
+
+def prefix_lengths(sizes: np.ndarray, tau: float) -> np.ndarray:
+    """Vectorized prefix length ``n - ceil(tau * n) + 1`` (clipped to
+    [1, n]). The epsilon guards float error in ``tau * n`` downward only:
+    a too-LARGE prefix is always sound (more candidates), a too-small one
+    is not."""
+    p = sizes - np.ceil(tau * sizes - 1e-9).astype(np.int64) + 1
+    return np.clip(p, 1, np.maximum(sizes, 1))
+
+
+def explode_prefix(
+    batch: pa.Table,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    content_col: str = "content",
+) -> pa.Table:
+    """(gram, node, size) prefix explode of one batch.
+
+    node = int64 view of the content sha256's leading 64 bits (the engine's
+    node id everywhere); gram = int64 view of a shingle hash; size = number
+    of unique shingles of the doc. Shingle sets are already ascending-hash
+    sorted (``unique_per_row``), so the prefix is the first ``p`` elements
+    of each row segment."""
+    from europa_ray.functions.text import shingles, tokenize_arrow, unique_per_row
+    from europa_ray.stages.hash_stage import add_sha256
+    from europa_ray.stages.pairverify import _ranges_gather
+    from europa_ray.util import hex_to_u64_arrow
+
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+            "size": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    hashed = add_sha256(batch, drop_content=False, keep_cols=(content_col,))
+    col = hashed[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    th, off = tokenize_arrow(col)
+    sh, soff = shingles(th, off, cfg.shingle_k)
+    ush, uoff = unique_per_row(sh, soff)
+    sizes = np.diff(uoff)
+    node = hex_to_u64_arrow(hashed["sha256"]).view(np.int64)
+    nz = sizes > 0
+    if not nz.any():
+        return empty
+    p = np.where(nz, prefix_lengths(sizes, cfg.jaccard_threshold), 0)
+    idx = _ranges_gather(uoff[:-1], p)
+    return pa.table(
+        {
+            "gram": pa.array(ush[idx].view(np.int64)),
+            "node": pa.array(np.repeat(node, p)),
+            "size": pa.array(np.repeat(sizes, p)),
+        }
+    )
+
+
+def _length_filter(
+    na: np.ndarray, nb: np.ndarray, sa: np.ndarray, sb: np.ndarray, tau: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep canonical (min, max) node pairs whose set sizes can still reach
+    ``tau`` (PPJoin length filter, epsilon-guarded like ``prefix_lengths``)."""
+    keep = np.minimum(sa, sb) >= tau * np.maximum(sa, sb) - 1e-9
+    na, nb, = na[keep], nb[keep]
+    sa, sb = sa[keep], sb[keep]
+    return np.minimum(na, nb), np.maximum(na, nb)
+
+
+def _pair_prefix_group(group: pa.Table, *, tau: float) -> pa.Table:
+    """All qualifying-size pairs within one colliding gram bucket —
+    UNCAPPED (exactness; see module docstring on hash-order bucket sizes)."""
+    nd = group["node"].to_numpy()
+    sz = group["size"].to_numpy()
+    nd, first = np.unique(nd, return_index=True)
+    sz = sz[first]
+    n = nd.shape[0]
+    if n < 2:
+        return PAIR_AB_SCHEMA.empty_table()
+    iu, ju = np.triu_indices(n, k=1)
+    a, b = _length_filter(nd[iu], nd[ju], sz[iu], sz[ju], tau)
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def _grouped_all_pairs(
+    gid: np.ndarray, nd: np.ndarray, sz: np.ndarray, tau: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized all-pairs within every group of a (sorted-by-gid, deduped)
+    stream: groups are batched by SIZE so each distinct group size is one
+    ``triu_indices`` broadcast — no per-group Python loop."""
+    counts = np.bincount(gid)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for m in np.unique(counts):
+        if m < 2:
+            continue
+        s = starts[counts == m]  # (g,) start offsets of all size-m groups
+        iu, ju = np.triu_indices(m, k=1)  # (p,)
+        ra = (s[:, None] + iu[None, :]).ravel()
+        rb = (s[:, None] + ju[None, :]).ravel()
+        a, b = _length_filter(nd[ra], nd[rb], sz[ra], sz[rb], tau)
+        out_a.append(a)
+        out_b.append(b)
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _dedupe_ab(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(a.shape[0], dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+def prefix_candidate_pairs(
+    ds,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    content_col: str = "content",
+    num_partitions: int | None = None,
+    driver_max_explode_rows: int = 100_000_000,
+):
+    """Filtered corpus Dataset → COMPLETE candidate (a, b) pair Dataset for
+    TRUE-Jaccard >= ``cfg.jaccard_threshold`` (prefix + length filters; no
+    estimate column — candidates carry no score until exact verification).
+
+    Driver path (explode <= ``driver_max_explode_rows`` ≈ 2.4 GB): one
+    gather, vectorized group/pair/dedupe. Fallback: distributed duplicated-
+    gram detection + ``groupby(gram)`` pairing + distinct
+    (forced-budget-0 equivalence-tested)."""
+    import ray.data
+
+    from europa_ray.util import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    tau = cfg.jaccard_threshold
+    kn = ds.map_batches(
+        explode_prefix,
+        fn_kwargs={"cfg": cfg, "content_col": content_col},
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
+
+    g_parts: list[np.ndarray] = []
+    n_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    total = 0
+    over = False
+    for bt in kn.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += bt.num_rows
+        if total > driver_max_explode_rows:
+            over = True
+            break
+        g_parts.append(bt["gram"].to_numpy())
+        n_parts.append(bt["node"].to_numpy())
+        s_parts.append(bt["size"].to_numpy())
+    if over:
+        return _prefix_pairs_distributed(kn, cfg, num_partitions)
+    if not g_parts:
+        return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
+    g = np.concatenate(g_parts)
+    nd = np.concatenate(n_parts)
+    sz = np.concatenate(s_parts)
+
+    order = np.lexsort((nd, g))
+    g, nd, sz = g[order], nd[order], sz[order]
+    keep = np.ones(g.shape[0], dtype=bool)  # drop (gram, node) dups (exact-dup contents)
+    keep[1:] = (g[1:] != g[:-1]) | (nd[1:] != nd[:-1])
+    g, nd, sz = g[keep], nd[keep], sz[keep]
+
+    newg = np.ones(g.shape[0], dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    gid = np.cumsum(newg) - 1
+    a, b = _grouped_all_pairs(gid, nd, sz, tau)
+    if a.shape[0] == 0:
+        return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
+    a, b = _dedupe_ab(a, b)
+    return ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+
+
+def _prefix_pairs_distributed(kn, cfg: EngineConfig, num_partitions: int):
+    """Fully distributed shape: duplicated gram keys (driver count below its
+    own budget, Ray count-aggregate above) → broadcast/distributed semi-join
+    → ``groupby(gram)`` pairing → distinct (a, b)."""
+    import ray.data
+
+    from europa_ray.stages.lsh import duplicated_keys, filter_by_key_array, semi_join_keys
+
+    tau = cfg.jaccard_threshold
+    dup = duplicated_keys(kn.select_columns(["gram"]), "gram")
+    if dup is not None:
+        if dup.shape[0] == 0:
+            return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
+        hot = filter_by_key_array(kn, dup, "gram")
+    else:
+        collisions = (
+            kn.select_columns(["gram"])
+            .groupby("gram")
+            .count()
+            .rename_columns({"count()": "gram_n"})
+            .filter(expr="gram_n > 1")
+            .materialize()  # Ray 2.49 join quirk: materialize small sides
+        )
+        if collisions.count() == 0:
+            return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
+        hot = semi_join_keys(kn, collisions, "gram", num_partitions=num_partitions)
+    pairs = hot.groupby("gram").map_groups(
+        _pair_prefix_group, fn_kwargs={"tau": tau}, batch_format="pyarrow"
+    )
+    # distinct (a, b) on the REAL composite key (no hashed-key chimeras)
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
+    return (
+        pairs.groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )

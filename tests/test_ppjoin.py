@@ -1,0 +1,160 @@
+"""Prefix-filter (AllPairs/PPJoin) exact Jaccard self-join tests.
+
+The operator's guarantee is COMPLETENESS: every pair with true shingle-set
+Jaccard >= tau is produced — verified here against brute force over random
+corpora whose pair similarities straddle the threshold, plus the
+forced-distributed equivalence and the short-row fallback edge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _rand_docs(seed: int, n_base: int = 40, n_tokens: int = 120):
+    """Random-token docs plus mutated copies whose true Jaccard lands on
+    both sides of tau: 5-gram-set Jaccard decays ~(1-r)^5 with token drop
+    rate r, so rates 0.5%..10% sweep J from ~0.97 down to ~0.45."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in rng.choice(100_000, 3_000, replace=False)])
+    docs = []
+    for i in range(n_base):
+        toks = vocab[rng.integers(0, vocab.shape[0], n_tokens)]
+        docs.append(" ".join(toks))
+        if i % 2 == 0:
+            rate = 0.002 + 0.07 * (i / n_base)
+            keep = rng.random(n_tokens) > rate
+            if keep.sum() >= 1:
+                docs.append(" ".join(toks[keep]))
+    return docs
+
+
+def _brute_pairs(docs: list[str], tau: float):
+    """Brute-force true pairs using the ENGINE's shingle semantics (same
+    tokenizer/shingle/unique kernels), node-keyed, canonical int64 order."""
+    from europa_ray.functions.text import shingles, tokenize_arrow, unique_per_row
+    from europa_ray.util import hex_to_u64, sha256_hex_arrow
+
+    col = pa.array(docs, pa.string())
+    th, off = tokenize_arrow(col)
+    sh, soff = shingles(th, off, 5)
+    ush, uoff = unique_per_row(sh, soff)
+    sets = {}
+    nodes = hex_to_u64(sha256_hex_arrow(col)).view(np.int64)
+    for i in range(len(docs)):
+        sets[int(nodes[i])] = ush[uoff[i] : uoff[i + 1]]
+    out = {}
+    uniq = sorted(sets)
+    for x in range(len(uniq)):
+        for y in range(x + 1, len(uniq)):
+            sa, sb = sets[uniq[x]], sets[uniq[y]]
+            if sa.shape[0] == 0 or sb.shape[0] == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            if not inter:
+                continue
+            j = inter / (sa.shape[0] + sb.shape[0] - inter)
+            if j >= tau:
+                out[(uniq[x], uniq[y])] = round(j, 6)
+    return out
+
+
+def _files_ds(docs: list[str]):
+    import ray.data
+
+    n = len(docs)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r"] * n),
+                "path": pa.array([f"f{i}.txt" for i in range(n)]),
+                "commit": pa.array(["c" * 40] * n),
+                "size": pa.array([len(d) for d in docs], pa.int64()),
+                "lang": pa.array(["txt"] * n),
+                "content": pa.array(docs, pa.string()),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_exact_jaccard_equals_brute_force(ray_session, seed):
+    """End-to-end: exact_jaccard_pairs == brute force EXACTLY (not just
+    superset/threshold) — the completeness guarantee LSH banding lacks."""
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+
+    docs = _rand_docs(seed)
+    truth = _brute_pairs(docs, 0.72)
+    got = exact_jaccard_pairs(_files_ds(docs)).to_pandas()
+    got_d = {(int(r.a), int(r.b)): round(float(r.jaccard), 6) for r in got.itertuples()}
+    assert got_d == truth
+    assert len(truth) >= 5, "fixture must exercise pairs above tau"
+
+
+def test_prefix_candidates_superset_of_truth(ray_session):
+    """Candidates alone (pre-verification) cover every true pair."""
+    from europa_ray.stages.ppjoin import prefix_candidate_pairs
+
+    docs = _rand_docs(99)
+    truth = _brute_pairs(docs, 0.72)
+    cand = prefix_candidate_pairs(_files_ds(docs)).to_pandas()
+    cset = {(int(r.a), int(r.b)) for r in cand.itertuples()}
+    missing = set(truth) - cset
+    assert not missing
+
+
+def test_prefix_distributed_path_equivalent(ray_session):
+    """Forced budget-0 explode gather → fully distributed groupby(gram)
+    pairing produces the identical candidate set."""
+    from europa_ray.stages.ppjoin import prefix_candidate_pairs
+
+    docs = _rand_docs(5, n_base=24)
+    driver = prefix_candidate_pairs(_files_ds(docs)).to_pandas()
+    dist = prefix_candidate_pairs(
+        _files_ds(docs), driver_max_explode_rows=0
+    ).to_pandas()
+    key = ["a", "b"]
+    d1 = driver.sort_values(key).reset_index(drop=True)
+    d2 = dist[key].sort_values(key).reset_index(drop=True)
+    assert d1[key].equals(d2)
+
+
+def test_prefix_lengths_sound():
+    """Exact-rational check: the float prefix length is never SMALLER than
+    the true n - ceil(tau*n) + 1 (a smaller prefix could miss pairs)."""
+    from fractions import Fraction
+
+    from europa_ray.stages.ppjoin import prefix_lengths
+
+    for tau in (0.5, 0.7, 0.72, 0.8, 0.9, 0.95):
+        n = np.arange(1, 500, dtype=np.int64)
+        p = prefix_lengths(n, tau)
+        ft = Fraction(tau).limit_denominator(10**9)
+        for ni, pi in zip(n.tolist(), p.tolist()):
+            true_p = ni - (-(-(ft.numerator * ni) // ft.denominator)) + 1
+            assert pi >= min(max(true_p, 1), ni)
+            assert 1 <= pi <= ni
+
+
+def test_short_row_whole_gram_fallback(ray_session):
+    """Docs with <5 tokens pair through the whole-row shingle: same token
+    sequence under different raw content (different nodes) → J = 1.0."""
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+
+    docs = ["alpha beta gamma", "alpha  beta gamma", "delta epsilon zeta"]
+    got = exact_jaccard_pairs(_files_ds(docs)).to_pandas()
+    assert len(got) == 1
+    assert got.jaccard.iloc[0] == 1.0
+
+
+def test_exact_duplicates_collapse_to_one_node(ray_session):
+    """Identical contents share a node: no self-pairs, and a third
+    near-duplicate pairs each distinct node once."""
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99))
+    got = exact_jaccard_pairs(_files_ds([base, base, near])).to_pandas()
+    assert len(got) == 1  # (base-node, near-node); never (base, base)
+    assert (got.a != got.b).all()
