@@ -112,6 +112,16 @@ def _q_token_counts(sf_dir: str):
     ).select_columns(["doc_id", "n_tokens"])
 
 
+def _q_text_profile(sf_dir: str):
+    """Fused one-pass token-count + quality profile (one corpus scan for
+    what ``token_counts`` + ``quality_scores`` compute in two)."""
+    from europa_ray.pipelines.textstats import text_profile_batch
+
+    return _docs(sf_dir).map_batches(
+        text_profile_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"])
+
+
 def _q_token_totals_by_lang(sf_dir: str):
     from europa_ray.pipelines.textstats import token_count_batch
 
@@ -317,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": wrap(_q_token_counts),
         "token_totals_by_lang": wrap(_q_token_totals_by_lang),
         "quality_scores": wrap(_q_quality_scores),
+        "text_profile": wrap(_q_text_profile),
         "lang_id": wrap(_q_lang_id),
         "doc_fingerprints": wrap(_q_doc_fingerprints),
         "minhash_near_dup_clusters": wrap(_q_minhash_clusters),
@@ -381,6 +392,18 @@ def oracle_sql() -> dict[str, str]:
         "token_totals_by_lang": r"""
             SELECT lang, CAST(sum(length(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
+        """,
+        "text_profile": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+                   length(text) AS n_chars,
+                   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+                       // greatest(length(text), 1) AS alpha_ppm,
+                   (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000)
+                       // greatest(length(text), 1) AS digit_ppm,
+                   (length(text) - length(regexp_replace(text, '[ \t\n\r\f\v]', '', 'g')))
+                       * 1000000 // greatest(length(text), 1) AS ws_ppm
+            FROM documents
         """,
         "quality_scores": """
             SELECT doc_id,

@@ -139,6 +139,29 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 2)
 
     bench("textstats", textstats)
 
+    def textstats_fused():
+        from europa_ray.pipelines.textstats import text_profile_batch
+
+        return read().map_batches(
+            text_profile_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+        ).count()
+
+    bench("textstats_fused", textstats_fused)
+
+    def jaccard():
+        from europa_ray.pipelines.neardup import exact_jaccard_pairs
+
+        return exact_jaccard_pairs(read()).count()
+
+    bench("jaccard", jaccard)
+
+    def substr():
+        from europa_ray.stages.substr import substring_pairs
+
+        return substring_pairs(read()).count()
+
+    bench("substr", substr)
+
     def ann():
         import duckdb
 

@@ -102,6 +102,31 @@ def quality_ppm_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def text_profile_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Fused single-pass profile: token count + length + quality ppms.
+
+    Separate ``token_count_batch`` / ``quality_ppm_batch`` pipelines each
+    re-read and re-decode the corpus; at 100 TB that is two full storage
+    scans for columns computable from ONE buffer pass. This stage extracts
+    the Arrow string buffers once and emits the union of both outputs —
+    the oracle is the join of their two (individually green) oracles."""
+    col = batch[text_col]
+    data, off = arrow_string_bytes(col)
+    n_chars = _utf8_lengths(col)
+    alpha = _class_counts(data, off, _ALPHA_LUT)
+    digit = _class_counts(data, off, _DIGIT_LUT)
+    ws = _class_counts(data, off, _WS_LUT)
+    denom = np.maximum(n_chars, 1)
+    ours = {"n_tokens", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"}
+    out = batch.select([c for c in batch.column_names if c != text_col and c not in ours])
+    out = out.append_column("n_tokens", pa.array(token_count_arrow(col)))
+    out = out.append_column("n_chars", pa.array(n_chars))
+    out = out.append_column("alpha_ppm", pa.array(alpha * 1_000_000 // denom))
+    out = out.append_column("digit_ppm", pa.array(digit * 1_000_000 // denom))
+    out = out.append_column("ws_ppm", pa.array(ws * 1_000_000 // denom))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # language ID — lexicon-profile scorer (vectorized)
 # ---------------------------------------------------------------------------

@@ -44,6 +44,19 @@ def _topk_tie_safe(scores: np.ndarray, kk: int) -> np.ndarray:
     return np.nonzero(scores >= thresh)[0]
 
 
+def _topk_tie_safe_matrix(sims: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-column :func:`_topk_tie_safe` over an (n, nq) score
+    matrix — one ``np.partition`` along axis 0 instead of a Python loop over
+    queries. Returns (row_idx, query_idx) of every kept candidate."""
+    n = sims.shape[0]
+    if kk >= n:
+        thresh = sims.min(axis=0)
+    else:
+        thresh = np.partition(sims, n - kk, axis=0)[n - kk]
+    rows, qs = np.nonzero(sims >= thresh[None, :])
+    return rows, qs
+
+
 def brute_force_topk(
     embeddings: ray.data.Dataset,
     queries: np.ndarray,
@@ -67,23 +80,12 @@ def brute_force_topk(
         m = _normalize(_embedding_matrix(batch))
         ids = batch[id_col].to_numpy()
         sims = m @ q.T  # (n, nq)
-        kk = min(k + 1, sims.shape[0])
-        nq = q.shape[0]
-        out_q, out_n, out_s = [], [], []
-        for j in range(nq):
-            # tie-safe: keep EVERY row whose score ties the kk-th largest —
-            # plain argpartition may keep larger-id ties and drop smaller-id
-            # ones that the global (score DESC, id ASC) order ranks inside
-            # top-k (oracle mismatch on duplicate embeddings)
-            idx = _topk_tie_safe(sims[:, j], kk)
-            out_q.extend([j] * idx.shape[0])
-            out_n.extend(ids[idx].tolist())
-            out_s.extend(sims[idx, j].tolist())
+        rows, qs = _topk_tie_safe_matrix(sims, min(k + 1, sims.shape[0]))
         return pa.table(
             {
-                "qidx": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
+                "qidx": pa.array(qs.astype(np.int64)),
+                "neighbor_id": pa.array(ids[rows]),
+                "score": pa.array(sims[rows, qs], pa.float64()),
             }
         )
 

@@ -62,8 +62,11 @@ def test_all_queries_have_callables(entry_mod):
         "token_counts",
         "token_totals_by_lang",
         "quality_scores",
+        "text_profile",
         "ann_topk",
         "embedding_dup_pairs",
+        "ngram_jaccard_pairs",
+        "file_kind_counts",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
@@ -85,7 +88,7 @@ def test_query_matches_oracle(entry_mod, name):
 @pytest.mark.parametrize(
     "name",
     ["lang_id", "doc_fingerprints", "minhash_near_dup_clusters", "minhash_pairs",
-     "simhash_pairs", "substr_pairs", "ngram_jaccard_pairs", "ann_topk_lsh",
+     "simhash_pairs", "substr_pairs", "ann_topk_lsh",
      "embedding_dup_pairs_lsh", "multimodal_features"],
 )
 def test_rows_only_queries_run(entry_mod, name):

@@ -155,6 +155,33 @@ def test_lang_id_labeled_sample_accuracy(ray_session):
     assert acc >= 0.9, f"lang-id accuracy {acc}: {list(zip(truth, pred))}"
 
 
+def test_text_profile_fused_equals_separate(ray_session, docs):
+    """One-pass text_profile_batch == token_count_batch ⋈ quality_ppm_batch
+    (the fused stage must not drift from the two oracle-green pipelines)."""
+    from europa_ray.pipelines.textstats import (
+        quality_ppm_batch,
+        text_profile_batch,
+        token_count_batch,
+    )
+
+    fused = (
+        docs.map_batches(text_profile_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    tok = docs.map_batches(token_count_batch, batch_format="pyarrow").to_pandas()
+    q = docs.map_batches(quality_ppm_batch, batch_format="pyarrow").to_pandas()
+    joined = (
+        tok[["doc_id", "n_tokens"]]
+        .merge(q[["doc_id", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"]], on="doc_id")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "n_tokens", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"]
+    assert fused[cols].equals(joined[cols])
+
+
 NO_STOPWORD_SAMPLE = [
     # content-word-only phrasing: zero (or spurious-fragment-only) lexicon
     # hits, so every row exercises the char-trigram fallback path — these
