@@ -163,6 +163,98 @@ def payload_rows(
     return files.map_batches(explode, batch_format="pyarrow")
 
 
+def node_payload_rows(
+    files,
+    nodes_sorted: np.ndarray,
+    payload_fn: Callable[[pa.Array], tuple[np.ndarray, np.ndarray]],
+    *,
+    content_col: str = "content",
+    node_col: str | None = None,
+):
+    """Corpus Dataset → DISTINCT (node, payload) rows for candidate nodes.
+
+    The driver verify shape only needs each node's payload ONCE — shipping
+    it per pair membership amplifies payload volume by pair-degree (a node
+    in a k-clique ships its payload k−1 times; a 3 000-doc boilerplate
+    clique turns ~150 MB of distinct payloads into ~20 GB of memberships).
+    In-batch duplicates (exact-dup contents) are deduped here; cross-batch
+    duplicates are deduped keep-first at gather time."""
+    import ray
+
+    nodes_ref = ray.put(np.asarray(nodes_sorted, dtype=np.int64))
+    out_schema = pa.schema(
+        [pa.field("node", pa.int64()), pa.field("payload", pa.large_binary())]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        nodes_s = ray.get(nodes_ref)
+        content = batch[content_col]
+        if node_col is not None:
+            idx = list(range(batch.num_rows))
+            nds = batch[node_col].to_numpy().astype(np.int64)
+        else:
+            sha = sha256_hex_arrow(content)
+            idx = [i for i, h in enumerate(sha) if h is not None]
+            if not idx:
+                return out_schema.empty_table()
+            nds = hex_to_u64([sha[i] for i in idx]).view(np.int64)
+        if not idx:
+            return out_schema.empty_table()
+        uniq_nds, first = np.unique(nds, return_index=True)
+        pos = np.searchsorted(nodes_s, uniq_nds)
+        pos[pos >= nodes_s.shape[0]] = 0
+        wanted = (
+            nodes_s[pos] == uniq_nds if nodes_s.shape[0] else np.zeros(uniq_nds.shape[0], bool)
+        )
+        if not wanted.any():
+            return out_schema.empty_table()
+        uniq_nds, first = uniq_nds[wanted], first[wanted]
+        kept_idx = np.asarray(idx, dtype=np.int64)[first]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        sub = content.take(pa.array(kept_idx))
+        flat, off = payload_fn(sub)
+        return pa.table(
+            {
+                "node": pa.array(uniq_nds),
+                "payload": pack_payloads(flat, off.astype(np.int64)),
+            }
+        )
+
+    return files.map_batches(explode, batch_format="pyarrow")
+
+
+def _verify_pair_range(
+    payload_map: tuple[np.ndarray, np.ndarray, np.ndarray],
+    a: np.ndarray,
+    b: np.ndarray,
+    pair_metric,
+    emit,
+    out_schema: pa.Schema,
+) -> pa.Table:
+    """Verify pairs (a[i], b[i]) against a (sorted node keys, flat payload
+    values, offsets) map; pairs with a missing side are skipped."""
+    keys, flat, offs = payload_map
+    ia = np.searchsorted(keys, a)
+    ib = np.searchsorted(keys, b)
+    ia[ia >= keys.shape[0]] = 0
+    ib[ib >= keys.shape[0]] = 0
+    ok = (keys[ia] == a) & (keys[ib] == b) if keys.shape[0] else np.zeros(a.shape[0], bool)
+    out_rows = []
+    for i in np.nonzero(ok)[0]:
+        pa_buf = flat[offs[ia[i]] : offs[ia[i] + 1]]
+        pb_buf = flat[offs[ib[i]] : offs[ib[i] + 1]]
+        m = pair_metric(pa_buf, pb_buf)
+        if m is not None:
+            out_rows.append(emit(int(a[i]), int(b[i]), m))
+    if not out_rows:
+        return out_schema.empty_table()
+    cols = list(zip(*out_rows))
+    return pa.table(
+        {f.name: pa.array(list(c), f.type) for f, c in zip(out_schema, cols)}
+    )
+
+
 def gather_ab_chunks(cand_ds, chunk_rows: int):
     """Stream a candidate-pair Dataset's (a, b) columns to the driver in
     chunks of ≤ ``chunk_rows`` — the explicit budget for the pair-list
@@ -257,22 +349,27 @@ def verify_pairs(
     ``driver_max_payload_bytes`` of gathered payload, cogroup shuffle above
     (equivalence-tested by forcing the threshold to 0).
     """
+    import ray
     import ray.data
 
     a = np.asarray(a, dtype=np.int64)
     b = np.asarray(b, dtype=np.int64)
     if a.shape[0] == 0:
         return ray.data.from_arrow(out_schema.empty_table())
-    rows_ds = payload_rows(
-        files, a, b, payload_fn, content_col=content_col, node_col=node_col
-    )
 
-    # --- driver shape (guarded gather) ---
+    # --- driver shape (distinct-node payload map + parallel verify) ---
+    # The budget bounds DISTINCT candidate-node payload bytes (each node
+    # once), not per-pair memberships — a clique of k docs needs k payloads
+    # here but k·(k−1) membership rows in the cogroup shape below.
     if driver_max_payload_bytes > 0:
-        gathered: dict[int, dict[int, np.ndarray]] = {}
+        nodes_sorted = np.unique(np.concatenate([a, b]))
+        nrows_ds = node_payload_rows(
+            files, nodes_sorted, payload_fn, content_col=content_col, node_col=node_col
+        )
+        got: dict[int, np.ndarray] = {}
         total = 0
         over = False
-        for batch in rows_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for batch in nrows_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
             pay = batch["payload"]
             if isinstance(pay, pa.ChunkedArray):
                 pay = pay.combine_chunks()
@@ -280,30 +377,64 @@ def verify_pairs(
             if total > driver_max_payload_bytes:
                 over = True
                 break
-            for p_i, s_i, buf in zip(
-                batch["pair_idx"].to_numpy(), batch["side"].to_numpy(), pay.to_pylist()
-            ):
-                slot = gathered.setdefault(int(p_i), {})
-                if int(s_i) not in slot:
-                    slot[int(s_i)] = unpack_payload(buf)
+            for n_i, buf in zip(batch["node"].to_numpy(), pay.to_pylist()):
+                if int(n_i) not in got:  # cross-batch dup contents: keep first
+                    got[int(n_i)] = unpack_payload(buf)
         if not over:
-            out_rows = []
-            for i in range(a.shape[0]):
-                slot = gathered.get(i)
-                if not slot or 0 not in slot or 1 not in slot:
-                    continue
-                m = pair_metric(slot[0], slot[1])
-                if m is not None:
-                    out_rows.append(emit(int(a[i]), int(b[i]), m))
-            if not out_rows:
-                return ray.data.from_arrow(out_schema.empty_table())
-            cols = list(zip(*out_rows))
-            tbl = pa.table(
-                {f.name: pa.array(list(c), f.type) for f, c in zip(out_schema, cols)}
+            if got:
+                keys = np.fromiter(got.keys(), dtype=np.int64, count=len(got))
+                keys.sort()
+                vals = [got[int(k)] for k in keys]
+                lens = np.fromiter(
+                    (v.shape[0] for v in vals), dtype=np.int64, count=len(vals)
+                )
+                offs = np.zeros(len(vals) + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                flat = np.concatenate(vals) if vals else np.empty(0, np.uint64)
+            else:
+                keys = np.empty(0, np.int64)
+                flat = np.empty(0, np.uint64)
+                offs = np.zeros(1, np.int64)
+            n_pairs = a.shape[0]
+            if n_pairs <= 50_000:  # small: one local vectorized-lookup sweep
+                tbl = _verify_pair_range(
+                    (keys, flat, offs), a, b, pair_metric, emit, out_schema
+                )
+                return ray.data.from_arrow(tbl)
+            # large pair lists (boilerplate cliques): broadcast the payload
+            # map once via ray.put, verify pair ranges in parallel tasks
+            from europa_ray.util import default_num_partitions
+
+            map_ref = ray.put((keys, flat, offs))
+            ab_ref = ray.put((a, b))
+            n_chunks = int(
+                min(max(1, n_pairs // 50_000), max(default_num_partitions(), 1) * 2)
             )
-            return ray.data.from_arrow(tbl)
+            bounds = np.linspace(0, n_pairs, n_chunks + 1).astype(np.int64)
+
+            @ray.remote
+            def _chunk(map_t, ab_t, lo: int, hi: int) -> pa.Table:
+                aa, bb = ab_t
+                return _verify_pair_range(
+                    map_t, aa[lo:hi], bb[lo:hi], pair_metric, emit, out_schema
+                )
+
+            tbls = ray.get(
+                [
+                    _chunk.remote(map_ref, ab_ref, int(bounds[i]), int(bounds[i + 1]))
+                    for i in range(n_chunks)
+                ]
+            )
+            tbls = [t for t in tbls if t.num_rows]
+            if not tbls:
+                return ray.data.from_arrow(out_schema.empty_table())
+            return ray.data.from_arrow(pa.concat_tables(tbls))
         # over budget: fall through to the cogroup shuffle (recompute the
-        # explode — rare, and the map stage is the cheap part)
+        # explode per membership — rare, and the map stage is the cheap part)
+
+    rows_ds = payload_rows(
+        files, a, b, payload_fn, content_col=content_col, node_col=node_col
+    )
 
     # --- distributed shape (bucketed cogroup) ---
     # Grouping on raw pair_idx pays one Python map_groups call + one 1-row

@@ -141,17 +141,28 @@ def _pair_prefix_group(group: pa.Table, *, tau: float) -> pa.Table:
 
 
 def _grouped_all_pairs(
-    gid: np.ndarray, nd: np.ndarray, sz: np.ndarray, tau: float
+    gid: np.ndarray, nd: np.ndarray, sz: np.ndarray, tau: float,
+    *, large_group: int = 512,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized all-pairs within every group of a (sorted-by-gid, deduped)
     stream: groups are batched by SIZE so each distinct group size is one
-    ``triu_indices`` broadcast — no per-group Python loop."""
+    ``triu_indices`` broadcast — no per-group Python loop.
+
+    Groups of ≥ ``large_group`` nodes (boilerplate cliques) are the
+    quadratic regime: k docs sharing a header put ~the same grams in every
+    prefix, so many near-identical k-node groups each regenerate ~k²/2
+    mostly-duplicate pairs. Large groups overlapping ≥ 50 % are merged
+    (union-find) and their node UNION paired ONCE — a candidate SUPERSET
+    (any extra pair is discarded by exact verification; completeness is the
+    invariant, and the union covers every member group), generated 1×
+    instead of once per hot gram."""
     counts = np.bincount(gid)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
+    large_ids = np.nonzero(counts >= max(large_group, 2))[0]
     for m in np.unique(counts):
-        if m < 2:
+        if m < 2 or m >= max(large_group, 2):
             continue
         s = starts[counts == m]  # (g,) start offsets of all size-m groups
         iu, ju = np.triu_indices(m, k=1)  # (p,)
@@ -160,6 +171,56 @@ def _grouped_all_pairs(
         a, b = _length_filter(nd[ra], nd[rb], sz[ra], sz[rb], tau)
         out_a.append(a)
         out_b.append(b)
+    if large_ids.shape[0] > 64:
+        # degenerate corpus (hundreds of distinct large groups): the O(L²)
+        # overlap scan would dominate — pair each group directly instead
+        for i in large_ids:
+            seg_n = nd[starts[i] : starts[i] + counts[i]]
+            seg_s = sz[starts[i] : starts[i] + counts[i]]
+            iu, ju = np.triu_indices(seg_n.shape[0], k=1)
+            a, b = _length_filter(seg_n[iu], seg_n[ju], seg_s[iu], seg_s[ju], tau)
+            out_a.append(a)
+            out_b.append(b)
+        large_ids = np.empty(0, np.int64)
+    if large_ids.shape[0]:
+        segs = [  # (sorted nodes, sizes) per large group — rows are
+            # lexsorted by (gram, node), so each segment is node-sorted
+            (
+                nd[starts[i] : starts[i] + counts[i]],
+                sz[starts[i] : starts[i] + counts[i]],
+            )
+            for i in large_ids
+        ]
+        parent = list(range(len(segs)))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                ri, rj = find(i), find(j)
+                if ri == rj:
+                    continue
+                inter = np.intersect1d(
+                    segs[i][0], segs[j][0], assume_unique=True
+                ).shape[0]
+                if inter * 2 >= min(segs[i][0].shape[0], segs[j][0].shape[0]):
+                    parent[rj] = ri
+        merged: dict[int, list[int]] = {}
+        for i in range(len(segs)):
+            merged.setdefault(find(i), []).append(i)
+        for members in merged.values():
+            un = np.concatenate([segs[i][0] for i in members])
+            us = np.concatenate([segs[i][1] for i in members])
+            uu, first = np.unique(un, return_index=True)
+            usz = us[first]
+            iu, ju = np.triu_indices(uu.shape[0], k=1)
+            a, b = _length_filter(uu[iu], uu[ju], usz[iu], usz[ju], tau)
+            out_a.append(a)
+            out_b.append(b)
     if not out_a:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(out_a), np.concatenate(out_b)
@@ -171,6 +232,33 @@ def _dedupe_ab(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     keep = np.ones(a.shape[0], dtype=bool)
     keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     return a[keep], b[keep]
+
+
+def _distinct_group_rows(gid: np.ndarray, nd: np.ndarray) -> np.ndarray:
+    """Boolean row mask keeping ONE representative group per distinct node
+    SET. Boilerplate cliques make many prefix grams share the identical
+    member set (k docs sharing a header put the same ~(1−τ)·|header| grams
+    in every prefix); pairing each such group repeats the same k²/2 pairs
+    per gram, only for ``_dedupe_ab`` to discard the copies — on a 3 000-doc
+    clique that is ~85× the useful work (hundreds of millions of rows).
+    Two groups are equal iff their sorted node arrays match; a 64-bit
+    set hash (sum of splitmix64(node), length as tiebreak) identifies them
+    without materializing per-group tuples — same collision regime as the
+    engine's sha256-prefix node identity."""
+    from europa_ray.util import splitmix64
+
+    counts = np.bincount(gid)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    h = splitmix64(nd.view(np.uint64))
+    with np.errstate(over="ignore"):
+        gsum = np.add.reduceat(h, starts) if nd.shape[0] else np.empty(0, np.uint64)
+        # fold size into the set hash (1-D unique: axis-unique over 2-D
+        # void views is ~7× slower at millions of groups)
+        sig = splitmix64(gsum ^ splitmix64(counts.astype(np.uint64)))
+    _, rep_idx = np.unique(sig, return_index=True)
+    keep_group = np.zeros(counts.shape[0], dtype=bool)
+    keep_group[rep_idx] = True
+    return keep_group[gid]
 
 
 def prefix_candidate_pairs(
@@ -230,6 +318,11 @@ def prefix_candidate_pairs(
     keep[1:] = (g[1:] != g[:-1]) | (nd[1:] != nd[:-1])
     g, nd, sz = g[keep], nd[keep], sz[keep]
 
+    newg = np.ones(g.shape[0], dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    gid = np.cumsum(newg) - 1
+    dmask = _distinct_group_rows(gid, nd)
+    g, nd, sz = g[dmask], nd[dmask], sz[dmask]
     newg = np.ones(g.shape[0], dtype=bool)
     newg[1:] = g[1:] != g[:-1]
     gid = np.cumsum(newg) - 1
