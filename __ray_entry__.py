@@ -495,6 +495,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.node = inter.nb
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.72
         """,
+        # TRUE oracle for the long-shared-substring pass: the winnowing
+        # candidate stage (stages/substr.py:9-16) is probabilistically
+        # complete — a >=256-token shared block contains >=241 shared
+        # w-grams, P(no sampled gram) = (7/8)^241 ~ 1e-14 — and the
+        # verification metric is exact, so an all-pairs SQL scan computing
+        # the same longest-membership-run is a value-for-value oracle.
+        # Mirrors: mutant augmentation incl. the planted verbatim-block
+        # pairs (sources/augment.py _det_tokens — an affine stream mod
+        # 1000003 chosen to be SQL-expressible), node identity, tokenizer,
+        # w=16 grams, run>=241 threshold, est=(run+15)/(min_grams+15)
+        # (exact integer division in IEEE double on both sides).
+        "substr_pairs": r"""
+            WITH gen AS (
+              SELECT doc_id AS d,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'sb' || (((doc_id*1000+1) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS block,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fa' || (((doc_id*1000+2) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fa,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fb' || (((doc_id*1000+3) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fb
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 50 = 0
+            ),
+            alldocs AS (
+              SELECT text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT array_to_string(
+                       list_filter(string_split(text, ' '), (w, i) -> (i - 1) % 11 <> 0),
+                       ' ')
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+              UNION ALL SELECT fa || ' ' || block FROM gen
+              UNION ALL SELECT block || ' ' || fb FROM gen
+            ),
+            nodes AS (
+              SELECT text,
+                     CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
+                          - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                      >= 9223372036854775808::UBIGINT
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0::HUGEINT END
+                          AS BIGINT) AS node
+              FROM (SELECT DISTINCT text FROM alldocs)
+            ),
+            toks AS (SELECT node, regexp_extract_all(text, '\w+|[^\w\s]') AS tk FROM nodes),
+            wg AS (
+              SELECT node, i AS pos, array_to_string(tk[i:i+15], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 15, 0))) AS t(i)
+            ),
+            sizes AS (SELECT node, count(*) AS ng FROM wg GROUP BY node),
+            aset AS (SELECT DISTINCT node, gram FROM wg),
+            hits AS (
+              SELECT DISTINCT w.node AS nb, s.node AS na, w.pos
+              FROM wg w JOIN aset s USING (gram)
+              WHERE s.node < w.node
+            ),
+            runs AS (
+              SELECT na, nb,
+                     pos - row_number() OVER (PARTITION BY na, nb ORDER BY pos) AS isl
+              FROM hits
+            ),
+            best AS (
+              SELECT na, nb, max(c) AS run FROM (
+                SELECT na, nb, isl, count(*) AS c FROM runs GROUP BY 1, 2, 3
+              ) GROUP BY 1, 2
+            )
+            SELECT best.na AS a, best.nb AS b,
+                   (best.run + 15) / (least(sa.ng, sb.ng) + 15) AS est,
+                   'substr' AS source
+            FROM best
+            JOIN sizes sa ON sa.node = best.na
+            JOIN sizes sb ON sb.node = best.nb
+            WHERE best.run >= 241
+        """,
         "embedding_dup_pairs": """
             WITH emb AS (
                 SELECT vec_id, embedding FROM embeddings

@@ -36,12 +36,22 @@ EMB_DUP_OFFSET = 5_000_000
 EMB_DUP_EVERY = 20
 
 
-def _det_tokens(key: int, n: int, tag: str) -> str:
-    """Deterministic token sequence from a key (splitmix64 stream)."""
-    from europa_ray.util import splitmix64
+# SQL-expressible token generator: all intermediates stay far below 2^63 so
+# the DuckDB oracle (which errors on 64-bit overflow rather than wrapping,
+# ruling out splitmix64) reproduces the exact planted texts with plain
+# integer arithmetic — see oracle_sql()['substr_pairs'].
+_TOK_M = 1_000_003
+_TOK_A = 748_193
+_TOK_B = 40_503
 
-    vals = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(key))
-    return " ".join(f"{tag}{int(v) % 1_000_000}" for v in vals)
+
+def _det_tokens(key: int, n: int, tag: str) -> str:
+    """Deterministic token sequence from a key (affine stream mod
+    ``_TOK_M`` — period ≫ n, distinct keys give disjoint token sets with
+    near-certainty at the tag granularity)."""
+    base = (key % _TOK_M) * _TOK_A % _TOK_M
+    vals = (base + np.arange(n, dtype=np.int64) * _TOK_B) % _TOK_M
+    return " ".join(f"{tag}{int(v)}" for v in vals)
 
 
 def _mutant_rows(batch: pa.Table) -> list[tuple[int, str]]:
