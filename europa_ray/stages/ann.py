@@ -190,6 +190,14 @@ def lsh_topk(
     q_ref = ray.put((qn, qkey))
     planes_ref = ray.put(planes)
 
+    empty = pa.table(
+        {
+            "qidx": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
     def score(batch: pa.Table) -> pa.Table:
         q, qk = ray.get(q_ref)
         pl = ray.get(planes_ref)
@@ -197,22 +205,49 @@ def lsh_topk(
         m = _normalize(_embedding_matrix(bucketed))
         ids = bucketed[id_col].to_numpy()
         bkt = bucketed["bucket"].to_numpy()
-        out_q, out_n, out_s = [], [], []
-        for j in range(q.shape[0]):
-            mask = bkt == qk[j]
-            if not mask.any():
-                continue
-            sims = m[mask] @ q[j]
-            sub_ids = ids[mask]
-            top = _topk_tie_safe(sims, min(k + 1, sims.shape[0]))
-            out_q.extend([j] * top.shape[0])
-            out_n.extend(sub_ids[top].tolist())
-            out_s.extend(sims[top].tolist())
+        # one sort of the batch, then each query's bucket is a contiguous
+        # segment found by searchsorted — no per-query scan of the batch
+        order = np.argsort(bkt, kind="stable")
+        bs = bkt[order]
+        lo = np.searchsorted(bs, qk, side="left")
+        hi = np.searchsorted(bs, qk, side="right")
+        reps = hi - lo
+        sel = np.nonzero(reps > 0)[0]
+        if sel.shape[0] == 0:
+            return empty
+        reps = reps[sel]
+        total = int(reps.sum())
+        # expand every (query, bucket-member) pair: rows of the sorted batch
+        offs = np.zeros(sel.shape[0] + 1, dtype=np.int64)
+        np.cumsum(reps, out=offs[1:])
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs[:-1], reps)
+            + np.repeat(lo[sel], reps)
+        )
+        rows = order[pos]
+        qs = np.repeat(sel.astype(np.int64), reps)
+        sims = np.einsum("ij,ij->i", m[rows], q[qs])
+        nid = ids[rows]
+        # groupwise tie-safe top-(k+1): score at the (k+1)-th position is
+        # the per-query threshold; every row >= it is kept (ties included,
+        # matching _topk_tie_safe so the driver merge's id-ASC tiebreak
+        # never loses a smaller-id tie to per-batch truncation)
+        kk = k + 1
+        so = np.lexsort((nid, -sims, qs))
+        qs, sims, nid = qs[so], sims[so], nid[so]
+        newg = np.ones(total, dtype=bool)
+        newg[1:] = qs[1:] != qs[:-1]
+        gid = np.cumsum(newg) - 1
+        gstart = np.nonzero(newg)[0]
+        gsize = np.diff(np.concatenate([gstart, [total]]))
+        t_idx = gstart + np.minimum(kk, gsize) - 1
+        keep = sims >= sims[t_idx][gid]
         return pa.table(
             {
-                "qidx": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
+                "qidx": pa.array(qs[keep]),
+                "neighbor_id": pa.array(nid[keep]),
+                "score": pa.array(sims[keep], pa.float64()),
             }
         )
 

@@ -155,3 +155,55 @@ def test_media_stub_strict_raises_into_error_column(ray_session):
     feats = media_features(media, strict=True).to_pandas()
     assert feats.error.notna().all()
     assert feats.error.str.contains("NotImplementedError").all()
+
+
+def test_lsh_topk_matches_per_query_reference(ray_session, emb_np):
+    """The vectorized bucket-segment path must equal a plain per-query
+    reference: brute-force cosine restricted to the query's exact
+    hyperplane bucket, (score DESC, id ASC), self excluded, top k."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.stages.ann import _normalize, lsh_topk, make_planes
+
+    ids, mat = emb_np
+    q = mat[:25]
+    qids = ids[:25]
+    n_bits = 4  # coarse buckets: many members per bucket, ties plausible
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    # 5 blocks so the per-batch partial top-k + driver merge is exercised
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = lsh_topk(ds, q, qids, k=3, n_bits=n_bits).to_pandas()
+
+    planes = make_planes(mat.shape[1], n_bits, 42)
+    mn = _normalize(mat.astype(np.float64))
+    qn = _normalize(q.astype(np.float64))
+
+    def key(m):
+        bits = (m @ planes.T) >= 0
+        k_ = np.zeros(m.shape[0], dtype=np.uint64)
+        for i in range(n_bits):
+            k_ = (k_ << np.uint64(1)) | bits[:, i].astype(np.uint64)
+        return k_.view(np.int64)
+
+    ck, qk = key(mn), key(qn)
+    for j in range(q.shape[0]):
+        member = np.nonzero(ck == qk[j])[0]
+        sims = mn[member] @ qn[j]
+        order = sorted(
+            range(member.shape[0]), key=lambda i: (-sims[i], ids[member[i]])
+        )
+        want = [
+            (int(ids[member[i]]), round(float(sims[i]), 4))
+            for i in order
+            if ids[member[i]] != qids[j]
+        ][:3]
+        g = got[got.query_id == qids[j]].sort_values("rank")
+        assert list(zip(g.neighbor_id, g.score)) == want, f"query {qids[j]}"
