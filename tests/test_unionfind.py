@@ -56,3 +56,65 @@ def test_distributed_cc_matches_networkx(ray_session):
     labels = connected_components_distributed(ray.data.from_arrow(tbl)).to_pandas()
     got = dict(zip(labels.node.tolist(), labels.cluster.tolist()))
     assert got == _oracle(edges)
+
+
+def test_driver_cc_five_million_edges(ray_session):
+    """Scale evidence for the driver path (used up to cc_driver_max_edges =
+    5M): 5M edges over 1M nodes in 1000 components known by construction
+    (edges only connect nodes within the same id-block), labels must be the
+    per-block minimum. Runs in seconds — the O(E)-per-round pointer-jumping
+    implementation, not a per-edge Python loop."""
+    import time
+
+    import ray.data
+
+    from europa_ray.state.unionfind import connected_components_driver
+
+    n_nodes, n_comp, n_edges = 1_000_000, 1_000, 5_000_000
+    per = n_nodes // n_comp
+    rng = np.random.default_rng(7)
+    comp = rng.integers(0, n_comp, size=n_edges)
+    x = rng.integers(0, per, size=n_edges)
+    y = rng.integers(0, per, size=n_edges)
+    a = comp * per + x
+    b = comp * per + y
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # guarantee every component is fully connected: add a spanning path
+    base = np.repeat(np.arange(n_comp) * per, per - 1)
+    step = np.tile(np.arange(per - 1), n_comp)
+    a = np.concatenate([a, base + step])
+    b = np.concatenate([b, base + step + 1])
+    tbl = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    t0 = time.time()
+    got = connected_components_driver(ray.data.from_arrow(tbl))
+    dt = time.time() - t0
+    assert len(got) == n_nodes
+    items = np.array(list(got.items()), dtype=np.int64)
+    assert (items[:, 1] == (items[:, 0] // per) * per).all()
+    assert dt < 120, f"driver CC on 5M edges took {dt:.0f}s"
+
+
+def test_distributed_cc_path_graph_multi_round(ray_session):
+    """Worst-case round count for hash-to-min (a long path) plus disjoint
+    small components, through the join-based vectorized rounds and the
+    growth-guarded dedup."""
+    import ray.data
+
+    from europa_ray.state.unionfind import connected_components_distributed
+
+    path = [(i, i + 1) for i in range(400)]
+    cliques = [(1000 + 10 * c + i, 1000 + 10 * c + j)
+               for c in range(5) for i in range(3) for j in range(i + 1, 3)]
+    edges = path + cliques
+    tbl = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    labels = connected_components_distributed(ray.data.from_arrow(tbl))
+    got = {}
+    for b in labels.iter_batches(batch_format="pyarrow", batch_size=65536):
+        got.update(zip(b["node"].to_numpy().tolist(), b["cluster"].to_numpy().tolist()))
+    assert got == _oracle(edges)
