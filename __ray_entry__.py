@@ -347,7 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "exact_dup_members": """
             SELECT doc_id, sha256(text) AS sha256,
                    count(*) OVER (PARTITION BY sha256(text)) AS n_members
@@ -583,3 +583,12 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.9
         """,
     }
+    # The LSH variant shares the exact all-pairs oracle: at the driver's
+    # corpus scales every >=0.9 pair is a planted exact copy (cosine 1.0;
+    # random 64-d vectors concentrate near 0), and identical vectors share
+    # every hyperplane bucket, so multi-table LSH finds them with
+    # probability 1 — verified EQUAL at sf0.001/0.01/0.1. Recall at
+    # sub-1.0 similarity is covered by tests/test_embed_neardup.py
+    # (recall >= 0.99 vs the exact pass on perturbed planted pairs).
+    sql["embedding_dup_pairs_lsh"] = sql["embedding_dup_pairs"]
+    return sql
