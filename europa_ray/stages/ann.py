@@ -386,6 +386,19 @@ def embedding_near_dup_pairs(
     (6 bits × 12 tables, t = 0.9) union recall ≈ 0.998, higher above the
     threshold. Raise ``n_tables`` for tighter thresholds.
 
+    Multi-probe variant (considered; numbers for t = 0.9): 5 tables × 8
+    bits pairing buckets that differ in ≤ 1 bit gives union recall ≈
+    0.9965 at ~0.42× the shuffle rows and ~equal candidate volume
+    (16% vs 17% of random pairs). The 1-bit cross-bucket link is
+    implementable in the plasma-partitioned pairer by re-masking the
+    in-plasma key array per flip bit (partition on ``key & ~e_i``, pair
+    only across the bit split) — no extra shuffle rows — but costs 6
+    extra partition passes and an equivalent 6 extra groupbys in the
+    distributed fallback. At the current single-node operating points the
+    explode is not the bottleneck, so the simpler exact-key design wins;
+    flip to multi-probe when per-row shuffle volume dominates (≳10⁹ rows
+    per node) — the recall bar (≥ 0.99) still holds.
+
     Reference parity: ANN range search + score-threshold verify,
     ``/root/reference/Api/Client/QdrantRepository.cs:184-206``.
     """
