@@ -268,6 +268,7 @@ def prefix_candidate_pairs(
     content_col: str = "content",
     num_partitions: int | None = None,
     driver_max_explode_rows: int = 100_000_000,
+    large_group: int = 512,
 ):
     """Filtered corpus Dataset → COMPLETE candidate (a, b) pair Dataset for
     TRUE-Jaccard >= ``cfg.jaccard_threshold`` (prefix + length filters; no
@@ -326,7 +327,7 @@ def prefix_candidate_pairs(
     newg = np.ones(g.shape[0], dtype=bool)
     newg[1:] = g[1:] != g[:-1]
     gid = np.cumsum(newg) - 1
-    a, b = _grouped_all_pairs(gid, nd, sz, tau)
+    a, b = _grouped_all_pairs(gid, nd, sz, tau, large_group=large_group)
     if a.shape[0] == 0:
         return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
     a, b = _dedupe_ab(a, b)

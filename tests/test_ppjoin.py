@@ -158,3 +158,89 @@ def test_exact_duplicates_collapse_to_one_node(ray_session):
     got = exact_jaccard_pairs(_files_ds([base, base, near])).to_pandas()
     assert len(got) == 1  # (base-node, near-node); never (base, base)
     assert (got.a != got.b).all()
+
+
+def _all_pairs_reference(gid, nd, sz, tau):
+    """Per-group all-pairs with the length filter, as plain sets."""
+    from europa_ray.stages.ppjoin import _length_filter
+
+    out = set()
+    for g in np.unique(gid):
+        seg = np.nonzero(gid == g)[0]
+        n = nd[seg]
+        s = sz[seg]
+        iu, ju = np.triu_indices(n.shape[0], k=1)
+        a, b = _length_filter(n[iu], n[ju], s[iu], s[ju], tau)
+        out |= {(min(int(x), int(y)), max(int(x), int(y))) for x, y in zip(a, b)}
+    return out
+
+
+def _mk_groups(rng, n_groups, size, overlap_base=None):
+    """(gid, nd, sz) arrays: n_groups groups of `size` node-sorted members."""
+    gids, nds = [], []
+    for g in range(n_groups):
+        if overlap_base is not None:
+            # heavy overlap with the base set (merge-path trigger)
+            take = rng.choice(overlap_base, size - 2, replace=False)
+            extra = rng.integers(1 << 40, 1 << 60, 2)
+            members = np.unique(np.concatenate([take, extra]))
+        else:
+            members = np.unique(rng.integers(1 << 40, 1 << 60, size))
+        gids.append(np.full(members.shape[0], g, dtype=np.int64))
+        nds.append(np.sort(members))
+    gid = np.concatenate(gids)
+    nd = np.concatenate(nds)
+    sz = np.full(nd.shape[0], 100, dtype=np.int64)
+    return gid, nd, sz
+
+
+def test_grouped_all_pairs_merge_path_superset():
+    """Large overlapping groups (the boilerplate-clique regime) go through
+    the union-merge path: the result must be a SUPERSET of per-group
+    all-pairs (completeness — extras are discarded by exact verify)."""
+    from europa_ray.stages.ppjoin import _grouped_all_pairs
+
+    rng = np.random.default_rng(3)
+    base = np.unique(rng.integers(1 << 40, 1 << 60, 40))
+    gid, nd, sz = _mk_groups(rng, 6, 32, overlap_base=base)
+    truth = _all_pairs_reference(gid, nd, sz, 0.72)
+    a, b = _grouped_all_pairs(gid, nd, sz, 0.72, large_group=8)
+    got = {(min(int(x), int(y)), max(int(x), int(y))) for x, y in zip(a, b)}
+    assert truth <= got
+    assert len(truth) > 100
+
+
+def test_grouped_all_pairs_degenerate_many_large_groups():
+    """>64 distinct large groups: the O(L^2) overlap scan is skipped and
+    each group pairs directly — result must EQUAL per-group all-pairs."""
+    from europa_ray.stages.ppjoin import _grouped_all_pairs
+
+    rng = np.random.default_rng(4)
+    gid, nd, sz = _mk_groups(rng, 70, 12)  # 70 disjoint groups >= large_group
+    truth = _all_pairs_reference(gid, nd, sz, 0.72)
+    a, b = _grouped_all_pairs(gid, nd, sz, 0.72, large_group=8)
+    got = {(min(int(x), int(y)), max(int(x), int(y))) for x, y in zip(a, b)}
+    assert got == truth
+
+
+def test_clique_corpus_end_to_end_exact(ray_session):
+    """Boilerplate clique end-to-end with the merge path FORCED
+    (large_group=8): candidates stay complete and exact verification
+    yields exactly the brute-force pairs."""
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+    from europa_ray.stages.ppjoin import prefix_candidate_pairs
+
+    rng = np.random.default_rng(11)
+    header = " ".join(f"h{i}" for i in range(400))
+    docs = [header + " " + " ".join(f"u{j}_{i}" for i in range(12)) for j in range(30)]
+    docs += [" ".join(f"x{j}_{i}" for i in range(60)) for j in range(5)]
+    truth = _brute_pairs(docs, 0.72)
+    assert len(truth) >= 400  # the clique is above tau
+
+    cand = prefix_candidate_pairs(_files_ds(docs), large_group=8).to_pandas()
+    cset = {(int(r.a), int(r.b)) for r in cand.itertuples()}
+    assert set(truth) <= cset
+
+    got = exact_jaccard_pairs(_files_ds(docs)).to_pandas()
+    got_d = {(int(r.a), int(r.b)): round(float(r.jaccard), 6) for r in got.itertuples()}
+    assert got_d == truth
