@@ -162,6 +162,43 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 2)
 
     bench("substr", substr)
 
+    def incremental():
+        """Cross-run cache value: cold (empty cache) vs warm (same corpus —
+        zero delta recomputed) full incremental near-dup run. Reported as
+        two explicit keys rather than min-of-reps: the cold/warm ratio IS
+        the measurement."""
+        import shutil
+
+        from europa_ray.config import DEFAULT_CONFIG as cfg
+        from europa_ray.pipelines.neardup import assemble_members
+        from europa_ray.stages.lsh import candidate_pairs
+        from europa_ray.state.sigcache import incremental_pairs, incremental_signatures
+        from europa_ray.state.unionfind import components
+
+        root = "/tmp/europa_bench_ckpt"
+        shutil.rmtree(root, ignore_errors=True)
+
+        def once():
+            sigs, _ = incremental_signatures(read(), cfg, cache_root=root)
+            sigs = sigs.materialize()
+            new_pairs = candidate_pairs(sigs, cfg).materialize()
+            pairs, _ = incremental_pairs(new_pairs, cache_root=root, cfg=cfg)
+            labels = components(
+                pairs.materialize(), driver_max_edges=cfg.cc_driver_max_edges
+            )
+            return assemble_members(sigs, labels, cfg).count()
+
+        t0 = time.time()
+        n = once()
+        timings["neardup_incremental_cold"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        n = once()
+        timings["neardup_incremental_warm"] = round(time.time() - t0, 3)
+        timings["neardup_incremental_warm_rows"] = n
+
+    if not only or only == "incremental":
+        incremental()
+
     def ann():
         import duckdb
 
