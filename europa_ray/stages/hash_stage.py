@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from europa_ray.util import sha256_hex_arrow, sha256_prefix_hex
+from europa_ray.util import sha256_hex_arrow, sha256_prefix_hex_arrow
 
 
 def add_sha256(batch: pa.Table, *, drop_content: bool = True, keep_cols=None) -> pa.Table:
@@ -39,12 +39,11 @@ def add_prefix_key(batch: pa.Table) -> pa.Table:
     ``DuplicateByHashFinder.cs:42-76``): ``(size, sha256-of-10%-prefix)``
     folded into one string key. Content is dropped — pass 1 is metadata-only.
     """
-    texts = batch["content"].to_pylist()
-    pref = sha256_prefix_hex(texts, 0.1)
+    pref = sha256_prefix_hex_arrow(batch["content"], 0.1)
     size = pc.utf8_length(batch["content"]).cast(pa.int64())
     keys = [
         None if p is None else f"{s}:{p}"
-        for p, s in zip(pref, size.to_pylist())
+        for p, s in zip(pref, size.to_numpy(zero_copy_only=False))
     ]
     out = batch.append_column("prefix_key", pa.array(keys, type=pa.string()))
     out = out.filter(pc.is_valid(out["prefix_key"]))

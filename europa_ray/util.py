@@ -102,16 +102,33 @@ def sha256_hex_arrow(col) -> list[str | None]:
     return out
 
 
-def sha256_prefix_hex(texts, fraction: float = 0.1) -> list[str | None]:
-    """sha256 of the first ``ceil(len * fraction)`` characters (two-pass trick,
-    ``DuplicateByHashFinder.cs:42-44,96-98``)."""
+def sha256_prefix_hex_arrow(col, fraction: float = 0.1) -> list[str | None]:
+    """sha256 hex of each row's first ``ceil(byte_len * fraction)`` UTF-8
+    BYTES, straight from the Arrow buffer (no Python string round-trip).
+    Byte- rather than character-prefix matches the reference, which hashes
+    the first 10% of file BYTES (``HashGenerator.cs:14-47`` via
+    ``bytesToHash``); any deterministic prefix function is a valid pass-1
+    key (content equality ⇒ prefix equality). Empty/null rows → None."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return []
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
+    lens = np.diff(offs)
+    pref = -(-lens * max(1, int(round(fraction * 100))) // 100)
+    mv = memoryview(bufs[2])
     out: list[str | None] = []
-    for t in texts:
-        if t is None or len(t) == 0:
+    for i in range(n):
+        s = offs[i]
+        if lens[i] == 0:
             out.append(None)
         else:
-            n = -(-len(t) * 10 // 100) if fraction == 0.1 else max(1, int(np.ceil(len(t) * fraction)))
-            out.append(hashlib.sha256(t[:n].encode("utf-8")).hexdigest())
+            out.append(hashlib.sha256(mv[s : s + pref[i]]).hexdigest())
     return out
 
 
