@@ -64,7 +64,7 @@ def corpus_dir(rows: int = BENCH_ROWS, seed: int = SEED) -> str:
     return files_dir
 
 
-def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 2) -> dict[str, float]:
+def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3) -> dict[str, float]:
     import ray
 
     if not ray.is_initialized():
@@ -104,14 +104,15 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 2)
     def bench(name: str, fn):
         if only and name != only:
             return
-        # two passes, report the min (steady state): on this VM the first
-        # full-size execution of a pipeline pays one-off worker-heap
-        # page-fault costs and ±25% scheduler noise that say nothing about
-        # engine throughput; the min of two runs is reproducible run-to-run
-        # while a single sample is not (measured spread up to 2×).
+        # min of reps_per_query passes (steady state): on this VM the
+        # first full-size execution of a pipeline pays one-off worker-heap
+        # page-fault costs, and the host shows multi-minute slow phases
+        # (round 3 measured first-touch fault-rate collapses to ~50 MB/s;
+        # see BENCH/BASELINE.md) — 3 samples per query give min() a chance
+        # to land in a calm window; a single sample spreads up to 2-3x.
         best = None
         n = None
-        for _ in range(2 if reps_per_query > 1 else 1):
+        for _ in range(reps_per_query):
             t0 = time.time()
             n = fn()
             dt = time.time() - t0
