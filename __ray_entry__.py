@@ -298,6 +298,23 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
     )
 
 
+def _q_line_dup_stats(sf_dir: str):
+    """C4/CCNet-style line-level dedup, global stats: lines (≥30 chars)
+    occurring more than once in the line-augmented corpus."""
+    from europa_ray.pipelines.linededup import line_dup_stats
+    from europa_ray.sources.augment import with_line_docs
+
+    return line_dup_stats(with_line_docs(_docs(sf_dir)))
+
+
+def _q_line_dedup_stats(sf_dir: str):
+    """Per-document keep/drop accounting under first-doc-wins line dedup."""
+    from europa_ray.pipelines.linededup import line_dedup_stats
+    from europa_ray.sources.augment import with_line_docs
+
+    return line_dedup_stats(with_line_docs(_docs(sf_dir)))
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
 
@@ -343,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_pairs": wrap(_q_exact_dup_pairs),
         "file_kind_counts": wrap(_q_file_kind_counts),
         "neighbor_sets": wrap(_q_neighbor_sets),
+        "line_dup_stats": wrap(_q_line_dup_stats),
+        "line_dedup_stats": wrap(_q_line_dedup_stats),
     }
 
 
@@ -568,6 +587,84 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.node = best.na
             JOIN sizes sb ON sb.node = best.nb
             WHERE best.run >= 241
+        """,
+        # Line-level dedup oracles. The docs2 CTE mirrors the
+        # sources/augment.py with_line_docs fixture token-for-token (header
+        # + marker + 25-token body chunks via 1-based INCLUSIVE list slices
+        # tk[i:i+24] + every-3rd-doc repeated header + unique footer); the
+        # stats mirror pipelines/linededup.py semantics: lines are
+        # chr(10)-split segments, dedupable iff length >= 30 chars, and a
+        # dedupable line is dropped from every doc except its minimum
+        # doc_id keeper (within-keeper repeats kept).
+        "line_dup_stats": """
+            WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents WHERE text IS NOT NULL
+            ),
+            body AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(tk[i:i+24], ' '), chr(10) ORDER BY i) AS body
+              FROM tk, unnest(generate_series(1, greatest(len(tk), 1), 25)) AS t(i)
+              GROUP BY doc_id
+            ),
+            docs2 AS (
+              SELECT t.doc_id,
+                     'boilerplate license header text variant ' || (t.doc_id % 7) || chr(10) ||
+                     'shared section marker number ' || (t.doc_id % 97) || ' of this corpus' || chr(10) ||
+                     b.body ||
+                     CASE WHEN t.doc_id % 3 = 0
+                          THEN chr(10) || 'boilerplate license header text variant ' || (t.doc_id % 7)
+                          ELSE '' END ||
+                     chr(10) || 'unique footer line for document number ' || t.doc_id AS text
+              FROM tk t JOIN body b USING (doc_id)
+            ),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs2
+            )
+            SELECT sha256(line) AS line_sha,
+                   count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM lines WHERE length(line) >= 30
+            GROUP BY line HAVING count(*) > 1
+        """,
+        "line_dedup_stats": """
+            WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents WHERE text IS NOT NULL
+            ),
+            body AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(tk[i:i+24], ' '), chr(10) ORDER BY i) AS body
+              FROM tk, unnest(generate_series(1, greatest(len(tk), 1), 25)) AS t(i)
+              GROUP BY doc_id
+            ),
+            docs2 AS (
+              SELECT t.doc_id,
+                     'boilerplate license header text variant ' || (t.doc_id % 7) || chr(10) ||
+                     'shared section marker number ' || (t.doc_id % 97) || ' of this corpus' || chr(10) ||
+                     b.body ||
+                     CASE WHEN t.doc_id % 3 = 0
+                          THEN chr(10) || 'boilerplate license header text variant ' || (t.doc_id % 7)
+                          ELSE '' END ||
+                     chr(10) || 'unique footer line for document number ' || t.doc_id AS text
+              FROM tk t JOIN body b USING (doc_id)
+            ),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs2
+            ),
+            counts AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+            ded AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY line) AS keeper
+              FROM lines WHERE length(line) >= 30
+            ),
+            drops AS (
+              SELECT doc_id, count(*) AS n_dropped
+              FROM ded WHERE doc_id > keeper GROUP BY doc_id
+            )
+            SELECT c.doc_id, c.n_lines,
+                   c.n_lines - coalesce(d.n_dropped, 0) AS n_kept,
+                   coalesce(d.n_dropped, 0) AS n_dropped
+            FROM counts c LEFT JOIN drops d USING (doc_id)
         """,
         "embedding_dup_pairs": """
             WITH emb AS (

@@ -17,6 +17,13 @@ randomness:
   oracle side (a float-perturbed copy would risk 4-dp rounding skew
   between numpy and DuckDB), so ``embedding_dup_pairs`` verifies >0 rows
   value-for-value.
+- ``with_line_docs``: rewrites every doc into a multi-LINE document with
+  planted cross-doc duplicate lines (a 7-variant boilerplate header, a
+  97-variant section marker), within-doc repeats (every 3rd doc repeats
+  its header) and a unique footer — the fixture for the C4/CCNet-style
+  line-level dedup operators, whose raw input is single-line and would
+  otherwise make those queries vacuous. SQL-expressible (string concat +
+  list slicing only), mirrored in ``oracle_sql()['line_dedup_stats']``.
 """
 
 from __future__ import annotations
@@ -107,6 +114,45 @@ def with_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     """files-shaped Dataset (with doc_id) ∪ deterministic mutants."""
     mutants = files_ds.map_batches(_mutate_batch, batch_format="pyarrow")
     return files_ds.union(mutants)
+
+
+LINE_CHUNK_TOKENS = 25  # body lines: 25 source tokens each (SQL tk[i:i+24])
+
+
+def _line_doc_text(d: int, t: str) -> str:
+    """One multi-line document from (doc_id, single-line text): header +
+    section marker + 25-token body chunks (+ repeated header every 3rd doc)
+    + unique footer. Pure function of the input, mirrored token-for-token by
+    the DuckDB ``docs2`` CTE in ``oracle_sql()``."""
+    toks = t.split(" ")
+    chunks = [
+        " ".join(toks[i : i + LINE_CHUNK_TOKENS])
+        for i in range(0, max(len(toks), 1), LINE_CHUNK_TOKENS)
+    ]
+    header = f"boilerplate license header text variant {d % 7}"
+    marker = f"shared section marker number {d % 97} of this corpus"
+    parts = [header, marker, *chunks]
+    if d % 3 == 0:
+        parts.append(header)
+    parts.append(f"unique footer line for document number {d}")
+    return "\n".join(parts)
+
+
+def _line_docs_batch(batch: pa.Table) -> pa.Table:
+    """Per-row Python is fine here: augmenters are test fixtures, not hot
+    pipeline stages (house precedent: ``_mutant_rows``)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["content"].to_pylist()
+    new = [None if t is None else _line_doc_text(d, t) for d, t in zip(ids, texts)]
+    return batch.set_column(
+        batch.column_names.index("content"), "content", pa.array(new, pa.string())
+    )
+
+
+def with_line_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset with every content rewritten into a multi-line
+    document carrying planted duplicate lines (see module docstring)."""
+    return files_ds.map_batches(_line_docs_batch, batch_format="pyarrow")
 
 
 def _dup_embeddings(batch: pa.Table) -> pa.Table:

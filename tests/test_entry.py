@@ -67,6 +67,8 @@ def test_all_queries_have_callables(entry_mod):
         "embedding_dup_pairs",
         "ngram_jaccard_pairs",
         "file_kind_counts",
+        "line_dup_stats",
+        "line_dedup_stats",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
