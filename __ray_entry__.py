@@ -315,6 +315,19 @@ def _q_line_dedup_stats(sf_dir: str):
     return line_dedup_stats(with_line_docs(_docs(sf_dir)))
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals over the line-augmented
+    corpus (the raw corpus is single-line → all-zero line metrics)."""
+    from europa_ray.pipelines.textstats import repetition_batch
+    from europa_ray.sources.augment import with_line_docs
+
+    return with_line_docs(_docs(sf_dir)).map_batches(
+        repetition_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(
+        ["doc_id", "n_lines", "dup_line_ppm", "dup_line_char_ppm", "top_token_ppm"]
+    )
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
 
@@ -362,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sets": wrap(_q_neighbor_sets),
         "line_dup_stats": wrap(_q_line_dup_stats),
         "line_dedup_stats": wrap(_q_line_dedup_stats),
+        "repetition_stats": wrap(_q_repetition_stats),
     }
 
 
@@ -665,6 +679,61 @@ def oracle_sql() -> dict[str, str]:
                    c.n_lines - coalesce(d.n_dropped, 0) AS n_kept,
                    coalesce(d.n_dropped, 0) AS n_dropped
             FROM counts c LEFT JOIN drops d USING (doc_id)
+        """,
+        # Repetition signals share the docs2 fixture; ALL lines count here
+        # (no >=30-char rule — within-doc repetition is a quality signal,
+        # not dedup). Integer ppm floor-division on both sides.
+        "repetition_stats": r"""
+            WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents WHERE text IS NOT NULL
+            ),
+            body AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(tk[i:i+24], ' '), chr(10) ORDER BY i) AS body
+              FROM tk, unnest(generate_series(1, greatest(len(tk), 1), 25)) AS t(i)
+              GROUP BY doc_id
+            ),
+            docs2 AS (
+              SELECT t.doc_id,
+                     'boilerplate license header text variant ' || (t.doc_id % 7) || chr(10) ||
+                     'shared section marker number ' || (t.doc_id % 97) || ' of this corpus' || chr(10) ||
+                     b.body ||
+                     CASE WHEN t.doc_id % 3 = 0
+                          THEN chr(10) || 'boilerplate license header text variant ' || (t.doc_id % 7)
+                          ELSE '' END ||
+                     chr(10) || 'unique footer line for document number ' || t.doc_id AS text
+              FROM tk t JOIN body b USING (doc_id)
+            ),
+            lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM docs2
+            ),
+            grp AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+              FROM lines GROUP BY doc_id, line
+            ),
+            lstats AS (
+              SELECT doc_id, sum(cnt) AS n_lines,
+                     sum(cnt) - count(*) AS n_dup_lines,
+                     sum(cnt * len) AS total_chars,
+                     sum((cnt - 1) * len) AS dup_chars
+              FROM grp GROUP BY doc_id
+            ),
+            toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS tok
+              FROM docs2
+            ),
+            tgrp AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+            tstats AS (
+              SELECT doc_id, sum(cnt) AS n_tokens, max(cnt) AS top
+              FROM tgrp GROUP BY doc_id
+            )
+            SELECT l.doc_id,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
+                   CAST(l.n_dup_lines * 1000000 // greatest(l.n_lines, 1) AS BIGINT) AS dup_line_ppm,
+                   CAST(l.dup_chars * 1000000 // greatest(l.total_chars, 1) AS BIGINT) AS dup_line_char_ppm,
+                   CAST(t.top * 1000000 // greatest(t.n_tokens, 1) AS BIGINT) AS top_token_ppm
+            FROM lstats l JOIN tstats t USING (doc_id)
         """,
         "embedding_dup_pairs": """
             WITH emb AS (

@@ -348,6 +348,92 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1),
+    one fused vectorized pass, integer-ppm outputs for exact SQL parity:
+
+    - ``dup_line_ppm``     — duplicated lines / total lines (occurrences
+      beyond the first of each distinct line within the doc);
+    - ``dup_line_char_ppm`` — characters in those duplicate occurrences /
+      total line characters (newlines excluded from both sides);
+    - ``top_token_ppm``    — occurrences of the most frequent token /
+      total tokens (tokenizer = the corpus-wide ``\\w+|[^\\w\\s]``).
+
+    Lines are ``'\\n'``-split segments, ALL lines counted (no length
+    cutoff — repetition is a within-doc quality signal, unlike the ≥30-char
+    dedup rule in :mod:`~europa_ray.pipelines.linededup`). Null-content
+    rows are excluded. Line identity via sha256 (empty lines keyed
+    separately), token identity via the 64-bit token hash (exact for
+    tokens ≤ 16 bytes; collision odds beyond are ~n²/2⁶⁴)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    id_cols = [c for c in batch.column_names if c != text_col]
+    valid = pc.is_valid(col)
+    col = col.filter(valid)
+    kept = batch.select(id_cols).filter(valid)
+    n_rows = len(col)
+
+    split = pc.split_pattern(col, "\n")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    n_lines = pc.list_value_length(split).cast(pa.int64()).to_numpy()
+    flat = split.flatten()
+    lens = pc.utf8_length(flat).to_numpy().astype(np.int64) if len(flat) else np.empty(0, np.int64)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n_lines)
+
+    from europa_ray.util import sha256_hex_arrow
+
+    keys = np.zeros(len(flat), dtype="S64")  # b"" keys the empty line
+    nonempty = lens > 0
+    if nonempty.any():
+        keys[nonempty] = np.asarray(
+            sha256_hex_arrow(flat.filter(pa.array(nonempty))), dtype="S64"
+        )
+    order = np.lexsort((keys, row_of))
+    rk, rr, rl = keys[order], row_of[order], lens[order]
+    new = np.ones(rk.shape[0], dtype=bool)
+    if rk.shape[0]:
+        new[1:] = (rr[1:] != rr[:-1]) | (rk[1:] != rk[:-1])
+    starts = np.nonzero(new)[0]
+    occ = np.diff(np.concatenate([starts, [rk.shape[0]]]))
+    run_row = rr[starts] if starts.shape[0] else np.empty(0, np.int64)
+    n_distinct = np.bincount(run_row, minlength=n_rows)
+    dup_lines = n_lines - n_distinct
+    dup_chars = np.bincount(
+        run_row, weights=(occ - 1) * rl[starts], minlength=n_rows
+    ).astype(np.int64) if starts.shape[0] else np.zeros(n_rows, np.int64)
+    total_chars = np.bincount(row_of, weights=lens, minlength=n_rows).astype(np.int64)
+
+    th, off = tokenize_arrow(col)
+    tok_lens = np.diff(off)
+    tok_row = np.repeat(np.arange(n_rows, dtype=np.int64), tok_lens)
+    top = np.zeros(n_rows, dtype=np.int64)
+    if th.shape[0]:
+        t_order = np.lexsort((th, tok_row))
+        tk, tr = th[t_order], tok_row[t_order]
+        t_new = np.ones(tk.shape[0], dtype=bool)
+        t_new[1:] = (tr[1:] != tr[:-1]) | (tk[1:] != tk[:-1])
+        t_starts = np.nonzero(t_new)[0]
+        t_occ = np.diff(np.concatenate([t_starts, [tk.shape[0]]]))
+        np.maximum.at(top, tr[t_starts], t_occ)
+    n_tokens = tok_lens.astype(np.int64)
+
+    out = kept
+    out = out.append_column("n_lines", pa.array(n_lines))
+    out = out.append_column(
+        "dup_line_ppm", pa.array(dup_lines * 1_000_000 // np.maximum(n_lines, 1))
+    )
+    out = out.append_column(
+        "dup_line_char_ppm",
+        pa.array(dup_chars * 1_000_000 // np.maximum(total_chars, 1)),
+    )
+    out = out.append_column(
+        "top_token_ppm", pa.array(top * 1_000_000 // np.maximum(n_tokens, 1))
+    )
+    return out
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit order-sensitive document fingerprint: splitmix-mixed sum of
     (token hash ⊕ mixed position) — order-sensitive, fully vectorized with

@@ -69,6 +69,7 @@ def test_all_queries_have_callables(entry_mod):
         "file_kind_counts",
         "line_dup_stats",
         "line_dedup_stats",
+        "repetition_stats",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):

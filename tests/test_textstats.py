@@ -250,3 +250,49 @@ def test_lang_id_mixed_sample_combined(ray_session):
     truth = [l for l, _ in combined]
     acc = sum(p == t_ for p, t_ in zip(pred, truth)) / len(truth)
     assert acc >= 0.9, f"combined accuracy {acc}: {list(zip(truth, pred))}"
+
+
+def test_repetition_stats_hand_computed(ray_session):
+    """Gopher repetition signals on a hand-built doc: known line and token
+    repetition structure."""
+    import pyarrow as pa
+
+    from europa_ray.pipelines.textstats import repetition_batch
+
+    # 4 lines: "aa bb" ×2 (dup), "cc" , "aa bb cc dd" — 8 tokens, 'aa' ×3
+    text = "aa bb\ncc\naa bb\naa bb cc dd"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([text, None], pa.string()),
+        }
+    )
+    out = repetition_batch(t)
+    assert out["doc_id"].to_pylist() == [1]  # null-content row excluded
+    assert out["n_lines"].to_pylist() == [4]
+    # 1 duplicate occurrence / 4 lines
+    assert out["dup_line_ppm"].to_pylist() == [1_000_000 // 4]
+    # dup chars = len("aa bb") = 5; total line chars = 5+2+5+11 = 23
+    assert out["dup_line_char_ppm"].to_pylist() == [5 * 1_000_000 // 23]
+    # 'aa' and 'bb' appear 3×... tokens: aa bb cc aa bb aa bb cc dd = 9 tokens
+    # aa×3 bb×3 cc×2 dd×1 → top=3, n_tokens=9
+    assert out["top_token_ppm"].to_pylist() == [3 * 1_000_000 // 9]
+
+
+def test_repetition_stats_schema_on_empty_and_null(ray_session):
+    """All-null and zero-row batches keep the canonical output schema."""
+    import pyarrow as pa
+
+    from europa_ray.pipelines.textstats import repetition_batch
+
+    nul = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([None], pa.string())}
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    names = ["doc_id", "n_lines", "dup_line_ppm", "dup_line_char_ppm", "top_token_ppm"]
+    for b in (nul, empty):
+        out = repetition_batch(b)
+        assert out.num_rows == 0
+        assert out.column_names == names
