@@ -279,6 +279,22 @@ def _q_ann_topk_lsh(sf_dir: str):
     return lsh_topk(_load_embeddings(sf_dir), q, ids, k=5, n_bits=4)
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF-quantized ANN top-k. Driver config probes ALL cells
+    (nprobe = nlist), which scores every (query, row) pair exactly once —
+    value-identical to brute force BY CONSTRUCTION, so it legitimately
+    shares the ``ann_topk`` oracle while still exercising the full IVF
+    machinery (training, assignment, probe-table scoring, tie-safe merge).
+    Pruned-probe recall (nprobe < nlist) is measured on clustered data in
+    tests/test_ann_media.py."""
+    from europa_ray.stages.ann import ivf_topk
+
+    q, ids = _query_vectors(sf_dir, 10)
+    return ivf_topk(
+        _load_embeddings(sf_dir), q, ids, k=5, nlist=16, nprobe=16
+    )
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     """Exact cosine ≥ 0.9 over the dup-augmented embeddings (the raw table
     has no near-dups, so the un-augmented query proved only 'runs' — the
@@ -367,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": wrap(_q_ngram_jaccard_pairs),
         "ann_topk": wrap(_q_ann_topk),
         "ann_topk_lsh": wrap(_q_ann_topk_lsh),
+        "ann_topk_ivf": wrap(_q_ann_topk_ivf),
         "embedding_dup_pairs": wrap(_q_embedding_dup_pairs),
         "embedding_dup_pairs_lsh": wrap(_q_embedding_dup_pairs_lsh),
         "multimodal_features": wrap(_q_multimodal_features),
@@ -757,4 +774,11 @@ def oracle_sql() -> dict[str, str]:
     # sub-1.0 similarity is covered by tests/test_embed_neardup.py
     # (recall >= 0.99 vs the exact pass on perturbed planted pairs).
     sql["embedding_dup_pairs_lsh"] = sql["embedding_dup_pairs"]
+    # The IVF variant's driver config probes every cell (nprobe = nlist):
+    # each (query, row) pair is scored exactly once, so the result equals
+    # brute force by construction and the exact top-k oracle applies —
+    # while the run still exercises centroid training, cell assignment,
+    # probe-table scoring and the tie-safe merge. Pruned-probe recall is
+    # covered by tests/test_ann_media.py on clustered data.
+    sql["ann_topk_ivf"] = sql["ann_topk"]
     return sql

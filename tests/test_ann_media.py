@@ -207,3 +207,66 @@ def test_lsh_topk_matches_per_query_reference(ray_session, emb_np):
         ][:3]
         g = got[got.query_id == qids[j]].sort_values("rank")
         assert list(zip(g.neighbor_id, g.score)) == want, f"query {qids[j]}"
+
+
+def _clustered_embeddings(n_clusters=20, per_cluster=100, dim=32, seed=7):
+    """Gaussian clusters on the sphere — data where IVF pruning is the
+    right tool (random uniform vectors have no cell structure to exploit)."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per_cluster, axis=0) + 0.15 * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    )
+    ids = np.arange(pts.shape[0], dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+        }
+    )
+    return ray.data.from_arrow(t), pts, ids
+
+
+def test_ivf_full_probe_equals_brute_force(ray_session, emb, emb_np):
+    """nprobe == nlist scores every (query, row) pair exactly once — the
+    result must be value-identical to brute force (this equivalence is what
+    licenses the shared ann_topk oracle in __ray_entry__)."""
+    from europa_ray.stages.ann import brute_force_topk, ivf_topk
+
+    ids, mat = emb_np
+    q, qid = mat[:8], ids[:8]
+    want = brute_force_topk(emb, q, qid, k=5).to_pandas()
+    got = ivf_topk(emb, q, qid, k=5, nlist=16, nprobe=16).to_pandas()
+    assert got.equals(want), (got.head(), want.head())
+
+
+def test_ivf_pruned_probe_recall_on_clustered_data(ray_session):
+    """nprobe ≪ nlist on clustered data: recall@10 ≥ 0.95 vs brute force
+    while scanning a fraction of the cells."""
+    from europa_ray.stages.ann import brute_force_topk, ivf_topk, train_centroids
+
+    ds, pts, ids = _clustered_embeddings()
+    q, qid = pts[:25], ids[:25]
+    cent = train_centroids(ds, nlist=32, sample_rows=2000, seed=3)
+    want = brute_force_topk(ds, q, qid, k=10).to_pandas()
+    got = ivf_topk(ds, q, qid, k=10, nprobe=6, centroids=cent).to_pandas()
+    truth = {qq: set(g.neighbor_id) for qq, g in want.groupby("query_id")}
+    found = {qq: set(g.neighbor_id) for qq, g in got.groupby("query_id")}
+    hits = sum(len(truth[qq] & found.get(qq, set())) for qq in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.95, f"IVF recall {recall:.3f}"
+
+
+def test_ivf_training_deterministic(ray_session):
+    from europa_ray.stages.ann import train_centroids
+
+    ds, _, _ = _clustered_embeddings()
+    c1 = train_centroids(ds, nlist=16, sample_rows=1000, seed=11)
+    c2 = train_centroids(ds, nlist=16, sample_rows=1000, seed=11)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)

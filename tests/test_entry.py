@@ -64,6 +64,7 @@ def test_all_queries_have_callables(entry_mod):
         "quality_scores",
         "text_profile",
         "ann_topk",
+        "ann_topk_ivf",
         "embedding_dup_pairs",
         "ngram_jaccard_pairs",
         "file_kind_counts",
