@@ -344,6 +344,35 @@ def _q_repetition_stats(sf_dir: str):
     )
 
 
+def _q_vocab_top_words(sf_dir: str):
+    """Corpus-wide word-count top-k (partial-count combiner → vocabulary-
+    sized groupby → deterministic tie-safe cut)."""
+    from europa_ray.pipelines.vocab import vocab_top_words
+
+    return vocab_top_words(_docs(sf_dir), k=50)
+
+
+def _q_pii_stats(sf_dir: str):
+    """Per-doc PII match counts over the PII-augmented corpus."""
+    from europa_ray.pipelines.pii import pii_stats_batch
+    from europa_ray.sources.augment import with_pii_docs
+
+    return with_pii_docs(_docs(sf_dir)).map_batches(
+        pii_stats_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_emails", "n_urls", "n_ips", "n_pii"])
+
+
+def _q_pii_redacted(sf_dir: str):
+    """sha256 of the redacted text per doc (email → URL → IP order), value-
+    checked against the SQL regexp_replace chain."""
+    from europa_ray.pipelines.pii import pii_redact_batch
+    from europa_ray.sources.augment import with_pii_docs
+
+    return with_pii_docs(_docs(sf_dir)).map_batches(
+        pii_redact_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "redacted_sha"])
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
 
@@ -393,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dup_stats": wrap(_q_line_dup_stats),
         "line_dedup_stats": wrap(_q_line_dedup_stats),
         "repetition_stats": wrap(_q_repetition_stats),
+        "vocab_top_words": wrap(_q_vocab_top_words),
+        "pii_stats": wrap(_q_pii_stats),
+        "pii_redacted": wrap(_q_pii_redacted),
     }
 
 
@@ -696,6 +728,78 @@ def oracle_sql() -> dict[str, str]:
                    c.n_lines - coalesce(d.n_dropped, 0) AS n_kept,
                    coalesce(d.n_dropped, 0) AS n_dropped
             FROM counts c LEFT JOIN drops d USING (doc_id)
+        """,
+        "vocab_top_words": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE text IS NOT NULL
+            )
+            WHERE word != ''
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 50
+        """,
+        # PII oracles: the pii_docs CTE mirrors sources/augment.py
+        # with_pii_docs; patterns are RE2 on both sides (Arrow and DuckDB
+        # embed the same regex engine), applied/counted with identical
+        # leftmost non-overlapping semantics.
+        "pii_stats": r"""
+            WITH pii_docs AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 13 = 0
+                          THEN ' contact user' || doc_id || '@example.com for details'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 17 = 0
+                          THEN ' see https://example.org/page/' || doc_id || ' now'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 19 = 0
+                          THEN ' host 10.' || (doc_id % 200) || '.' || (doc_id % 250)
+                               || '.' || (doc_id % 97) || ' logged'
+                          ELSE '' END AS text
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            counted AS (
+              SELECT doc_id,
+                CAST(length(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(length(regexp_extract_all(text,
+                  'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                CAST(length(regexp_extract_all(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+              FROM pii_docs
+            )
+            SELECT doc_id, n_emails, n_urls, n_ips,
+                   n_emails + n_urls + n_ips AS n_pii
+            FROM counted
+        """,
+        "pii_redacted": r"""
+            WITH pii_docs AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 13 = 0
+                          THEN ' contact user' || doc_id || '@example.com for details'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 17 = 0
+                          THEN ' see https://example.org/page/' || doc_id || ' now'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 19 = 0
+                          THEN ' host 10.' || (doc_id % 200) || '.' || (doc_id % 250)
+                               || '.' || (doc_id % 97) || ' logged'
+                          ELSE '' END AS text
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            )
+            SELECT doc_id,
+                   sha256(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         'https?://[^\s]+', '<URL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                   ) AS redacted_sha
+            FROM pii_docs
         """,
         # Repetition signals share the docs2 fixture; ALL lines count here
         # (no >=30-char rule — within-doc repetition is a quality signal,

@@ -116,6 +116,42 @@ def with_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.union(mutants)
 
 
+PII_EMAIL_EVERY = 13
+PII_URL_EVERY = 17
+PII_IP_EVERY = 19
+
+
+def _pii_doc_text(d: int, t: str) -> str:
+    """Append deterministic PII suffixes (stacking when several divisors
+    hit) — mirrored by the SQL CASE-concat chain in
+    ``oracle_sql()['pii_stats']``."""
+    if d % PII_EMAIL_EVERY == 0:
+        t += f" contact user{d}@example.com for details"
+    if d % PII_URL_EVERY == 0:
+        t += f" see https://example.org/page/{d} now"
+    if d % PII_IP_EVERY == 0:
+        t += f" host 10.{d % 200}.{d % 250}.{d % 97} logged"
+    return t
+
+
+def _pii_docs_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["content"].to_pylist()
+    new = [
+        t if (t is None or len(t) == 0) else _pii_doc_text(d, t)
+        for d, t in zip(ids, texts)
+    ]
+    return batch.set_column(
+        batch.column_names.index("content"), "content", pa.array(new, pa.string())
+    )
+
+
+def with_pii_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset with deterministic planted PII (emails / URLs /
+    IPv4s) — the fixture for the PII detection and redaction operators."""
+    return files_ds.map_batches(_pii_docs_batch, batch_format="pyarrow")
+
+
 LINE_CHUNK_TOKENS = 25  # body lines: 25 source tokens each (SQL tk[i:i+24])
 
 

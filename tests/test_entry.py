@@ -71,6 +71,9 @@ def test_all_queries_have_callables(entry_mod):
         "line_dup_stats",
         "line_dedup_stats",
         "repetition_stats",
+        "vocab_top_words",
+        "pii_stats",
+        "pii_redacted",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
