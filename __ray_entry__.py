@@ -373,6 +373,35 @@ def _q_pii_redacted(sf_dir: str):
     ).select_columns(["doc_id", "redacted_sha"])
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic stratified Bernoulli sample (content-hash keyed):
+    en at 50%, every other language at 25% — value-checked against the
+    DuckDB sha256-threshold predicate."""
+    from europa_ray.pipelines.sampling import hash_sample
+
+    return hash_sample(_docs(sf_dir), rates={"en": 0.5}, default_rate=0.25)
+
+
+def _q_token_budget_sample(sf_dir: str):
+    """Per-language token-budget subset (2000 tokens/lang in canonical
+    (sha256, doc_id) order) via the distributed-quantile cutoff — value-
+    checked against the SQL windowed running sum."""
+    from europa_ray.pipelines.sampling import token_budget_sample
+
+    return token_budget_sample(_docs(sf_dir), budget=2000)
+
+
+def _q_decontam_stats(sf_dir: str):
+    """Benchmark decontamination over the contamination-augmented corpus:
+    per-doc count of distinct benchmark snippets contained (rolling-hash
+    window scan against the broadcast snippet set)."""
+    from europa_ray.sources.augment import with_contaminated_docs
+    from europa_ray.stages.decontam import benchmark_snippets, decontam_stats
+
+    docs = _docs(sf_dir)
+    return decontam_stats(with_contaminated_docs(docs), benchmark_snippets(docs))
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
 
@@ -425,6 +454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_words": wrap(_q_vocab_top_words),
         "pii_stats": wrap(_q_pii_stats),
         "pii_redacted": wrap(_q_pii_redacted),
+        "hash_sample": wrap(_q_hash_sample),
+        "token_budget_sample": wrap(_q_token_budget_sample),
+        "decontam_stats": wrap(_q_decontam_stats),
     }
 
 
@@ -855,6 +887,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l.dup_chars * 1000000 // greatest(l.total_chars, 1) AS BIGINT) AS dup_line_char_ppm,
                    CAST(t.top * 1000000 // greatest(t.n_tokens, 1) AS BIGINT) AS top_token_ppm
             FROM lstats l JOIN tstats t USING (doc_id)
+        """,
+        # deterministic stratified Bernoulli sampling: keep iff the leading
+        # 64 bits of sha256(text) fall below the language's exact integer
+        # threshold (0.5 → 2^63, 0.25 → 2^62) — reproducible, order- and
+        # partition-independent (pipelines/sampling.py:hash_sample)
+        "hash_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE length(text) > 0
+              AND ('0x' || substr(sha256(text), 1, 16))::UBIGINT <
+                  CASE WHEN lang = 'en' THEN 9223372036854775808::UBIGINT
+                       ELSE 4611686018427387904::UBIGINT END
+        """,
+        # per-language token-budget subset in canonical (sha-u64, doc_id)
+        # order: the engine computes the same windowed-running-sum cutoff via
+        # the distributed-quantile trick (per-bucket histogram + recursive
+        # boundary refinement), no global sort
+        "token_budget_sample": r"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS u
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            )
+            SELECT doc_id, lang, n_tokens FROM m
+            QUALIFY sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING
+            ) <= 2000
+        """,
+        # decontamination: snip = the deterministically-derived benchmark
+        # set (every 37th doc's chars 41..120, distinct, min source id);
+        # docs2 = the contamination fixture (sources/augment.py
+        # with_contaminated_docs); a doc's n_hits counts DISTINCT snippets
+        # it contains (position() is literal, like the engine's
+        # byte-verified rolling-hash window scan)
+        "decontam_stats": """
+            WITH snip AS (
+              SELECT snippet, min(doc_id) AS src FROM (
+                SELECT doc_id, substr(text, 41, 80) AS snippet
+                FROM documents
+                WHERE doc_id % 37 = 0 AND text IS NOT NULL AND length(text) >= 120
+              ) GROUP BY snippet
+            ),
+            docs2 AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 23 = 0 AND s.snippet IS NOT NULL
+                               AND d.text IS NOT NULL AND length(d.text) > 0
+                          THEN d.text || ' ' || s.snippet ELSE d.text END AS text
+              FROM documents d
+              LEFT JOIN snip s ON s.src = d.doc_id - d.doc_id % 37
+            )
+            SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM docs2 d JOIN snip ON position(snip.snippet IN d.text) > 0
+            GROUP BY d.doc_id
         """,
         "embedding_dup_pairs": """
             WITH emb AS (

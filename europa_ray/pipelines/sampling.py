@@ -1,0 +1,335 @@
+"""Corpus sampling operators — the subsetting passes a pre-training data
+pipeline runs after cleaning/dedup: deterministic hash sampling (stratified
+Bernoulli by content hash, the reproducible alternative to random sampling)
+and token-budget sampling (per-language "take documents in canonical hash
+order until a token budget is filled" — the data-mixture knob).
+
+Both are hash-ordered, so results are independent of row order, partition
+layout and cluster size — rerunning on a repartitioned 100-TB corpus selects
+the same documents (the property that makes training-data subsets
+reproducible and resumable).
+
+Scale notes:
+
+- :func:`hash_sample` is one stateless ``map_batches`` pass — no shuffle,
+  no driver state; trivially 100-TB-safe.
+- :func:`token_budget_sample` needs a per-language *prefix-sum cutoff* in
+  hash order. Instead of a global sort (all-to-all shuffle) it runs the
+  distributed-quantile trick: one metadata pass builds a per-(lang,
+  hash-byte-bucket) token histogram (a ≤ ``n_langs × 256``-row aggregate);
+  the driver walks each language's buckets to find the one straddling the
+  budget; the straddling bucket is *recursively refined* one hash byte at a
+  time (each refinement is another tiny filtered histogram over rows that
+  match the boundary prefix — a vanishing fraction of the corpus) until the
+  region is small enough to gather; the exact boundary key found there turns
+  the whole selection into a broadcast per-language ``(sha, doc) ≤ bound``
+  filter. Total cost: O(levels) metadata scans + one bounded gather —
+  no content shuffle, no driver-side corpus materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from europa_ray.util import hex_to_u64
+
+_U64 = np.uint64
+
+
+def _rate_to_threshold(rate: float) -> np.uint64:
+    """Exact u64 threshold for ``P(keep) = rate``: keep iff
+    ``u64(sha256[:16]) < rate * 2^64`` (computed in exact integer arithmetic
+    so the DuckDB oracle can use the same literal)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"sampling rate must be in [0, 1], got {rate}")
+    return _U64(min(int(rate * (1 << 64)), (1 << 64) - 1))
+
+
+def _sha_u64_valid(batch: pa.Table, content_col: str = "content"):
+    """(keep_mask, u64-of-leading-16-hex) for non-null/non-empty content —
+    empty content has a null hash and is excluded, like the reference's
+    empty-file rule (``HashGenerator.cs:18-19``)."""
+    from europa_ray.util import sha256_hex_arrow
+
+    sha = sha256_hex_arrow(batch[content_col])
+    keep = np.array([h is not None for h in sha], dtype=bool)
+    u = hex_to_u64([h for h in sha if h is not None])
+    return keep, u
+
+
+def _lang_lookup(batch: pa.Table, lang_col: str, table: dict, default):
+    """Per-row values from a per-language dict, vectorized via dictionary
+    encoding (the Python loop touches only the ≤ n_langs dictionary)."""
+    import pyarrow.compute as pc
+
+    col = batch[lang_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    vocab = enc.dictionary.to_pylist()
+    per_code = np.array([table.get(v, default) for v in vocab])
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    return per_code[codes]
+
+
+def hash_sample(
+    files: ray.data.Dataset,
+    *,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> ray.data.Dataset:
+    """Deterministic stratified Bernoulli sample: keep a row iff the leading
+    64 bits of ``sha256(content)`` fall below the language's rate threshold.
+
+    Content-hash keyed (not id-keyed), so exact duplicates are sampled
+    together and the subset is stable across re-crawls that renumber ids.
+    One stateless vectorized pass — no shuffle, no state.
+    """
+    rate_map = dict(rates or {})
+    thresholds = {k: _rate_to_threshold(v) for k, v in rate_map.items()}
+    default_thr = _rate_to_threshold(default_rate)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep, u = _sha_u64_valid(batch, content_col)
+        out = batch.select([id_col, lang_col]).filter(pa.array(keep))
+        thr = _lang_lookup(out, lang_col, thresholds, default_thr).astype(_U64)
+        return out.filter(pa.array(u < thr))
+
+    return files.map_batches(sample, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling (distributed quantile over (lang, sha-order))
+# ---------------------------------------------------------------------------
+
+# per-language boundary rule: keep everything / nothing / keys ≤ (sha, doc)
+_KEEP_ALL = "all"
+_KEEP_NONE = "none"
+_KEEP_LE = "le"
+
+
+def _budget_meta(batch: pa.Table, *, id_col: str, lang_col: str,
+                 content_col: str) -> pa.Table:
+    """Metadata projection: (id, lang, n_tokens, sha64-as-int64-bits).
+    Content never leaves this stage."""
+    from europa_ray.functions.text import token_count_arrow
+
+    keep, u = _sha_u64_valid(batch, content_col)
+    mask = pa.array(keep)
+    n_tokens = np.asarray(token_count_arrow(batch[content_col]), dtype=np.int64)[keep]
+    return pa.table(
+        {
+            id_col: batch[id_col].filter(mask),
+            lang_col: batch[lang_col].filter(mask),
+            "n_tokens": pa.array(n_tokens),
+            # int64 bit-view for Arrow/shuffle friendliness; every comparison
+            # views back to uint64 first
+            "sha64": pa.array(u.view(np.int64)),
+        }
+    )
+
+
+def _prefix_histogram(meta: ray.data.Dataset, lang_col: str, level: int,
+                      boundary: dict[str, int] | None) -> dict[tuple[str, int], tuple[int, int]]:
+    """(lang, next-hash-byte) → (token_sum, row_count), restricted at
+    ``level > 0`` to rows whose sha64 high bytes match the language's
+    boundary prefix. The groupby output is ≤ n_langs × 256 rows."""
+    shift = _U64(64 - 8 * (level + 1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = batch["sha64"].to_numpy().view(_U64)
+        langs = batch[lang_col]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        tok = batch["n_tokens"].to_numpy()
+        if boundary is not None:
+            pref = _lang_lookup(batch, lang_col, boundary, -1).astype(np.int64)
+            sel = (u >> _U64(64 - 8 * level)).astype(np.int64) == pref
+            u, tok = u[sel], tok[sel]
+            langs = langs.filter(pa.array(sel))
+        bucket = (u >> shift).astype(np.int64) & 0xFF
+        if len(u) == 0:
+            return pa.table({"lb": pa.array([], pa.string()),
+                             "tok_sum": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        # combine inside the batch (partial aggregation before the shuffle)
+        key = pc.binary_join_element_wise(
+            langs.cast(pa.string()),
+            pa.array(bucket).cast(pa.string()),
+            ":",
+        )
+        t = pa.table({"lb": key, "tok": pa.array(tok),
+                      "one": pa.array(np.ones(len(u), np.int64))})
+        g = t.group_by("lb").aggregate([("tok", "sum"), ("one", "sum")])
+        return g.rename_columns(["lb", "tok_sum", "n_rows"])
+
+    agg = (
+        meta.map_batches(partial, batch_format="pyarrow")
+        .groupby("lb")
+        .sum(["tok_sum", "n_rows"])
+    )
+    out: dict[tuple[str, int], tuple[int, int]] = {}
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for lb, ts, nr in zip(
+            b["lb"].to_pylist(),
+            b["sum(tok_sum)"].to_pylist(),
+            b["sum(n_rows)"].to_pylist(),
+        ):
+            lang, bucket = lb.rsplit(":", 1)
+            out[(lang, int(bucket))] = (int(ts), int(nr))
+    return out
+
+
+def token_budget_sample(
+    files: ray.data.Dataset,
+    *,
+    budget: int = 2000,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    boundary_gather_max: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Per-language token-budget subset: order documents by
+    ``(u64(sha256), id)`` within each language and keep the longest prefix
+    whose cumulative token count stays ≤ ``budget`` (SQL: a windowed
+    running sum with QUALIFY). See the module docstring for the
+    distributed-quantile shape; ``boundary_gather_max`` bounds the final
+    exact-boundary gather, forcing another refinement level when the
+    straddling bucket is still too populous.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    meta = files.map_batches(
+        _budget_meta,
+        fn_kwargs={"id_col": id_col, "lang_col": lang_col, "content_col": content_col},
+        batch_format="pyarrow",
+    ).materialize()  # tiny (~40 B/row); reused by histogram + refine + filter
+
+    # level-0 histogram over the high byte; refine the straddling bucket one
+    # byte at a time until each language's boundary region is gatherable
+    rules: dict[str, tuple] = {}
+    remaining_base: dict[str, int] = {}  # tokens kept below the region
+    boundary_prefix: dict[str, int] = {}  # matched high-byte prefix so far
+    active: set[str] = set()
+
+    hist = _prefix_histogram(meta, lang_col, 0, None)
+    langs = sorted({k[0] for k in hist})
+    region_rows: dict[str, int] = {}
+    for lang in langs:
+        cum = 0
+        hit = None
+        for bucket in range(256):
+            ts, nr = hist.get((lang, bucket), (0, 0))
+            if cum + ts > budget:
+                hit = (bucket, nr)
+                break
+            cum += ts
+        if hit is None:
+            rules[lang] = (_KEEP_ALL,)
+        else:
+            active.add(lang)
+            remaining_base[lang] = cum
+            boundary_prefix[lang] = hit[0]
+            region_rows[lang] = hit[1]
+
+    level = 1
+    while active and level < 8:
+        # all active languages refine together (one more hash byte each) so
+        # every boundary prefix has exactly `level` bytes at gather time;
+        # refining an already-small region costs one more tiny metadata scan
+        if all(region_rows.get(l, 0) <= boundary_gather_max for l in active):
+            break
+        hist = _prefix_histogram(
+            meta, lang_col, level, {l: boundary_prefix[l] for l in active}
+        )
+        for lang in sorted(active):
+            cum = remaining_base[lang]
+            hit = None
+            for bucket in range(256):
+                ts, nr = hist.get((lang, bucket), (0, 0))
+                if cum + ts > budget:
+                    hit = (bucket, nr)
+                    break
+                cum += ts
+            if hit is None:
+                # the whole refined region fits: boundary is the region end
+                pref = boundary_prefix[lang] + 1
+                shift = 64 - 8 * level
+                end = _U64(pref) << _U64(shift) if pref < (1 << (8 * level)) else None
+                if end is None:
+                    rules[lang] = (_KEEP_ALL,)
+                else:
+                    rules[lang] = (_KEEP_LE, int(end - _U64(1)), np.iinfo(np.int64).max)
+                active.discard(lang)
+            else:
+                remaining_base[lang] = cum
+                boundary_prefix[lang] = (boundary_prefix[lang] << 8) | hit[0]
+                region_rows[lang] = hit[1]
+        level += 1
+
+    # exact boundary inside each remaining region: gather region rows
+    # (≤ boundary_gather_max per language by construction), sort, cut
+    if active:
+        shift = _U64(64 - 8 * level)
+        prefixes = {l: boundary_prefix[l] for l in active}
+
+        def region(batch: pa.Table) -> pa.Table:
+            u = batch["sha64"].to_numpy().view(_U64)
+            pref = _lang_lookup(batch, lang_col, prefixes, -1).astype(np.int64)
+            sel = (u >> shift).astype(np.int64) == pref
+            return batch.filter(pa.array(sel))
+
+        gathered = pa.concat_tables(
+            list(
+                meta.map_batches(region, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                )
+            )
+        )
+        gl = gathered[lang_col].to_pylist()
+        gu = gathered["sha64"].to_numpy().view(_U64)
+        gid = gathered[id_col].to_numpy()
+        gtok = gathered["n_tokens"].to_numpy()
+        for lang in sorted(active):
+            sel = np.array([x == lang for x in gl], dtype=bool)
+            u, ids, tok = gu[sel], gid[sel], gtok[sel]
+            order = np.lexsort((ids, u))
+            cum = remaining_base[lang] + np.cumsum(tok[order])
+            kept = int(np.searchsorted(cum, budget, side="right"))
+            if kept == 0:
+                lo = _U64(prefixes[lang]) << shift
+                if lo == _U64(0):
+                    rules[lang] = (_KEEP_NONE,)
+                else:
+                    rules[lang] = (_KEEP_LE, int(lo - _U64(1)), np.iinfo(np.int64).max)
+            else:
+                last = order[kept - 1]
+                rules[lang] = (_KEEP_LE, int(u[last]), int(ids[last]))
+
+    # broadcast filter: keep iff (sha, id) ≤ the language's boundary
+    modes = {l: r[0] for l, r in rules.items()}
+    sha_b = {l: r[1] for l, r in rules.items() if r[0] == _KEEP_LE}
+    id_b = {l: r[2] for l, r in rules.items() if r[0] == _KEEP_LE}
+
+    def final(batch: pa.Table) -> pa.Table:
+        u = batch["sha64"].to_numpy().view(_U64)
+        ids = batch[id_col].to_numpy()
+        mode = _lang_lookup(batch, lang_col, modes, _KEEP_NONE)
+        keep = mode == _KEEP_ALL
+        le = mode == _KEEP_LE
+        if le.any():
+            # boundary sha values are full u64s (possibly ≥ 2^63): convert
+            # via object→uint64, never through int64
+            sb = _lang_lookup(batch, lang_col, sha_b, 0).astype(_U64)
+            ib = _lang_lookup(batch, lang_col, id_b, -1).astype(np.int64)
+            keep = keep | (le & ((u < sb) | ((u == sb) & (ids <= ib))))
+        return batch.filter(pa.array(keep)).select([id_col, lang_col, "n_tokens"])
+
+    return meta.map_batches(final, batch_format="pyarrow")

@@ -191,6 +191,37 @@ def with_line_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.map_batches(_line_docs_batch, batch_format="pyarrow")
 
 
+CONTAM_EVERY = 23
+
+
+def with_contaminated_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset with deterministic planted benchmark
+    contamination: every ``CONTAM_EVERY``-th doc appends the benchmark
+    snippet of source doc ``doc_id - doc_id % SNIPPET_EVERY`` (when that doc
+    contributed one) — the fixture for the decontamination operator,
+    mirrored by the SQL ``LEFT JOIN snip ON src = doc_id - doc_id % 37``
+    concat in ``oracle_sql()['decontam_stats']``."""
+    from europa_ray.stages.decontam import SNIPPET_EVERY, benchmark_snippets
+
+    snip_tbl = benchmark_snippets(files_ds)
+    snip_of = dict(zip(snip_tbl["src"].to_pylist(), snip_tbl["snippet"].to_pylist()))
+
+    def contaminate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["content"].to_pylist()
+        new = []
+        for d, t in zip(ids, texts):
+            s = snip_of.get(d - d % SNIPPET_EVERY)
+            if t and d % CONTAM_EVERY == 0 and s is not None:
+                t = t + " " + s
+            new.append(t)
+        return batch.set_column(
+            batch.column_names.index("content"), "content", pa.array(new, pa.string())
+        )
+
+    return files_ds.map_batches(contaminate, batch_format="pyarrow")
+
+
 def _dup_embeddings(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 

@@ -74,6 +74,9 @@ def test_all_queries_have_callables(entry_mod):
         "vocab_top_words",
         "pii_stats",
         "pii_redacted",
+        "hash_sample",
+        "token_budget_sample",
+        "decontam_stats",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):

@@ -1,0 +1,131 @@
+"""Sampling operators: deterministic hash sampling and token-budget
+sampling, checked against brute-force oracles (the SQL parity check lives
+in tests/test_entry.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from europa_ray.pipelines.sampling import hash_sample, token_budget_sample
+
+
+def _mk_files(n: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "de", "fr", "zh"])[rng.integers(0, 4, n)]
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    texts = [
+        " ".join(words[rng.integers(0, len(words), int(rng.integers(1, 40)))])
+        for _ in range(n)
+    ]
+    # planted edge rows: empty + null + one exact duplicate pair
+    texts[0] = ""
+    texts[1] = None
+    texts[3] = texts[2]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _u64(text: str) -> int:
+    return int(hashlib.sha256(text.encode()).hexdigest()[:16], 16)
+
+
+def test_hash_sample_matches_bruteforce_and_is_deterministic(ray_session):
+    import ray.data
+
+    t = _mk_files(400)
+    rates = {"en": 0.5, "de": 0.125}
+    got1 = hash_sample(
+        ray.data.from_arrow(t), rates=rates, default_rate=0.25
+    ).to_pandas()
+    got2 = hash_sample(
+        ray.data.from_arrow(t), rates=rates, default_rate=0.25
+    ).to_pandas()
+    want = set()
+    for d, lang, txt in zip(
+        t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["content"].to_pylist()
+    ):
+        if not txt:
+            continue
+        thr = int(rates.get(lang, 0.25) * (1 << 64))
+        if _u64(txt) < thr:
+            want.add((d, lang))
+    assert set(zip(got1.doc_id, got1.lang)) == want
+    assert set(zip(got2.doc_id, got2.lang)) == want  # rerun-identical
+    # content-hash keyed: the exact-duplicate pair is in or out together
+    dup_in = {2, 3} & set(got1.doc_id)
+    assert dup_in in (set(), {2, 3})
+
+
+def test_hash_sample_rate_extremes(ray_session):
+    import ray.data
+
+    t = _mk_files(100)
+    assert hash_sample(ray.data.from_arrow(t), default_rate=0.0).count() == 0
+    full = hash_sample(ray.data.from_arrow(t), default_rate=1.0).count()
+    nonempty = sum(1 for x in t["content"].to_pylist() if x)
+    assert full == nonempty
+    with pytest.raises(ValueError):
+        hash_sample(ray.data.from_arrow(t), default_rate=1.5).count()
+
+
+def _budget_bruteforce(t: pa.Table, budget: int) -> set[tuple]:
+    from europa_ray.functions.text import tokenize
+
+    rows = []
+    for d, lang, txt in zip(
+        t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["content"].to_pylist()
+    ):
+        if not txt:
+            continue
+        _, off = tokenize([txt])
+        rows.append((lang, _u64(txt), d, int(off[1] - off[0])))
+    want = set()
+    for lang in sorted({r[0] for r in rows}):
+        cum = 0
+        for _, u, d, n in sorted(r for r in rows if r[0] == lang):
+            cum += n
+            if cum > budget:
+                break
+            want.add((d, lang, n))
+    return want
+
+
+@pytest.mark.parametrize("budget,gather_max", [(300, 1_000_000), (300, 2), (0, 4), (10**9, 4)])
+def test_token_budget_matches_bruteforce(ray_session, budget, gather_max):
+    """Value-exact vs the driver-side sort+cumsum oracle — including forced
+    multi-level boundary refinement (gather_max=2 descends several hash
+    bytes) and the keep-none / keep-all extremes."""
+    import ray.data
+
+    t = _mk_files(300)
+    got = token_budget_sample(
+        ray.data.from_arrow(t), budget=budget, boundary_gather_max=gather_max
+    ).to_pandas()
+    want = _budget_bruteforce(t, budget)
+    got_set = (
+        set() if got.empty else set(zip(got.doc_id, got.lang, got.n_tokens))
+    )  # zero-row to_pandas drops column names
+    assert got_set == want
+
+
+def test_token_budget_order_invariant(ray_session):
+    """Hash-ordered selection is independent of input row order/partitioning."""
+    import ray.data
+
+    t = _mk_files(200)
+    a = token_budget_sample(ray.data.from_arrow(t), budget=250).to_pandas()
+    perm = np.random.default_rng(3).permutation(t.num_rows)
+    b = token_budget_sample(
+        ray.data.from_arrow(t.take(perm)).repartition(7), budget=250
+    ).to_pandas()
+    key = lambda df: sorted(zip(df.doc_id, df.lang, df.n_tokens))
+    assert key(a) == key(b)
