@@ -59,9 +59,13 @@ def _sha_u64_valid(batch: pa.Table, content_col: str = "content"):
     return keep, u
 
 
-def _lang_lookup(batch: pa.Table, lang_col: str, table: dict, default):
+def _lang_lookup(batch: pa.Table, lang_col: str, table: dict, default, dtype=None):
     """Per-row values from a per-language dict, vectorized via dictionary
-    encoding (the Python loop touches only the ≤ n_langs dictionary)."""
+    encoding (the Python loop touches only the ≤ n_langs dictionary).
+
+    ``dtype`` must be passed for integer tables that may hold values above
+    int64 range (full u64 boundary keys): without it NumPy silently falls
+    back to float64 on mixed magnitudes, corrupting exact comparisons."""
     import pyarrow.compute as pc
 
     col = batch[lang_col]
@@ -69,7 +73,7 @@ def _lang_lookup(batch: pa.Table, lang_col: str, table: dict, default):
         col = col.combine_chunks()
     enc = pc.dictionary_encode(col)
     vocab = enc.dictionary.to_pylist()
-    per_code = np.array([table.get(v, default) for v in vocab])
+    per_code = np.array([table.get(v, default) for v in vocab], dtype=dtype)
     codes = enc.indices.to_numpy(zero_copy_only=False)
     return per_code[codes]
 
@@ -97,7 +101,7 @@ def hash_sample(
     def sample(batch: pa.Table) -> pa.Table:
         keep, u = _sha_u64_valid(batch, content_col)
         out = batch.select([id_col, lang_col]).filter(pa.array(keep))
-        thr = _lang_lookup(out, lang_col, thresholds, default_thr).astype(_U64)
+        thr = _lang_lookup(out, lang_col, thresholds, default_thr, dtype=_U64)
         return out.filter(pa.array(u < thr))
 
     return files.map_batches(sample, batch_format="pyarrow")
@@ -150,7 +154,7 @@ def _prefix_histogram(meta: ray.data.Dataset, lang_col: str, level: int,
             langs = langs.combine_chunks()
         tok = batch["n_tokens"].to_numpy()
         if boundary is not None:
-            pref = _lang_lookup(batch, lang_col, boundary, -1).astype(np.int64)
+            pref = _lang_lookup(batch, lang_col, boundary, -1, dtype=np.int64)
             sel = (u >> _U64(64 - 8 * level)).astype(np.int64) == pref
             u, tok = u[sel], tok[sel]
             langs = langs.filter(pa.array(sel))
@@ -282,7 +286,7 @@ def token_budget_sample(
 
         def region(batch: pa.Table) -> pa.Table:
             u = batch["sha64"].to_numpy().view(_U64)
-            pref = _lang_lookup(batch, lang_col, prefixes, -1).astype(np.int64)
+            pref = _lang_lookup(batch, lang_col, prefixes, -1, dtype=np.int64)
             sel = (u >> shift).astype(np.int64) == pref
             return batch.filter(pa.array(sel))
 
@@ -325,10 +329,11 @@ def token_budget_sample(
         keep = mode == _KEEP_ALL
         le = mode == _KEEP_LE
         if le.any():
-            # boundary sha values are full u64s (possibly ≥ 2^63): convert
-            # via object→uint64, never through int64
-            sb = _lang_lookup(batch, lang_col, sha_b, 0).astype(_U64)
-            ib = _lang_lookup(batch, lang_col, id_b, -1).astype(np.int64)
+            # boundary sha values are full u64s (possibly ≥ 2^63): build the
+            # lookup as uint64 directly — a default-dtype np.array would
+            # degrade mixed magnitudes to float64 and break exact equality
+            sb = _lang_lookup(batch, lang_col, sha_b, 0, dtype=_U64)
+            ib = _lang_lookup(batch, lang_col, id_b, -1, dtype=np.int64)
             keep = keep | (le & ((u < sb) | ((u == sb) & (ids <= ib))))
         return batch.filter(pa.array(keep)).select([id_col, lang_col, "n_tokens"])
 

@@ -117,6 +117,36 @@ def test_token_budget_matches_bruteforce(ray_session, budget, gather_max):
     assert got_set == want
 
 
+def test_token_budget_sf001_mixed_boundary_magnitudes(ray_session):
+    """Regression (round-3 driver dry run): when one language's boundary
+    falls back to a region-start key ≥ 2^63 (kept==0 in its straddling
+    bucket) while another's exact boundary key is < 2^63, the per-language
+    lookup must stay uint64-exact — a default-dtype np.array degraded the
+    mixed magnitudes to float64 and silently dropped the boundary row."""
+    import duckdb
+    import ray.data
+
+    from europa_ray.sources.files import read_documents_as_files
+    from tests.conftest import SF_SMALL
+
+    got = token_budget_sample(
+        read_documents_as_files(SF_SMALL), budget=2000
+    ).to_pandas()
+    want = duckdb.sql(
+        f"""WITH m AS (SELECT doc_id, lang,
+             CAST(length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS u
+           FROM '{SF_SMALL}/documents.parquet'
+           WHERE text IS NOT NULL AND length(text) > 0)
+           SELECT doc_id, lang, n_tokens FROM m
+           QUALIFY sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) <= 2000"""
+    ).df()
+    assert set(zip(got.doc_id, got.lang, got.n_tokens)) == set(
+        zip(want.doc_id, want.lang, want.n_tokens)
+    )
+
+
 def test_token_budget_order_invariant(ray_session):
     """Hash-ordered selection is independent of input row order/partitioning."""
     import ray.data
