@@ -48,9 +48,13 @@ def _docs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _q_exact_dup_members(sf_dir: str):
+    """Exact-dup clusters over the dup-augmented corpus (the raw synthetic
+    corpus is duplicate-free, which made this artifact vacuously 0/0 —
+    planted verbatim copies make it prove 'finds', value-checked)."""
     from europa_ray.pipelines.exact import exact_dup_clusters
+    from europa_ray.sources.augment import with_exact_dups
 
-    out = exact_dup_clusters(_docs(sf_dir), id_cols=("doc_id",))
+    out = exact_dup_clusters(with_exact_dups(_docs(sf_dir)), id_cols=("doc_id",))
     # project on the collected Arrow table: Ray's schema() on a projected
     # EMPTY dataset reports the pre-projection schema
     return _collect(out).select(["doc_id", "sha256", "n_members"])
@@ -63,7 +67,9 @@ def _q_dedup_representatives(sf_dir: str):
 
 
 def _q_exact_group_sizes(sf_dir: str):
-    ds = _docs(sf_dir)
+    from europa_ray.sources.augment import with_exact_dups
+
+    ds = with_exact_dups(_docs(sf_dir))
     from europa_ray.stages.hash_stage import add_sha256
 
     hashed = ds.map_batches(add_sha256, fn_kwargs={"keep_cols": ("doc_id",)}, batch_format="pyarrow")
@@ -88,9 +94,10 @@ def _q_filter_size_range(sf_dir: str):
 def _q_content_errors(sf_dir: str):
     """Per-row error routing (the reference's notification side-channel):
     null/empty/undecodable content rows become data rows, not exceptions."""
+    from europa_ray.sources.augment import with_error_docs
     from europa_ray.stages.errors import split_content_errors
 
-    _ok, errs = split_content_errors(_docs(sf_dir))
+    _ok, errs = split_content_errors(with_error_docs(_docs(sf_dir)))
     # project on the collected table: Ray's schema() on a projected EMPTY
     # dataset reports the pre-projection schema
     return _collect(errs).select(["doc_id", "error"])
@@ -220,9 +227,10 @@ def _q_exact_dup_pairs(sf_dir: str):
     import pyarrow as pa
 
     from europa_ray.pipelines.exact import exact_dup_clusters
+    from europa_ray.sources.augment import with_exact_dups
 
     members = _collect(
-        exact_dup_clusters(_docs(sf_dir), id_cols=("doc_id",))
+        exact_dup_clusters(with_exact_dups(_docs(sf_dir)), id_cols=("doc_id",))
     ).to_pandas()
     out_a, out_b = [], []
     for _, grp in members.groupby("cluster_id"):
@@ -462,10 +470,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     sql = {
+        # dupdocs mirrors sources/augment.py with_exact_dups: verbatim
+        # copies of every 40th doc under doc_id + 40000000
         "exact_dup_members": """
+            WITH dupdocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 40000000, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+            )
             SELECT doc_id, sha256(text) AS sha256,
                    count(*) OVER (PARTITION BY sha256(text)) AS n_members
-            FROM documents WHERE length(text) > 0
+            FROM dupdocs WHERE length(text) > 0
             QUALIFY n_members > 1
         """,
         "dedup_representatives": """
@@ -473,14 +489,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE length(text) > 0 GROUP BY sha256(text)
         """,
         "exact_group_sizes": """
+            WITH dupdocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 40000000, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+            )
             SELECT n_members, count(*) AS n_groups FROM (
-                SELECT count(*) AS n_members FROM documents
+                SELECT count(*) AS n_members FROM dupdocs
                 WHERE length(text) > 0 GROUP BY sha256(text)
             ) GROUP BY n_members
         """,
         "exact_dup_pairs": """
+            WITH dupdocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 40000000, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+            )
             SELECT x.doc_id AS a, y.doc_id AS b
-            FROM documents x JOIN documents y
+            FROM dupdocs x JOIN dupdocs y
               ON sha256(x.text) = sha256(y.text) AND x.doc_id < y.doc_id
             WHERE length(x.text) > 0
         """,
@@ -492,11 +520,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE length(text) > 0 AND lang IN ('en', 'de')
         """,
+        # errdocs mirrors sources/augment.py with_error_docs: every 53rd
+        # doc's content blanked, every 59th nulled (empty wins on both)
         "content_errors": """
+            WITH errdocs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 53 = 0 THEN ''
+                            WHEN doc_id % 59 = 0 THEN NULL
+                            ELSE text END AS text
+                FROM documents
+            )
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN 'null_content'
                         ELSE 'empty_content' END AS error
-            FROM documents
+            FROM errdocs
             WHERE text IS NULL OR text = ''
         """,
         "token_counts": r"""

@@ -191,6 +191,73 @@ def with_line_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.map_batches(_line_docs_batch, batch_format="pyarrow")
 
 
+EXACT_DUP_OFFSET = 40_000_000
+EXACT_DUP_EVERY = 40
+
+
+def _exact_dup_rows(batch: pa.Table) -> pa.Table:
+    """Exact copies of every ``EXACT_DUP_EVERY``-th nonempty doc under a
+    shifted doc_id — identity columns re-derived like ``_mutate_batch``."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["content"].to_pylist()
+    keep = [i for i, (d, t) in enumerate(zip(ids, texts)) if t and d % EXACT_DUP_EVERY == 0]
+    out_rows: dict[str, list] = {c: [] for c in batch.column_names}
+    for i in keep:
+        new_id = ids[i] + EXACT_DUP_OFFSET
+        for c in batch.column_names:
+            if c == "doc_id":
+                out_rows[c].append(new_id)
+            elif c == "path":
+                out_rows[c].append(f"{new_id}.txt")
+            elif c == "commit":
+                out_rows[c].append(str(new_id).rjust(40, "0"))
+            else:
+                out_rows[c].append(batch[c][i].as_py())
+    return pa.table(
+        {c: pa.array(out_rows[c], batch.schema.field(c).type) for c in batch.column_names}
+    )
+
+
+def with_exact_dups(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset ∪ verbatim copies of every
+    ``EXACT_DUP_EVERY``-th doc (content byte-identical ⇒ sha256-identical) —
+    the fixture that makes the exact-dedup driver queries prove 'finds'
+    rather than 'runs' on the duplicate-free synthetic corpus. SQL mirror:
+    ``UNION ALL SELECT doc_id + 40000000, text WHERE doc_id % 40 = 0``."""
+    dups = files_ds.map_batches(_exact_dup_rows, batch_format="pyarrow")
+    return files_ds.union(dups)
+
+
+ERR_EMPTY_EVERY = 53
+ERR_NULL_EVERY = 59
+
+
+def _error_docs_batch(batch: pa.Table) -> pa.Table:
+    """Plant unreadable rows: every ``ERR_EMPTY_EVERY``-th doc's content
+    becomes '' and every ``ERR_NULL_EVERY``-th becomes NULL (empty wins when
+    both divide — mirrored by the SQL CASE order)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["content"].to_pylist()
+    new = []
+    for d, t in zip(ids, texts):
+        if d % ERR_EMPTY_EVERY == 0:
+            new.append("")
+        elif d % ERR_NULL_EVERY == 0:
+            new.append(None)
+        else:
+            new.append(t)
+    return batch.set_column(
+        batch.column_names.index("content"), "content", pa.array(new, pa.string())
+    )
+
+
+def with_error_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset with deterministic planted error rows — the
+    fixture for the content-error-routing operator (the raw synthetic corpus
+    has no null/empty rows, which left ``content_errors`` vacuously 0/0)."""
+    return files_ds.map_batches(_error_docs_batch, batch_format="pyarrow")
+
+
 CONTAM_EVERY = 23
 
 

@@ -77,6 +77,10 @@ def test_all_queries_have_callables(entry_mod):
         "hash_sample",
         "token_budget_sample",
         "decontam_stats",
+        "content_errors",
+        "exact_dup_pairs",
+        "substr_pairs",
+        "embedding_dup_pairs_lsh",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
@@ -98,8 +102,7 @@ def test_query_matches_oracle(entry_mod, name):
 @pytest.mark.parametrize(
     "name",
     ["lang_id", "doc_fingerprints", "minhash_near_dup_clusters", "minhash_pairs",
-     "simhash_pairs", "substr_pairs", "ann_topk_lsh",
-     "embedding_dup_pairs_lsh", "multimodal_features"],
+     "simhash_pairs", "ann_topk_lsh", "multimodal_features"],
 )
 def test_rows_only_queries_run(entry_mod, name):
     fn = entry_mod.queries()[name]
