@@ -381,6 +381,17 @@ def _q_pii_redacted(sf_dir: str):
     ).select_columns(["doc_id", "redacted_sha"])
 
 
+def _q_near_dup_representatives(sf_dir: str):
+    """The deduplicated corpus under near-dup clustering: one canonical
+    representative (min (sha256, doc_id)) per cluster + all unclustered
+    rows. LSH-dependent → rows-only here; both dispatch paths are
+    equivalence- and truth-tested in tests/test_neardup.py."""
+    from europa_ray.pipelines.neardup import near_dup_representatives
+    from europa_ray.sources.augment import with_mutants
+
+    return near_dup_representatives(with_mutants(_docs(sf_dir)), id_col="doc_id")
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic stratified Bernoulli sample (content-hash keyed):
     en at 50%, every other language at 25% — value-checked against the
@@ -462,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_words": wrap(_q_vocab_top_words),
         "pii_stats": wrap(_q_pii_stats),
         "pii_redacted": wrap(_q_pii_redacted),
+        "near_dup_representatives": wrap(_q_near_dup_representatives),
         "hash_sample": wrap(_q_hash_sample),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "decontam_stats": wrap(_q_decontam_stats),

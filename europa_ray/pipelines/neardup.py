@@ -337,3 +337,93 @@ def assemble_members(
     members = sigs.map_batches(tag, batch_format="pyarrow")
     sort_cols = ["cluster_id", *[c for c in id_cols]]
     return members.sort(sort_cols)
+
+
+def near_dup_representatives(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    driver_max_cluster_rows: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """The deduplicated corpus — the reason the whole pipeline exists: drop
+    every near/exact-dup cluster member except one canonical representative
+    (minimum ``(sha256, id)``, deterministic) and keep all unclustered rows.
+
+    Scale shape: the cluster table holds only duplicate members (≪ corpus).
+    Below ``driver_max_cluster_rows`` the representative choice is one
+    driver-side lexsort and the drop set a broadcast anti-join
+    (``filter_by_key_array``); above it, both steps run distributed — a
+    ``groupby(cluster_id).min(repkey)`` + hash join picks representatives
+    and a left-outer marker join anti-joins the corpus (equivalence-tested
+    by forcing the budget to 0).
+    """
+    import pyarrow.compute as pc
+
+    from europa_ray.stages.lsh import filter_by_key_array
+    from europa_ray.util import default_num_partitions
+
+    clusters = near_dup_pipeline(files, cfg, id_cols=(id_col,))[
+        "clusters"
+    ].materialize()
+    n = clusters.count()
+    nparts = num_partitions or default_num_partitions()
+
+    if n == 0:
+        return files.select_columns([id_col, "lang"])
+
+    if n <= driver_max_cluster_rows:
+        cl_p, sha_p, id_p = [], [], []
+        for b in clusters.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            cl_p.append(np.asarray(b["cluster_id"].to_pylist(), dtype="U16"))
+            sha_p.append(np.asarray(b["sha256"].to_pylist(), dtype="U64"))
+            id_p.append(b[id_col].to_numpy())
+        cl = np.concatenate(cl_p)
+        sha = np.concatenate(sha_p)
+        ids = np.concatenate(id_p)
+        order = np.lexsort((ids, sha, cl))
+        first = np.ones(order.shape[0], dtype=bool)
+        first[1:] = cl[order][1:] != cl[order][:-1]
+        drops = np.sort(ids[order][~first])
+        return filter_by_key_array(
+            files, drops, id_col, invert=True
+        ).select_columns([id_col, "lang"])
+
+    # distributed: composite sortable key (sha hex + zero-padded id) —
+    # lexicographic string order equals (sha256, id) order
+    def with_key(batch: pa.Table) -> pa.Table:
+        idstr = pc.utf8_lpad(pc.cast(batch[id_col], pa.string()), 20, "0")
+        key = pc.binary_join_element_wise(batch["sha256"], idstr, ":")
+        return pa.table(
+            {"cluster_id": batch["cluster_id"], id_col: batch[id_col], "repkey": key}
+        )
+
+    keyed = clusters.map_batches(with_key, batch_format="pyarrow").materialize()
+    mins = (
+        keyed.groupby("cluster_id")
+        .min("repkey")
+        .rename_columns({"min(repkey)": "repkey_min"})
+        .materialize()
+    )
+    drops_ds = (
+        keyed.join(mins, join_type="inner", num_partitions=nparts, on=("cluster_id",))
+        .filter(expr="repkey != repkey_min")
+        .select_columns([id_col])
+        .rename_columns({id_col: "__drop_id"})
+        .add_column("__drop", lambda df: np.ones(len(df), dtype=np.int8))
+        .materialize()
+    )
+    out = files.select_columns([id_col, "lang"]).join(
+        drops_ds,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=(id_col,),
+        right_on=("__drop_id",),
+    )
+
+    def keep_unmarked(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["__drop"])
+        return batch.filter(mask).select([id_col, "lang"])
+
+    return out.map_batches(keep_unmarked, batch_format="pyarrow")

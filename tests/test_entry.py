@@ -102,7 +102,8 @@ def test_query_matches_oracle(entry_mod, name):
 @pytest.mark.parametrize(
     "name",
     ["lang_id", "doc_fingerprints", "minhash_near_dup_clusters", "minhash_pairs",
-     "simhash_pairs", "ann_topk_lsh", "multimodal_features"],
+     "simhash_pairs", "ann_topk_lsh", "multimodal_features",
+     "near_dup_representatives"],
 )
 def test_rows_only_queries_run(entry_mod, name):
     fn = entry_mod.queries()[name]

@@ -72,9 +72,18 @@ def test_split_content_errors_dataset(ray_session):
 
 
 def test_content_errors_query_runs(ray_session):
-    """Driver-shape query: clean testdata → zero error rows, schema intact."""
+    """Driver-shape query over the error-augmented corpus: exactly the
+    planted rows (every 53rd blanked, every 59th nulled; empty wins),
+    schema intact. Value parity with the SQL CASE chain is in test_entry."""
     import __ray_entry__ as entry
+    from europa_ray.sources.augment import ERR_EMPTY_EVERY, ERR_NULL_EVERY
 
     got = entry._collect(entry.queries()["content_errors"]("/root/testdata/sf0.01"))
-    assert got.num_rows == 0
     assert set(got.schema.names) == {"doc_id", "error"}
+    by_id = dict(zip(got["doc_id"].to_pylist(), got["error"].to_pylist()))
+    assert by_id, "planted error rows must be found"
+    for d, err in by_id.items():
+        if d % ERR_EMPTY_EVERY == 0:
+            assert err == "empty_content"
+        else:
+            assert d % ERR_NULL_EVERY == 0 and err == "null_content"

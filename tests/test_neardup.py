@@ -169,3 +169,37 @@ def test_perm_mode_recall(ray_session, tiny_corpus, truth_pairs):
     precision = tp / len(got) if got else 1.0
     assert recall >= 0.99, f"perm pair recall {recall:.4f} < 0.99"
     assert precision >= 0.95, f"perm pair precision {precision:.4f}"
+
+
+def test_near_dup_representatives_both_paths(ray_session):
+    """The deduplicated-corpus materialization keeps exactly one canonical
+    representative (min (sha256, id)) per cluster plus every unclustered
+    row — driver lexsort path and forced-budget-0 distributed path agree
+    with the recomputed truth."""
+    import ray.data
+
+    from europa_ray.pipelines.neardup import (
+        near_dup_pipeline,
+        near_dup_representatives,
+    )
+    from europa_ray.sources.augment import with_mutants
+    from europa_ray.sources.files import read_documents_as_files
+    from tests.conftest import SF_TINY
+
+    docs = with_mutants(read_documents_as_files(SF_TINY))
+    cl = near_dup_pipeline(docs, id_cols=("doc_id",))["clusters"].to_pandas()
+    cl = cl.sort_values(["cluster_id", "sha256", "doc_id"])
+    reps = cl.groupby("cluster_id").first().doc_id
+    drop = set(cl.doc_id) - set(reps)
+    assert drop, "mutant corpus must produce droppable duplicates"
+    all_ids = set(docs.select_columns(["doc_id"]).to_pandas().doc_id)
+    want = all_ids - drop
+
+    a = near_dup_representatives(docs, id_col="doc_id").to_pandas()
+    assert set(a.doc_id) == want
+    assert list(a.columns) == ["doc_id", "lang"]
+
+    b = near_dup_representatives(
+        docs, id_col="doc_id", driver_max_cluster_rows=0
+    ).to_pandas()
+    assert set(b.doc_id) == want
