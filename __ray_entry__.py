@@ -381,6 +381,31 @@ def _q_pii_redacted(sf_dir: str):
     ).select_columns(["doc_id", "redacted_sha"])
 
 
+def _load_events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_windowed_event_counts(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream (the
+    windowed-aggregate custom-operator class): per (user, window) count +
+    integer-micro value sum — one multi-key groupby shuffle with map-side
+    combining."""
+    from europa_ray.pipelines.events import windowed_event_counts
+
+    return windowed_event_counts(_load_events(sf_dir))
+
+
+def _q_event_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): per-user co-located
+    vectorized map_groups; value-checked against the SQL lag+running-sum
+    window construction."""
+    from europa_ray.pipelines.events import sessionize_events
+
+    return sessionize_events(_load_events(sf_dir))
+
+
 def _q_near_dup_representatives(sf_dir: str):
     """The deduplicated corpus under near-dup clustering: one canonical
     representative (min (sha256, doc_id)) per cluster + all unclustered
@@ -474,6 +499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_stats": wrap(_q_pii_stats),
         "pii_redacted": wrap(_q_pii_redacted),
         "near_dup_representatives": wrap(_q_near_dup_representatives),
+        "windowed_event_counts": wrap(_q_windowed_event_counts),
+        "event_sessions": wrap(_q_event_sessions),
         "hash_sample": wrap(_q_hash_sample),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "decontam_stats": wrap(_q_decontam_stats),
@@ -936,6 +963,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l.dup_chars * 1000000 // greatest(l.total_chars, 1) AS BIGINT) AS dup_line_char_ppm,
                    CAST(t.top * 1000000 // greatest(t.n_tokens, 1) AS BIGINT) AS top_token_ppm
             FROM lstats l JOIN tstats t USING (doc_id)
+        """,
+        # tumbling-window aggregate over the events table; all arithmetic
+        # integer (epoch us; per-event floored micro-units) so float
+        # addition order never skews the value-hash comparison
+        "windowed_event_counts": """
+            SELECT user_id, epoch_us(ts) // 3600000000 AS hour_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_micros
+            FROM events GROUP BY user_id, hour_idx
+        """,
+        # gap-based sessionization: lag + running-sum window construction,
+        # 30-minute inactivity gap, (t, event_id) tie order on both sides
+        "event_sessions": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+            g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                                      OR t - lag(t) OVER w > 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+            s AS (SELECT *, sum(new_s) OVER (
+                      PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(t) AS start_us, max(t) AS end_us
+            FROM s GROUP BY user_id, session_idx
         """,
         # deterministic stratified Bernoulli sampling: keep iff the leading
         # 64 bits of sha256(text) fall below the language's exact integer

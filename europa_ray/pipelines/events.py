@@ -1,0 +1,110 @@
+"""Event-stream operators — the windowed/streaming custom-operator class
+(SURVEY.md §2.9 notes the reference has no data-streaming semantics; these
+are the engine's batch realization of the two canonical stream shapes):
+
+- :func:`windowed_event_counts` — tumbling-window aggregate: per
+  (user, 1-hour window) event count + value sum. Expressed as a stateless
+  ``map_batches`` key projection + one multi-key ``groupby().aggregate``
+  shuffle — Ray's hash aggregate does map-side partial combining, so the
+  exchange carries one row per (user, window) per block, not per event.
+- :func:`sessionize_events` — gap-based sessionization (new session when
+  the within-user gap exceeds ``gap_us``). Needs every user's events
+  co-located and time-ordered: ``groupby(user_id).map_groups`` with a fully
+  vectorized body (sort + diff + reduceat — no per-event Python). The
+  partitioning assumption this relies on: sessions never span users, so
+  hash-partitioning by ``user_id`` is a complete exchange; per-user volume
+  bounds group memory (salt/split a pathological single-user firehose by
+  time range BEFORE this stage if one user exceeds a block).
+
+All arithmetic is integer (epoch microseconds; value summed in floored
+micro-units) so the DuckDB oracles compare value-exactly — float addition
+order never enters the result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def _epoch_us(col) -> np.ndarray:
+    """timestamp column → int64 epoch microseconds (exact)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+
+
+def windowed_event_counts(
+    events: ray.data.Dataset, *, window_us: int = HOUR_US
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate: (user_id, hour_idx, n_events,
+    sum_value_micros). ``hour_idx`` = epoch_us // window; value is floored
+    to integer micro-units per event before summing (order-independent,
+    SQL-exact)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = _epoch_us(batch["ts"])
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "hour_idx": pa.array(t // window_us),
+                "value_micros": pa.array(
+                    np.floor(v * 1e6).astype(np.int64)
+                ),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby(["user_id", "hour_idx"])
+        .sum(["one", "value_micros"])
+    )
+    return agg.rename_columns(
+        {"sum(one)": "n_events", "sum(value_micros)": "sum_value_micros"}
+    )
+
+
+def sessionize_events(
+    events: ray.data.Dataset, *, gap_us: int = SESSION_GAP_US
+) -> ray.data.Dataset:
+    """Gap-based sessions: per user, events ordered by (ts, event_id); a
+    new session starts when the gap from the previous event exceeds
+    ``gap_us``. Emits one row per session: (user_id, session_idx (1-based
+    in time order), n_events, start_us, end_us)."""
+
+    def sessions(group: pa.Table) -> pa.Table:
+        t = _epoch_us(group["ts"])
+        eid = group["event_id"].to_numpy()
+        uid = group["user_id"][0].as_py()
+        order = np.lexsort((eid, t))
+        ts = t[order]
+        # session boundaries: first event, or gap > gap_us
+        new_s = np.ones(ts.shape[0], dtype=bool)
+        if ts.shape[0] > 1:
+            new_s[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(new_s)
+        n_ev = np.diff(np.append(starts, ts.shape[0]))
+        ends = np.append(starts[1:], ts.shape[0]) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(starts.shape[0], uid, dtype=np.int64)
+                ),
+                "session_idx": pa.array(
+                    np.arange(1, starts.shape[0] + 1, dtype=np.int64)
+                ),
+                "n_events": pa.array(n_ev.astype(np.int64)),
+                "start_us": pa.array(ts[starts]),
+                "end_us": pa.array(ts[ends]),
+            }
+        )
+
+    return events.select_columns(["event_id", "ts", "user_id"]).groupby(
+        "user_id"
+    ).map_groups(sessions, batch_format="pyarrow")

@@ -81,6 +81,8 @@ def test_all_queries_have_callables(entry_mod):
         "exact_dup_pairs",
         "substr_pairs",
         "embedding_dup_pairs_lsh",
+        "windowed_event_counts",
+        "event_sessions",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):

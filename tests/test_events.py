@@ -1,0 +1,114 @@
+"""Event-stream operators: tumbling-window aggregate + sessionization vs
+brute-force truth on a hand-built stream (SQL parity lives in
+tests/test_entry.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from europa_ray.pipelines.events import (
+    HOUR_US,
+    SESSION_GAP_US,
+    sessionize_events,
+    windowed_event_counts,
+)
+
+_MIN = 60 * 1_000_000
+
+
+def _mk_events():
+    """Two users; user 1 has three sessions (gaps of 31 and 45 min), user 2
+    one session spanning an hour boundary; a duplicate timestamp checks the
+    (ts, event_id) tie order."""
+    rows = [
+        # (event_id, t_us, user_id, value)
+        (1, 10 * _MIN, 1, 1.25),
+        (2, 15 * _MIN, 1, 2.50),
+        (3, 15 * _MIN, 1, 0.75),       # duplicate ts, tie-broken by id
+        (4, 46 * _MIN + 1, 1, 1.00),   # gap 31min+1us → new session
+        (5, 60 * _MIN, 1, 4.00),       # same session (14min gap)
+        (6, 105 * _MIN + 1, 1, 0.10),  # gap 45min+1us → new session
+        (7, 55 * _MIN, 2, 9.99),
+        (8, 70 * _MIN, 2, 0.01),       # crosses hour boundary, 15min gap
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["x"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_windowed_event_counts(ray_session):
+    import ray.data
+
+    got = windowed_event_counts(ray.data.from_arrow(_mk_events())).to_pandas()
+    rows = {
+        (r.user_id, r.hour_idx): (r.n_events, r.sum_value_micros)
+        for r in got.itertuples()
+    }
+    # event 5 sits exactly on the hour boundary (60min = HOUR_US → idx 1)
+    assert rows == {
+        (1, 0): (4, 5_500_000),
+        (1, 1): (2, 4_100_000),
+        (2, 0): (1, 9_990_000),
+        (2, 1): (1, 10_000),
+    }
+
+
+def test_windowed_counts_match_bruteforce(ray_session):
+    import ray.data
+
+    t = _mk_events()
+    got = windowed_event_counts(ray.data.from_arrow(t)).to_pandas()
+    want: dict[tuple, list] = {}
+    for eid, ts, uid, val in zip(
+        t["event_id"].to_pylist(),
+        t["ts"].cast(pa.int64()).to_pylist(),
+        t["user_id"].to_pylist(),
+        t["value"].to_pylist(),
+    ):
+        k = (uid, ts // HOUR_US)
+        want.setdefault(k, [0, 0])
+        want[k][0] += 1
+        want[k][1] += int(np.floor(val * 1e6))
+    assert {
+        (r.user_id, r.hour_idx): [r.n_events, r.sum_value_micros]
+        for r in got.itertuples()
+    } == want
+
+
+def test_sessionize_events(ray_session):
+    import ray.data
+
+    got = sessionize_events(ray.data.from_arrow(_mk_events())).to_pandas()
+    by_user = {
+        u: sorted(
+            zip(g.session_idx, g.n_events, g.start_us, g.end_us)
+        )
+        for u, g in got.groupby("user_id")
+    }
+    assert by_user[1] == [
+        (1, 3, 10 * _MIN, 15 * _MIN),
+        (2, 2, 46 * _MIN + 1, 60 * _MIN),
+        (3, 1, 105 * _MIN + 1, 105 * _MIN + 1),
+    ]
+    assert by_user[2] == [(1, 2, 55 * _MIN, 70 * _MIN)]
+    # boundary exactness: a gap of exactly SESSION_GAP_US does NOT split
+    t2 = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                np.array([0, SESSION_GAP_US], dtype="datetime64[us]")
+            ),
+            "user_id": pa.array([5, 5], pa.int64()),
+        }
+    )
+    g2 = sessionize_events(ray.data.from_arrow(t2)).to_pandas()
+    assert len(g2) == 1 and g2.n_events.iloc[0] == 2
