@@ -32,6 +32,48 @@ def read_files(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     )
 
 
+def _normalize_files_schema(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Coerce an ingested table to the canonical ``files`` schema: required
+    columns present (missing ones raise — a corpus without content is a
+    config error, matching F4's fail-fast validation), ``content`` cast to
+    string (CSV/JSON readers may infer null-typed or binary columns on
+    sparse shards)."""
+    import pyarrow as pa
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        missing = [c for c in FILES_COLUMNS if c not in batch.column_names]
+        if missing:
+            raise ValueError(f"files corpus missing required columns: {missing}")
+        out = batch.select(FILES_COLUMNS)
+        for c in FILES_COLUMNS:
+            col = out[c]
+            typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+            if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
+                out = out.set_column(
+                    out.column_names.index(c), c, col.cast(pa.string())
+                )
+        return out
+
+    return ds.map_batches(coerce, batch_format="pyarrow")
+
+
+def read_files_jsonl(path: str) -> ray.data.Dataset:
+    """Read a ``files`` corpus from JSON-Lines shards (one object per line,
+    keys = the files columns) — same discovery/parallelism semantics as the
+    Parquet reader; schema normalized to the canonical shape."""
+    ds = ray.data.read_json(path, override_num_blocks=default_read_blocks())
+    return _normalize_files_schema(ds)
+
+
+def read_files_csv(path: str) -> ray.data.Dataset:
+    """Read a ``files`` corpus from CSV shards (header row, the files
+    columns). Note CSV cannot represent embedded newlines portably across
+    writers — prefer Parquet/JSONL for real corpora; this exists so a user
+    ingesting legacy CSV listings gets the same pipeline surface."""
+    ds = ray.data.read_csv(path, override_num_blocks=default_read_blocks())
+    return _normalize_files_schema(ds)
+
+
 # deterministic per-doc path extension (doc_id % 8) so the file-type
 # identification chain (stages/classify.py) is exercised over real variety;
 # index i maps to the kind the classifier assigns that extension
