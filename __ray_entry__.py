@@ -219,6 +219,17 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
 
 
+def _q_jaccard_neighbor_sets(sf_dir: str):
+    """Neighbor aggregation (A5) over the EXACT n-gram Jaccard pair list —
+    the oracle-checkable instance of the neighbor_sets operator (the LSH
+    instance stays rows-only; both share the same aggregation code)."""
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs, neighbor_sets
+    from europa_ray.sources.augment import with_mutants
+
+    pairs = exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    return neighbor_sets(pairs).select_columns(["node", "n_neighbors"])
+
+
 def _q_exact_dup_pairs(sf_dir: str):
     """Canonical within-group pairs of exact duplicates (SO3/SO4): emitted
     from the (small) cluster table driver-side."""
@@ -492,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_pairs": wrap(_q_exact_dup_pairs),
         "file_kind_counts": wrap(_q_file_kind_counts),
         "neighbor_sets": wrap(_q_neighbor_sets),
+        "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
         "line_dup_stats": wrap(_q_line_dup_stats),
         "line_dedup_stats": wrap(_q_line_dedup_stats),
         "repetition_stats": wrap(_q_repetition_stats),
@@ -1065,6 +1077,17 @@ def oracle_sql() -> dict[str, str]:
     # sub-1.0 similarity is covered by tests/test_embed_neardup.py
     # (recall >= 0.99 vs the exact pass on perturbed planted pairs).
     sql["embedding_dup_pairs_lsh"] = sql["embedding_dup_pairs"]
+    # Neighbor aggregation (A5) over the exact-Jaccard pair list: the pair
+    # set is a TRUE oracle (prefix-filter candidates are complete), so the
+    # symmetric per-node neighbor count is SQL-derivable from it verbatim.
+    sql["jaccard_neighbor_sets"] = f"""
+        WITH jpairs AS ({sql['ngram_jaccard_pairs']})
+        SELECT node, CAST(count(*) AS BIGINT) AS n_neighbors FROM (
+            SELECT a AS node FROM jpairs
+            UNION ALL
+            SELECT b AS node FROM jpairs
+        ) GROUP BY node
+    """
     # The IVF variant's driver config probes every cell (nprobe = nlist):
     # each (query, row) pair is scored exactly once, so the result equals
     # brute force by construction and the exact top-k oracle applies —

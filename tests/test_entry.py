@@ -83,6 +83,7 @@ def test_all_queries_have_callables(entry_mod):
         "embedding_dup_pairs_lsh",
         "windowed_event_counts",
         "event_sessions",
+        "jaccard_neighbor_sets",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
