@@ -8,6 +8,10 @@ the same command via ``ray job submit --working-dir .``)::
         [--include-langs python,go] [--min-size N] [--max-size N]
     python -m europa_ray.cli exact   --input DIR --output DIR [--two-pass]
     python -m europa_ray.cli textstats --input DIR --output DIR
+    python -m europa_ray.cli sample  --input DIR --output DIR
+        [--rate 0.25] [--rate-overrides lang=rate,...] [--token-budget N]
+    python -m europa_ray.cli decontam --input DIR --output DIR
+        [--benchmark DIR]
 
 Output is partitioned Parquet (resumable: with ``--checkpoint`` every stage
 records per-partition lineage + counters in ``manifest.json`` and a re-run
@@ -180,10 +184,67 @@ def cmd_textstats(args) -> dict:
     return {"rows": out.count()}
 
 
+def _with_row_id(files):
+    """Deterministic int64 ``row_id`` from the (repo, path, commit)
+    identity — the corpus table has no integer id; budget sampling needs an
+    orderable per-row tie-breaker that is stable across runs/partitions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from europa_ray.util import hash_strings
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        ident = pc.binary_join_element_wise(
+            batch["repo"], batch["path"], batch["commit"], "\x00"
+        )
+        rid = hash_strings(ident.to_pylist()).view(np.int64)
+        return batch.append_column("row_id", pa.array(rid))
+
+    return files.map_batches(add_id, batch_format="pyarrow")
+
+
+def cmd_sample(args) -> dict:
+    from europa_ray.pipelines.sampling import hash_sample, token_budget_sample
+    from europa_ray.sources.files import read_files
+
+    files = _with_row_id(read_files(args.input))
+    if args.token_budget is not None:
+        out = token_budget_sample(
+            files, budget=args.token_budget, id_col="row_id"
+        )
+    else:
+        rates = {}
+        for spec in (args.rate_overrides or "").split(","):
+            if spec:
+                lang, r = spec.split("=")
+                rates[lang] = float(r)
+        out = hash_sample(
+            files, rates=rates, default_rate=args.rate, id_col="row_id",
+            keep_cols=("row_id", "repo", "path", "commit", "lang"),
+        )
+    out.write_parquet(args.output + "/sample")
+    return {"rows": out.count()}
+
+
+def cmd_decontam(args) -> dict:
+    from europa_ray.sources.files import read_files
+    from europa_ray.stages.decontam import benchmark_snippets, decontam_stats
+
+    corpus = _with_row_id(read_files(args.input))
+    bench_src = (
+        _with_row_id(read_files(args.benchmark)) if args.benchmark else corpus
+    )
+    snippets = benchmark_snippets(bench_src, id_col="row_id")
+    out = decontam_stats(corpus, snippets, id_col="row_id")
+    out.write_parquet(args.output + "/decontam")
+    return {"snippets": snippets.num_rows, "flagged_rows": out.count()}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="europa_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("neardup", "exact", "textstats"):
+    for name in ("neardup", "exact", "textstats", "sample", "decontam"):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True)
         sp.add_argument("--output", required=True)
@@ -200,13 +261,26 @@ def main(argv=None) -> int:
             sp.add_argument("--minhash-mode", default=None, choices=["perm", "oph"])
         if name == "exact":
             sp.add_argument("--two-pass", action="store_true")
+        if name == "sample":
+            sp.add_argument("--rate", type=float, default=0.25)
+            sp.add_argument("--rate-overrides", default="",
+                            help="lang=rate[,lang=rate...] per-language overrides")
+            sp.add_argument("--token-budget", type=int, default=None,
+                            help="per-language token budget (switches to budget sampling)")
+        if name == "decontam":
+            sp.add_argument("--benchmark", default=None,
+                            help="files-shaped corpus to derive benchmark snippets from (default: the input)")
     args = p.parse_args(argv)
 
     owned = _init_ray()
     t0 = time.time()
-    result = {"neardup": cmd_neardup, "exact": cmd_exact, "textstats": cmd_textstats}[
-        args.cmd
-    ](args)
+    result = {
+        "neardup": cmd_neardup,
+        "exact": cmd_exact,
+        "textstats": cmd_textstats,
+        "sample": cmd_sample,
+        "decontam": cmd_decontam,
+    }[args.cmd](args)
     result["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(result))
     if owned:

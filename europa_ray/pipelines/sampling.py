@@ -86,21 +86,24 @@ def hash_sample(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     content_col: str = "content",
+    keep_cols: tuple[str, ...] | None = None,
 ) -> ray.data.Dataset:
     """Deterministic stratified Bernoulli sample: keep a row iff the leading
     64 bits of ``sha256(content)`` fall below the language's rate threshold.
 
     Content-hash keyed (not id-keyed), so exact duplicates are sampled
     together and the subset is stable across re-crawls that renumber ids.
-    One stateless vectorized pass — no shuffle, no state.
+    One stateless vectorized pass — no shuffle, no state. ``keep_cols``
+    overrides the output projection (default ``(id_col, lang_col)``).
     """
     rate_map = dict(rates or {})
     thresholds = {k: _rate_to_threshold(v) for k, v in rate_map.items()}
     default_thr = _rate_to_threshold(default_rate)
+    out_cols = list(keep_cols) if keep_cols else [id_col, lang_col]
 
     def sample(batch: pa.Table) -> pa.Table:
         keep, u = _sha_u64_valid(batch, content_col)
-        out = batch.select([id_col, lang_col]).filter(pa.array(keep))
+        out = batch.select(out_cols).filter(pa.array(keep))
         thr = _lang_lookup(out, lang_col, thresholds, default_thr, dtype=_U64)
         return out.filter(pa.array(u < thr))
 

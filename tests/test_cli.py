@@ -53,3 +53,38 @@ def test_cli_filters_flags(ray_session, tiny_corpus, tmp_path, capsys):
     )
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["clusters_rows"] >= 0
+
+
+def test_cli_sample_and_decontam(ray_session, tiny_corpus, tmp_path, capsys):
+    from europa_ray.cli import main
+
+    out = str(tmp_path / "s1")
+    assert main(["sample", "--input", tiny_corpus, "--output", out,
+                 "--rate", "0.25", "--rate-overrides", "python=0.5"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < res["rows"]
+    tbl = pq.read_table(glob.glob(out + "/sample/*.parquet"))
+    assert {"row_id", "repo", "path", "commit", "lang"} <= set(tbl.column_names)
+
+    # determinism: same command → identical sample
+    out2 = str(tmp_path / "s2")
+    assert main(["sample", "--input", tiny_corpus, "--output", out2,
+                 "--rate", "0.25", "--rate-overrides", "python=0.5"]) == 0
+    capsys.readouterr()
+    tbl2 = pq.read_table(glob.glob(out2 + "/sample/*.parquet"))
+    assert sorted(tbl["row_id"].to_pylist()) == sorted(tbl2["row_id"].to_pylist())
+
+    out3 = str(tmp_path / "tb")
+    assert main(["sample", "--input", tiny_corpus, "--output", out3,
+                 "--token-budget", "500"]) == 0
+    res3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < res3["rows"]
+    tbl3 = pq.read_table(glob.glob(out3 + "/sample/*.parquet"))
+    assert {"row_id", "lang", "n_tokens"} <= set(tbl3.column_names)
+
+    out4 = str(tmp_path / "dc")
+    assert main(["decontam", "--input", tiny_corpus, "--output", out4]) == 0
+    res4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # snippet sources contain their own snippet → flagged ≥ 1 when any
+    # snippet qualifies (planted corpus rows are long enough)
+    assert res4["snippets"] > 0 and res4["flagged_rows"] > 0
