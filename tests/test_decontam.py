@@ -123,3 +123,23 @@ def test_benchmark_snippets_and_pipeline(ray_session):
         if d % CONTAM_EVERY == 0 and (d - d % SNIPPET_EVERY) in snip_srcs:
             assert d in flagged
     assert (got.n_hits >= 1).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_txt = st.text(
+    alphabet=st.characters(codec="utf-8", max_codepoint=0x2FF), max_size=60
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(st.one_of(st.none(), _txt), min_size=1, max_size=12),
+    snippets=st.lists(_txt.filter(bool), min_size=1, max_size=6),
+)
+def test_scan_property_equals_python_substring(texts, snippets):
+    """For ANY unicode corpus and snippet set, the rolling-hash window scan
+    reports exactly Python's substring-membership truth (per-row count of
+    distinct contained snippets)."""
+    assert _scan(texts, snippets) == _bruteforce_hits(texts, snippets)
