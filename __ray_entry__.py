@@ -159,6 +159,16 @@ def _q_quality_scores(sf_dir: str):
     ).select_columns(["doc_id", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"])
 
 
+def _q_quality_filter(sf_dir: str):
+    """C4-style rule-based quality filter verdict: per-doc failure bitmask
+    (0 = keep), one fused buffer pass over content."""
+    from europa_ray.pipelines.textstats import quality_filter_batch
+
+    return _docs(sf_dir).map_batches(
+        quality_filter_batch, fn_kwargs={"text_col": "content"}, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fail_mask"])
+
+
 def _q_lang_id(sf_dir: str):
     from europa_ray.pipelines.textstats import lang_id_batch
 
@@ -487,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals_by_lang": wrap(_q_token_totals_by_lang),
         "quality_scores": wrap(_q_quality_scores),
         "text_profile": wrap(_q_text_profile),
+        "quality_filter": wrap(_q_quality_filter),
         "lang_id": wrap(_q_lang_id),
         "doc_fingerprints": wrap(_q_doc_fingerprints),
         "minhash_near_dup_clusters": wrap(_q_minhash_clusters),
@@ -606,6 +617,29 @@ def oracle_sql() -> dict[str, str]:
                    (length(text) - length(regexp_replace(text, '[ \t\n\r\f\v]', '', 'g')))
                        * 1000000 // greatest(length(text), 1) AS ws_ppm
             FROM documents
+        """,
+        # C4-style rule bitmask over the (individually green) profile
+        # signals; bit values mirror pipelines/textstats.py QUALITY_RULES
+        "quality_filter": r"""
+            SELECT doc_id,
+                   CAST((CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_chars < 100 OR n_chars > 100000 THEN 2 ELSE 0 END)
+                      + (CASE WHEN alpha_ppm < 500000 THEN 4 ELSE 0 END)
+                      + (CASE WHEN digit_ppm > 200000 THEN 8 ELSE 0 END)
+                      + (CASE WHEN ws_ppm > 350000 THEN 16 ELSE 0 END) AS BIGINT)
+                       AS fail_mask
+            FROM (
+                SELECT doc_id,
+                       length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens,
+                       length(text) AS n_chars,
+                       (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+                           // greatest(length(text), 1) AS alpha_ppm,
+                       (length(regexp_replace(text, '[^0-9]', '', 'g')) * 1000000)
+                           // greatest(length(text), 1) AS digit_ppm,
+                       (length(text) - length(regexp_replace(text, '[ \t\n\r\f\v]', '', 'g')))
+                           * 1000000 // greatest(length(text), 1) AS ws_ppm
+                FROM documents
+            )
         """,
         "quality_scores": """
             SELECT doc_id,

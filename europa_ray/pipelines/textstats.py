@@ -454,3 +454,38 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fp = splitmix64(fp)
     out = batch.select([c for c in batch.column_names if c != text_col])
     return out.append_column("fingerprint", pa.array(fp.view(np.int64)))
+
+
+# C4-style quality-filter rule set (Raffel et al. 2020 §2.2 analog adapted
+# to the available vectorized signals): each rule contributes one bit to a
+# per-doc failure mask, all thresholds integer/ppm so the DuckDB oracle is
+# value-exact. fail_mask == 0 ⇔ the document survives filtering.
+QUALITY_RULES = (
+    ("min_tokens", 1, "n_tokens", "<", 10),
+    ("len_range", 2, "n_chars", "outside", (100, 100_000)),
+    ("alpha_floor", 4, "alpha_ppm", "<", 500_000),
+    ("digit_ceiling", 8, "digit_ppm", ">", 200_000),
+    ("ws_ceiling", 16, "ws_ppm", ">", 350_000),
+)
+
+
+def quality_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Rule-based quality filter verdict: (…, fail_mask) — one bit per
+    failed rule (0 = keep). One fused buffer pass via the text profile."""
+    prof = text_profile_batch(batch, text_col=text_col)
+    mask = np.zeros(prof.num_rows, dtype=np.int64)
+    cols = {c: prof[c].to_numpy() for c in ("n_tokens", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm")}
+    for _name, bit, col, op, thr in QUALITY_RULES:
+        v = cols[col]
+        if op == "<":
+            hit = v < thr
+        elif op == ">":
+            hit = v > thr
+        else:  # outside (lo, hi)
+            hit = (v < thr[0]) | (v > thr[1])
+        mask |= np.where(hit, bit, 0)
+    out = prof.select(
+        [c for c in prof.column_names
+         if c not in ("n_tokens", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm")]
+    )
+    return out.append_column("fail_mask", pa.array(mask))

@@ -84,6 +84,7 @@ def test_all_queries_have_callables(entry_mod):
         "windowed_event_counts",
         "event_sessions",
         "jaccard_neighbor_sets",
+        "quality_filter",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
