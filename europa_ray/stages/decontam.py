@@ -10,7 +10,8 @@ is **independent of the snippet count**:
 
 1. group snippets by byte length L; per L, hash every L-byte window of the
    batch's concatenated UTF-8 buffer with a polynomial rolling hash over
-   Z/2^64 (base B odd ⇒ invertible; position factors cancelled with one
+   Z/2^64 (Rabin–Karp multi-pattern scheme, vectorized: base B odd ⇒
+   invertible mod 2^64; position factors cancelled with one
    cumulative-product pass of B^-1 — two cumsum/cumprod passes total,
    O(bytes), no per-snippet work);
 2. ``np.isin`` against the sorted snippet-hash array → candidate positions
