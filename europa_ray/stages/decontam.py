@@ -172,6 +172,9 @@ def _scan_batch(data: np.ndarray, offs: np.ndarray, index) -> tuple[np.ndarray, 
     return (np.array(rows_out, dtype=np.int64), np.array(snips_out, dtype=np.int64))
 
 
+_WORKER_IDX_CACHE: dict = {}  # per worker process: ref.hex() → snippet index
+
+
 def decontam_stats(
     files: ray.data.Dataset,
     snippets: pa.Table,
@@ -181,14 +184,17 @@ def decontam_stats(
 ) -> ray.data.Dataset:
     """Per-document count of DISTINCT benchmark snippets contained (docs
     with ≥ 1 hit). The snippet index is broadcast once and built once per
-    worker (module cache keyed by the object ref)."""
+    worker PROCESS — the cache must be module-level (keyed by the object
+    ref), not a closure dict: Ray deserializes the task closure per task,
+    so closure state would silently rebuild the index per batch."""
     ref = ray.put(snippets)
-    cache: dict = {}
 
     def scan(batch: pa.Table) -> pa.Table:
-        idx = cache.get("idx")
+        key = ref.hex()
+        idx = _WORKER_IDX_CACHE.get(key)
         if idx is None:
-            idx = cache["idx"] = _snippet_index(ray.get(ref))
+            _WORKER_IDX_CACHE.clear()  # one benchmark set live per worker
+            idx = _WORKER_IDX_CACHE[key] = _snippet_index(ray.get(ref))
         data, offs = arrow_string_bytes(batch[content_col])
         rows, snips = _scan_batch(data, offs, idx)
         if rows.shape[0] == 0:
