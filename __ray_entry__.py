@@ -229,6 +229,17 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """ExactSubstr-style duplicated-span statistics (Lee et al. 2021) over
+    the mutant-augmented corpus: per-doc count of duplicated w-gram
+    positions (first global occurrence wins) and interval-union token
+    coverage — the token mass corpus-self-dedup would delete."""
+    from europa_ray.pipelines.dupspans import dup_span_stats
+    from europa_ray.sources.augment import with_mutants
+
+    return dup_span_stats(with_mutants(_docs(sf_dir)))
+
+
 def _q_jaccard_neighbor_sets(sf_dir: str):
     """Neighbor aggregation (A5) over the EXACT n-gram Jaccard pair list —
     the oracle-checkable instance of the neighbor_sets operator (the LSH
@@ -515,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_kind_counts": wrap(_q_file_kind_counts),
         "neighbor_sets": wrap(_q_neighbor_sets),
         "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
+        "dup_span_stats": wrap(_q_dup_span_stats),
         "line_dup_stats": wrap(_q_line_dup_stats),
         "line_dedup_stats": wrap(_q_line_dedup_stats),
         "repetition_stats": wrap(_q_repetition_stats),
@@ -804,6 +816,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.node = best.na
             JOIN sizes sb ON sb.node = best.nb
             WHERE best.run >= 241
+        """,
+        # ExactSubstr duplicated-span oracle: alldocs mirrors with_mutants
+        # (drop-every-11th + planted verbatim-block pairs, the CTEs shared
+        # with the substr_pairs oracle); gram identity is the STRING here
+        # vs the engine's 64-bit shingle hash — they agree unless two
+        # distinct 16-grams collide in 64 bits (the jaccard-oracle node
+        # trick); coverage = interval union via the lead() gap formula.
+        "dup_span_stats": r"""
+            WITH gen AS (
+              SELECT doc_id AS d,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'sb' || (((doc_id*1000+1) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS block,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fa' || (((doc_id*1000+2) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fa,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fb' || (((doc_id*1000+3) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fb
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 50 = 0
+            ),
+            alldocs AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 10000000, array_to_string(
+                       list_filter(string_split(text, ' '), (w, i) -> (i - 1) % 11 <> 0), ' ')
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+              UNION ALL SELECT d + 20000000, fa || ' ' || block FROM gen
+              UNION ALL SELECT d + 30000000, block || ' ' || fb FROM gen
+            ),
+            toks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS tk FROM alldocs),
+            occ AS (
+              SELECT doc_id, i, array_to_string(tk[i:i+15], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 15, 0))) AS t(i)
+            ),
+            stats AS (
+              SELECT gram, count(*) AS c, min(doc_id*4294967296+(i-1)) AS fk
+              FROM occ GROUP BY gram
+            ),
+            dups AS (
+              SELECT o.doc_id, (o.i-1) AS p FROM occ o JOIN stats s USING (gram)
+              WHERE s.c > 1 AND o.doc_id*4294967296+(o.i-1) <> s.fk
+            ),
+            cov AS (
+              SELECT doc_id, p, lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+              FROM dups
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_positions,
+                   CAST(sum(CASE WHEN np IS NULL THEN 16
+                                 ELSE least(np - p, 16) END) AS BIGINT) AS covered_tokens
+            FROM cov GROUP BY doc_id
         """,
         # Line-level dedup oracles. The docs2 CTE mirrors the
         # sources/augment.py with_line_docs fixture token-for-token (header

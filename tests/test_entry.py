@@ -85,6 +85,7 @@ def test_all_queries_have_callables(entry_mod):
         "event_sessions",
         "jaccard_neighbor_sets",
         "quality_filter",
+        "dup_span_stats",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
