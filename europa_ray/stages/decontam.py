@@ -117,12 +117,12 @@ def benchmark_snippets(
 
 def _snippet_index(snippets: pa.Table):
     """Per-byte-length sorted hash arrays + raw bytes for exact verify."""
-    by_len: dict[int, tuple[np.ndarray, list[bytes]]] = {}
+    by_len: dict[int, list[bytes]] = {}
     for s in snippets["snippet"].to_pylist():
         b = s.encode()
-        by_len.setdefault(len(b), ([], []))[1].append(b)  # type: ignore[arg-type]
+        by_len.setdefault(len(b), []).append(b)
     out = {}
-    for L, (_, blobs) in by_len.items():
+    for L, blobs in by_len.items():
         hs = np.array(
             [_poly_hash(np.frombuffer(b, dtype=np.uint8)) for b in blobs],
             dtype=_U64,
