@@ -229,6 +229,17 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
 
 
+def _q_cross_corpus_new_docs(sf_dir: str):
+    """Cross-corpus exact dedup: mutant-augmented corpus anti-joined by
+    content digest against the raw corpus (the training-set-already-has-it
+    skip). Originals drop (their sha is in the reference), mutants pass."""
+    from europa_ray.pipelines.exact import cross_corpus_new_docs
+    from europa_ray.sources.augment import with_mutants
+
+    docs = _docs(sf_dir)
+    return cross_corpus_new_docs(with_mutants(docs), docs, id_col="doc_id")
+
+
 def _q_dup_span_stats(sf_dir: str):
     """ExactSubstr-style duplicated-span statistics (Lee et al. 2021) over
     the mutant-augmented corpus: per-doc count of duplicated w-gram
@@ -527,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sets": wrap(_q_neighbor_sets),
         "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
         "dup_span_stats": wrap(_q_dup_span_stats),
+        "cross_corpus_new_docs": wrap(_q_cross_corpus_new_docs),
         "line_dup_stats": wrap(_q_line_dup_stats),
         "line_dedup_stats": wrap(_q_line_dedup_stats),
         "repetition_stats": wrap(_q_repetition_stats),
@@ -816,6 +828,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.node = best.na
             JOIN sizes sb ON sb.node = best.nb
             WHERE best.run >= 241
+        """,
+        # cross-corpus anti-join: the mutant CTEs are shared with the
+        # dup_span_stats/substr oracles; originals' digests appear in the
+        # reference side and drop, mutant digests don't and pass
+        "cross_corpus_new_docs": r"""
+            WITH gen AS (
+              SELECT doc_id AS d,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'sb' || (((doc_id*1000+1) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS block,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fa' || (((doc_id*1000+2) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fa,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fb' || (((doc_id*1000+3) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fb
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 50 = 0
+            ),
+            newdocs AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 10000000, array_to_string(
+                       list_filter(string_split(text, ' '), (w, i) -> (i - 1) % 11 <> 0), ' ')
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+              UNION ALL SELECT d + 20000000, fa || ' ' || block FROM gen
+              UNION ALL SELECT d + 30000000, block || ' ' || fb FROM gen
+            )
+            SELECT doc_id, sha256(text) AS sha256 FROM newdocs
+            WHERE sha256(text) NOT IN (
+                SELECT sha256(text) FROM documents WHERE length(text) > 0
+            )
         """,
         # ExactSubstr duplicated-span oracle: alldocs mirrors with_mutants
         # (drop-every-11th + planted verbatim-block pairs, the CTEs shared

@@ -19,6 +19,7 @@ function runs over millions of singleton groups.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -195,3 +196,79 @@ def dedup_representatives(
     )
     agg = hashed.groupby("sha256").min(id_col)
     return agg.rename_columns({f"min({id_col})": id_col}).sort("sha256")
+
+
+def cross_corpus_new_docs(
+    new_files: ray.data.Dataset,
+    reference_files: ray.data.Dataset,
+    *,
+    id_col: str = "path",
+    broadcast_max_digests: int = 20_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-corpus exact dedup: rows of ``new_files`` whose content sha256
+    does NOT appear in ``reference_files`` — the "don't re-ingest what the
+    training set already has" pass (the corpus-level form of the
+    reference's cached-signature skip, ``QdrantRepository.cs:82-103``).
+
+    The reference side is reduced to its DISTINCT digest set first (one
+    groupby — at 100 TB the digest set is ~48 B per distinct content, ≪
+    corpus). Below ``broadcast_max_digests`` the set is broadcast as one
+    sorted u64-prefix + full-hex pair of arrays and applied as a vectorized
+    anti-join filter; above it, a distributed left-outer marker join takes
+    over (forced-budget-0 equivalence tested). Output: (id_col, sha256).
+    """
+    import pyarrow.compute as pc
+
+    nparts = num_partitions or default_num_partitions()
+    ref_digests = (
+        reference_files.map_batches(
+            add_sha256, fn_kwargs={"keep_cols": ()}, batch_format="pyarrow"
+        )
+        .groupby("sha256")
+        .count()
+        .select_columns(["sha256"])
+        .materialize()
+    )
+    new_hashed = new_files.map_batches(
+        add_sha256, fn_kwargs={"keep_cols": (id_col,)}, batch_format="pyarrow"
+    )
+
+    n_ref = ref_digests.count()
+    if n_ref <= broadcast_max_digests:
+        parts = [
+            b["sha256"].to_pylist()
+            for b in ref_digests.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+        ]
+        ref_hex = np.sort(np.asarray(
+            [h for p in parts for h in p], dtype="U64"
+        ))
+        ref_arr = ray.put(ref_hex)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            ref = ray.get(ref_arr)
+            vals = np.asarray(batch["sha256"].to_pylist(), dtype="U64")
+            if ref.shape[0] == 0:
+                return batch.select([id_col, "sha256"])
+            idx = np.minimum(np.searchsorted(ref, vals), ref.shape[0] - 1)
+            keep = ref[idx] != vals
+            return batch.select([id_col, "sha256"]).filter(pa.array(keep))
+
+        return new_hashed.map_batches(anti, batch_format="pyarrow")
+
+    marked = ref_digests.rename_columns({"sha256": "__ref_sha"}).add_column(
+        "__seen", lambda df: np.ones(len(df), dtype=np.int8)
+    ).materialize()
+    joined = new_hashed.select_columns([id_col, "sha256"]).join(
+        marked,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("sha256",),
+        right_on=("__ref_sha",),
+    )
+
+    def keep_unseen(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["__seen"])
+        return batch.filter(mask).select([id_col, "sha256"])
+
+    return joined.map_batches(keep_unseen, batch_format="pyarrow")

@@ -86,6 +86,7 @@ def test_all_queries_have_callables(entry_mod):
         "jaccard_neighbor_sets",
         "quality_filter",
         "dup_span_stats",
+        "cross_corpus_new_docs",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):

@@ -97,3 +97,37 @@ def test_dedup_representatives_on_driver_documents(ray_session):
     ).df()
     assert reps.sha256.tolist() == oracle.sha256.tolist()
     assert reps.doc_id.tolist() == oracle.doc_id.tolist()
+
+
+def test_cross_corpus_new_docs_both_paths(ray_session):
+    """Anti-join by content digest: reference-present content drops, new
+    content passes; broadcast and forced-budget-0 join paths agree."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.exact import cross_corpus_new_docs
+
+    ref = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(["a", "b", "c"]),
+                "content": pa.array(["old one", "old two", "old three"]),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(["x", "y", "z", "w"]),
+                # y duplicates reference content; w is empty (dropped)
+                "content": pa.array(["fresh one", "old two", "fresh two", ""]),
+            }
+        )
+    )
+    a = cross_corpus_new_docs(new, ref).to_pandas()
+    assert sorted(a.path) == ["x", "z"]
+    b = cross_corpus_new_docs(new, ref, broadcast_max_digests=0).to_pandas()
+    assert sorted(b.path) == ["x", "z"]
+    assert sorted(map(tuple, a[["path", "sha256"]].values)) == sorted(
+        map(tuple, b[["path", "sha256"]].values)
+    )
