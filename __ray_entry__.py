@@ -159,6 +159,14 @@ def _q_quality_scores(sf_dir: str):
     ).select_columns(["doc_id", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm"])
 
 
+def _q_token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles (p50/p90/p99) via the
+    distributed value-histogram — value-identical to quantile_disc."""
+    from europa_ray.pipelines.textstats import token_quantiles
+
+    return token_quantiles(_docs(sf_dir))
+
+
 def _q_quality_filter(sf_dir: str):
     """C4-style rule-based quality filter verdict: per-doc failure bitmask
     (0 = keep), one fused buffer pass over content."""
@@ -520,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": wrap(_q_quality_scores),
         "text_profile": wrap(_q_text_profile),
         "quality_filter": wrap(_q_quality_filter),
+        "token_quantiles": wrap(_q_token_quantiles),
         "lang_id": wrap(_q_lang_id),
         "doc_fingerprints": wrap(_q_doc_fingerprints),
         "minhash_near_dup_clusters": wrap(_q_minhash_clusters),
@@ -641,6 +650,20 @@ def oracle_sql() -> dict[str, str]:
                    (length(text) - length(regexp_replace(text, '[ \t\n\r\f\v]', '', 'g')))
                        * 1000000 // greatest(length(text), 1) AS ws_ppm
             FROM documents
+        """,
+        # exact discrete quantiles: quantile_disc picks the element of rank
+        # ceil(q*n), the same rule the engine's cumulative value histogram
+        # implements (probed: [1,2,3,4] q=.5 -> 2, q=.9 -> 4, q=.25 -> 1)
+        "token_quantiles": r"""
+            SELECT lang,
+                   CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS q50,
+                   CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS q90,
+                   CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS q99
+            FROM (
+                SELECT lang,
+                       length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+                FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ) GROUP BY lang
         """,
         # C4-style rule bitmask over the (individually green) profile
         # signals; bit values mirror pipelines/textstats.py QUALITY_RULES

@@ -489,3 +489,64 @@ def quality_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
          if c not in ("n_tokens", "n_chars", "alpha_ppm", "digit_ppm", "ws_ppm")]
     )
     return out.append_column("fail_mask", pa.array(mask))
+
+
+def token_quantiles(
+    files, *, qs: tuple[float, ...] = (0.5, 0.9, 0.99), text_col: str = "content"
+):
+    """Exact per-language token-count quantiles via a distributed VALUE
+    histogram: one metadata pass emits (lang, n_tokens), one
+    ``groupby(lang:value).count`` shuffle reduces the corpus to its
+    distinct-value histogram (≤ |langs| × |distinct counts| rows — tiny,
+    independent of corpus row count), and the driver walks each language's
+    cumulative counts. No sort of the corpus, no per-row gather — the exact
+    analog of ``quantile_disc``: the q-quantile is the element of rank
+    ``ceil(q·n)`` (1-based), i.e. the smallest value whose cumulative count
+    reaches that rank. Output: (lang, q50, q90, ... as int64).
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+        sub = batch.filter(valid)
+        n = np.asarray(token_count_arrow(sub[text_col]), dtype=np.int64)
+        langs = sub["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        key = pc.binary_join_element_wise(
+            langs.cast(pa.string()), pa.array(n).cast(pa.string()), ":"
+        )
+        return pa.table({"lv": key, "one": pa.array(np.ones(len(n), np.int64))})
+
+    hist = (
+        files.map_batches(project, batch_format="pyarrow")
+        .groupby("lv")
+        .sum("one")
+    )
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for b in hist.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for lv, c in zip(b["lv"].to_pylist(), b["sum(one)"].to_pylist()):
+            lang, val = lv.rsplit(":", 1)
+            per_lang.setdefault(lang, []).append((int(val), int(c)))
+    rows = {"lang": []}
+    qcols = [f"q{int(q * 100)}" for q in qs]
+    for qc in qcols:
+        rows[qc] = []
+    for lang in sorted(per_lang):
+        vals = sorted(per_lang[lang])
+        counts = np.array([c for _, c in vals], dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        rows["lang"].append(lang)
+        for q, qc in zip(qs, qcols):
+            rank = math.ceil(q * n)
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows[qc].append(vals[idx][0])
+    return pa.table(
+        {"lang": pa.array(rows["lang"], pa.string()),
+         **{qc: pa.array(rows[qc], pa.int64()) for qc in qcols}}
+    )

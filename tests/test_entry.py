@@ -87,6 +87,7 @@ def test_all_queries_have_callables(entry_mod):
         "quality_filter",
         "dup_span_stats",
         "cross_corpus_new_docs",
+        "token_quantiles",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
