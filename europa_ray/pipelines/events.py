@@ -48,7 +48,19 @@ def windowed_event_counts(
 
     def project(batch: pa.Table) -> pa.Table:
         t = _epoch_us(batch["ts"])
-        v = batch["value"].to_numpy(zero_copy_only=False)
+        col = batch["value"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False)
+        if col.null_count:
+            # NULL values contribute 0 to the sum (SQL SUM ignores NULLs);
+            # without this a null→NaN→astype(int64) lands at INT64_MIN and
+            # silently corrupts sum_value_micros
+            import pyarrow.compute as pc
+
+            v = np.where(
+                pc.is_valid(col).to_numpy(zero_copy_only=False), v, 0.0
+            )
         return pa.table(
             {
                 "user_id": batch["user_id"],

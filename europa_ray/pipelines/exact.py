@@ -212,11 +212,12 @@ def cross_corpus_new_docs(
     reference's cached-signature skip, ``QdrantRepository.cs:82-103``).
 
     The reference side is reduced to its DISTINCT digest set first (one
-    groupby — at 100 TB the digest set is ~48 B per distinct content, ≪
-    corpus). Below ``broadcast_max_digests`` the set is broadcast as one
-    sorted u64-prefix + full-hex pair of arrays and applied as a vectorized
-    anti-join filter; above it, a distributed left-outer marker join takes
-    over (forced-budget-0 equivalence tested). Output: (id_col, sha256).
+    groupby — at 100 TB the digest set is 32 B per distinct content as a
+    sorted structured-u256 key array, ≪ corpus). Below
+    ``broadcast_max_digests`` that array is broadcast (one zero-copy plasma
+    object per node) and applied as a vectorized searchsorted anti-join
+    filter; above it, a distributed left-outer marker join takes over
+    (forced-budget-0 equivalence tested). Output: (id_col, sha256).
     """
     import pyarrow.compute as pc
 
@@ -236,18 +237,26 @@ def cross_corpus_new_docs(
 
     n_ref = ref_digests.count()
     if n_ref <= broadcast_max_digests:
+        # broadcast the digest set as the 32 B/entry structured u256 key
+        # (exact full-digest equality), not hex strings — a '<U64' numpy
+        # array costs 256 B/entry plus transient pylist overhead, ~8× the
+        # memory for the same information. The plasma copy is shared
+        # per-node (zero-copy ray.get), so worst case at the default cap is
+        # 20M × 32 B = 640 MB per node, not per worker.
+        from europa_ray.util import hex_to_u256_arrow
+
         parts = [
-            b["sha256"].to_pylist()
+            hex_to_u256_arrow(b["sha256"])
             for b in ref_digests.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
         ]
-        ref_hex = np.sort(np.asarray(
-            [h for p in parts for h in p], dtype="U64"
-        ))
-        ref_arr = ray.put(ref_hex)
+        ref_keys = np.sort(np.concatenate(parts)) if parts else hex_to_u256_arrow(
+            pa.array([], pa.string())
+        )
+        ref_arr = ray.put(ref_keys)
 
         def anti(batch: pa.Table) -> pa.Table:
             ref = ray.get(ref_arr)
-            vals = np.asarray(batch["sha256"].to_pylist(), dtype="U64")
+            vals = hex_to_u256_arrow(batch["sha256"])
             if ref.shape[0] == 0:
                 return batch.select([id_col, "sha256"])
             idx = np.minimum(np.searchsorted(ref, vals), ref.shape[0] - 1)

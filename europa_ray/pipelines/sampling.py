@@ -174,8 +174,11 @@ def _prefix_histogram(meta: ray.data.Dataset, lang_col: str, level: int,
         )
         t = pa.table({"lb": key, "tok": pa.array(tok),
                       "one": pa.array(np.ones(len(u), np.int64))})
+        # select aggregate outputs BY NAME (pyarrow group_by column order has
+        # differed across releases; positional rename would swap columns)
         g = t.group_by("lb").aggregate([("tok", "sum"), ("one", "sum")])
-        return g.rename_columns(["lb", "tok_sum", "n_rows"])
+        return pa.table({"lb": g["lb"], "tok_sum": g["tok_sum"],
+                         "n_rows": g["one_sum"]})
 
     agg = (
         meta.map_batches(partial, batch_format="pyarrow")
@@ -282,43 +285,102 @@ def token_budget_sample(
         level += 1
 
     # exact boundary inside each remaining region: gather region rows
-    # (≤ boundary_gather_max per language by construction), sort, cut
+    # (≤ boundary_gather_max per language by construction), sort, cut.
+    # Languages whose region is STILL above the gather budget after 8
+    # refinement levels (identical-hash skew: the 8-byte prefix pins sha64
+    # exactly, so the region cannot be split further by hash) take a
+    # streaming path instead — no unbounded driver gather.
     if active:
         shift = _U64(64 - 8 * level)
-        prefixes = {l: boundary_prefix[l] for l in active}
+        gatherable = sorted(
+            l for l in active if region_rows.get(l, 0) <= boundary_gather_max
+        )
+        oversized = sorted(set(active) - set(gatherable))
+        if gatherable:
+            # boundary prefixes are unsigned and reach the full 64 bits at
+            # level 8 — keep the lookup and the shifted compare in uint64
+            # (an int64 lookup overflows on prefixes >= 2^63). Language
+            # membership is a separate boolean mask so no sentinel value
+            # can collide with a real prefix.
+            prefixes = {l: boundary_prefix[l] for l in gatherable}
+            member = {l: True for l in gatherable}
 
-        def region(batch: pa.Table) -> pa.Table:
-            u = batch["sha64"].to_numpy().view(_U64)
-            pref = _lang_lookup(batch, lang_col, prefixes, -1, dtype=np.int64)
-            sel = (u >> shift).astype(np.int64) == pref
-            return batch.filter(pa.array(sel))
+            def region(batch: pa.Table) -> pa.Table:
+                u = batch["sha64"].to_numpy().view(_U64)
+                pref = _lang_lookup(batch, lang_col, prefixes, 0, dtype=_U64)
+                act = _lang_lookup(batch, lang_col, member, False, dtype=bool)
+                sel = act & ((u >> shift) == pref)
+                return batch.filter(pa.array(sel))
 
-        gathered = pa.concat_tables(
-            list(
-                meta.map_batches(region, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow", batch_size=65536
+            gathered = pa.concat_tables(
+                list(
+                    meta.map_batches(region, batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow", batch_size=65536
+                    )
                 )
             )
-        )
-        gl = gathered[lang_col].to_pylist()
-        gu = gathered["sha64"].to_numpy().view(_U64)
-        gid = gathered[id_col].to_numpy()
-        gtok = gathered["n_tokens"].to_numpy()
-        for lang in sorted(active):
-            sel = np.array([x == lang for x in gl], dtype=bool)
-            u, ids, tok = gu[sel], gid[sel], gtok[sel]
-            order = np.lexsort((ids, u))
-            cum = remaining_base[lang] + np.cumsum(tok[order])
-            kept = int(np.searchsorted(cum, budget, side="right"))
-            if kept == 0:
-                lo = _U64(prefixes[lang]) << shift
-                if lo == _U64(0):
+            gl = gathered[lang_col].to_pylist()
+            gu = gathered["sha64"].to_numpy().view(_U64)
+            gid = gathered[id_col].to_numpy()
+            gtok = gathered["n_tokens"].to_numpy()
+            for lang in gatherable:
+                sel = np.array([x == lang for x in gl], dtype=bool)
+                u, ids, tok = gu[sel], gid[sel], gtok[sel]
+                order = np.lexsort((ids, u))
+                cum = remaining_base[lang] + np.cumsum(tok[order])
+                kept = int(np.searchsorted(cum, budget, side="right"))
+                if kept == 0:
+                    lo = _U64(prefixes[lang]) << shift
+                    if lo == _U64(0):
+                        rules[lang] = (_KEEP_NONE,)
+                    else:
+                        rules[lang] = (_KEEP_LE, int(lo - _U64(1)), np.iinfo(np.int64).max)
+                else:
+                    last = order[kept - 1]
+                    rules[lang] = (_KEEP_LE, int(u[last]), int(ids[last]))
+        for lang in oversized:
+            # level == 8 by construction: the prefix IS the sha64 value and
+            # within-region order is by id alone. Distributed sort by id,
+            # then stream batches through a running cumsum until the budget
+            # is hit — driver memory bounded by one batch.
+            sha_val = _U64(boundary_prefix[lang])
+
+            def one_region(batch: pa.Table, *, _lang=lang, _sha=sha_val) -> pa.Table:
+                import pyarrow.compute as pc
+
+                u = batch["sha64"].to_numpy().view(_U64)
+                sel = pa.array(u == _sha)
+                sel = pc.and_(sel, pc.equal(batch[lang_col], _lang))
+                return batch.filter(sel)
+
+            region_ds = meta.map_batches(
+                one_region, batch_format="pyarrow"
+            ).sort(id_col)
+            cum = remaining_base[lang]
+            boundary_id = None
+            for b in region_ds.iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            ):
+                if b.num_rows == 0:
+                    continue
+                c = cum + np.cumsum(b["n_tokens"].to_numpy())
+                ids = b[id_col].to_numpy()
+                kept = int(np.searchsorted(c, budget, side="right"))
+                if kept < len(ids):
+                    if kept > 0:
+                        boundary_id = int(ids[kept - 1])
+                    break
+                cum = int(c[-1])
+                boundary_id = int(ids[-1])
+            if boundary_id is None:
+                # not even the first region row fits: keep everything below
+                if sha_val == _U64(0):
                     rules[lang] = (_KEEP_NONE,)
                 else:
-                    rules[lang] = (_KEEP_LE, int(lo - _U64(1)), np.iinfo(np.int64).max)
+                    rules[lang] = (_KEEP_LE, int(sha_val - _U64(1)),
+                                   np.iinfo(np.int64).max)
             else:
-                last = order[kept - 1]
-                rules[lang] = (_KEEP_LE, int(u[last]), int(ids[last]))
+                rules[lang] = (_KEEP_LE, int(sha_val), boundary_id)
 
     # broadcast filter: keep iff (sha, id) ≤ the language's boundary
     modes = {l: r[0] for l, r in rules.items()}

@@ -110,9 +110,12 @@ def benchmark_snippets(
             f"benchmark snippet set ({t.num_rows}) exceeds max_snippets "
             f"({max_snippets}); raise the budget or shard the benchmark"
         )
-    # distinct snippet, minimum source id (SQL: GROUP BY snippet, min(src))
+    # distinct snippet, minimum source id (SQL: GROUP BY snippet, min(src)).
+    # Select aggregate outputs BY NAME — pyarrow's group_by column order
+    # (keys-first vs aggregates-first) has differed across releases, so a
+    # positional rename_columns would silently swap snippet/src.
     g = t.group_by("snippet").aggregate([("src", "min")])
-    return g.rename_columns(["snippet", "src"]).sort_by("src")
+    return pa.table({"snippet": g["snippet"], "src": g["src_min"]}).sort_by("src")
 
 
 def _snippet_index(snippets: pa.Table):

@@ -112,3 +112,27 @@ def test_sessionize_events(ray_session):
     )
     g2 = sessionize_events(ray.data.from_arrow(t2)).to_pandas()
     assert len(g2) == 1 and g2.n_events.iloc[0] == 2
+
+
+def test_windowed_counts_null_values(ray_session):
+    """Regression (round-4 advice): a NULL value used to become NaN →
+    astype(int64) → INT64_MIN, corrupting sum_value_micros. NULLs now
+    contribute 0 to the sum (SQL SUM semantics) but still count as events."""
+    import ray.data
+
+    t = _mk_events()
+    vals = t["value"].to_pylist()
+    vals[1] = None  # event 2: user 1, hour 0, was 2.50
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     pa.array(vals, pa.float64()))
+    got = windowed_event_counts(ray.data.from_arrow(t)).to_pandas()
+    rows = {
+        (r.user_id, r.hour_idx): (r.n_events, r.sum_value_micros)
+        for r in got.itertuples()
+    }
+    assert rows == {
+        (1, 0): (4, 3_000_000),  # 5.5M minus the nulled 2.5M; count unchanged
+        (1, 1): (2, 4_100_000),
+        (2, 0): (1, 9_990_000),
+        (2, 1): (1, 10_000),
+    }

@@ -159,3 +159,57 @@ def test_token_budget_order_invariant(ray_session):
     ).to_pandas()
     key = lambda df: sorted(zip(df.doc_id, df.lang, df.n_tokens))
     assert key(a) == key(b)
+
+
+def _mk_dup_heavy(n_dup: int, lang: str = "en", extra: int = 0) -> pa.Table:
+    """``n_dup`` rows of IDENTICAL content (identical sha64 — the pre-dedup
+    skew case) plus ``extra`` distinct rows in a second language."""
+    texts = ["alpha beta gamma"] * n_dup + [
+        f"unique text number {i} with some words" for i in range(extra)
+    ]
+    langs = [lang] * n_dup + ["de"] * extra
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("budget", [50, 1, 10**9])
+def test_token_budget_identical_hash_skew(ray_session, budget):
+    """Regression (round-4 advice): a straddling region of identical-hash
+    rows cannot be split by refinement — it used to exit at level 8, build
+    the prefix lookup as int64 (OverflowError on full-64-bit prefixes
+    ≥ 2^63) and gather the whole region unbounded. Now that region streams
+    through a distributed id-sort with a bounded driver cumsum."""
+    import ray.data
+
+    t = _mk_dup_heavy(50)
+    got = token_budget_sample(
+        ray.data.from_arrow(t).repartition(5),
+        budget=budget,
+        boundary_gather_max=2,  # force refinement past every hash byte
+    ).to_pandas()
+    want = _budget_bruteforce(t, budget)
+    got_set = set() if got.empty else set(zip(got.doc_id, got.lang, got.n_tokens))
+    assert got_set == want
+
+
+def test_token_budget_skew_plus_gatherable_lang(ray_session):
+    """Identical-hash skew in one language must not break the normal
+    gather path of another language refined to the same (full) prefix
+    depth — the gatherable branch now compares full-u64 prefixes."""
+    import ray.data
+
+    t = _mk_dup_heavy(40, extra=30)
+    budget = 60  # straddles both languages' regions
+    got = token_budget_sample(
+        ray.data.from_arrow(t).repartition(4),
+        budget=budget,
+        boundary_gather_max=2,
+    ).to_pandas()
+    want = _budget_bruteforce(t, budget)
+    got_set = set() if got.empty else set(zip(got.doc_id, got.lang, got.n_tokens))
+    assert got_set == want
