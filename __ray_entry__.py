@@ -193,19 +193,42 @@ def _q_doc_fingerprints(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def _oracle_cfg():
+    """Flagship config for the VALUE-CHECKED driver queries: complete
+    candidate coverage (one global band through the same explode → pair →
+    dedupe machinery) + TRUE shingle-Jaccard verification — result equals
+    the all-pairs SQL oracle BY CONSTRUCTION (the ``ann_topk_ivf``
+    nprobe=nlist move applied to the flagship). The probabilistic
+    production config (banded LSH b16/r8, estimate verify) is benched in
+    bench.py and recall/precision-gated in tests/test_neardup.py."""
+    from europa_ray.config import EngineConfig
+
+    return EngineConfig(candidates="all", verify_mode="exact")
+
+
 def _q_minhash_clusters(sf_dir: str):
+    """Full flagship chain (signatures → band machinery → pair verify →
+    union-find CC → member assembly) at the oracle config — clusters
+    value-checked against a DuckDB recursive-CTE connected-components
+    construction over the exact pair set."""
     from europa_ray.pipelines.neardup import near_dup_pipeline
     from europa_ray.sources.augment import with_mutants
 
-    out = near_dup_pipeline(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    out = near_dup_pipeline(
+        with_mutants(_docs(sf_dir)), _oracle_cfg(), id_cols=("doc_id",)
+    )
     return out["clusters"].select_columns(["doc_id", "sha256", "cluster_id", "source"])
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """Flagship pair list at the oracle config (complete candidates + exact
+    verify) — equals the all-pairs true-Jaccard SQL oracle by construction."""
     from europa_ray.pipelines.neardup import near_dup_pipeline
     from europa_ray.sources.augment import with_mutants
 
-    out = near_dup_pipeline(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    out = near_dup_pipeline(
+        with_mutants(_docs(sf_dir)), _oracle_cfg(), id_cols=("doc_id",)
+    )
     return out["pairs"]
 
 
@@ -272,9 +295,9 @@ def _q_jaccard_neighbor_sets(sf_dir: str):
 
 def _q_exact_dup_pairs(sf_dir: str):
     """Canonical within-group pairs of exact duplicates (SO3/SO4): emitted
-    from the (small) cluster table driver-side."""
-    import itertools
-
+    from the (small) cluster table driver-side — grouped ``triu_indices``
+    pairing (one lexsort + per-distinct-size vectorized expansion, the
+    ppjoin.py clique pattern; no per-row Python)."""
     import pyarrow as pa
 
     from europa_ray.pipelines.exact import exact_dup_clusters
@@ -282,14 +305,28 @@ def _q_exact_dup_pairs(sf_dir: str):
 
     members = _collect(
         exact_dup_clusters(with_exact_dups(_docs(sf_dir)), id_cols=("doc_id",))
-    ).to_pandas()
-    out_a, out_b = [], []
-    for _, grp in members.groupby("cluster_id"):
-        ids = sorted(grp.doc_id)
-        for x, y in itertools.combinations(ids, 2):
-            out_a.append(x)
-            out_b.append(y)
-    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+    )
+    cl = np.asarray(members["cluster_id"].to_pylist(), dtype="U16")
+    ids = members["doc_id"].to_numpy()
+    order = np.lexsort((ids, cl))
+    cl, ids = cl[order], ids[order]
+    new_g = np.ones(cl.shape[0], dtype=bool)
+    new_g[1:] = cl[1:] != cl[:-1]
+    starts = np.flatnonzero(new_g)
+    sizes = np.diff(np.append(starts, cl.shape[0]))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s in np.unique(sizes[sizes >= 2]):
+        st = starts[sizes == s]
+        iu, ju = np.triu_indices(int(s), k=1)
+        out_a.append(ids[(st[:, None] + iu[None, :]).ravel()])
+        out_b.append(ids[(st[:, None] + ju[None, :]).ravel()])
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    order = np.lexsort((b, a))
+    return pa.table(
+        {"a": pa.array(a[order], pa.int64()), "b": pa.array(b[order], pa.int64())}
+    )
 
 
 def _q_file_kind_counts(sf_dir: str):
@@ -299,10 +336,15 @@ def _q_file_kind_counts(sf_dir: str):
 
 
 def _q_neighbor_sets(sf_dir: str):
+    """Neighbor aggregation over the FLAGSHIP pipeline's pair list at the
+    oracle config — value-checked (shares the jaccard_neighbor_sets SQL;
+    same aggregation code, different pair-generation machinery)."""
     from europa_ray.pipelines.neardup import near_dup_pipeline, neighbor_sets
     from europa_ray.sources.augment import with_mutants
 
-    out = near_dup_pipeline(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    out = near_dup_pipeline(
+        with_mutants(_docs(sf_dir)), _oracle_cfg(), id_cols=("doc_id",)
+    )
     return neighbor_sets(out["pairs"]).select_columns(["node", "n_neighbors"])
 
 
@@ -332,10 +374,17 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_topk_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN top-k. Driver config uses n_bits=0 — a single
+    global bucket, so every query scans every row exactly once and the
+    result equals brute force BY CONSTRUCTION (the ann_topk_ivf
+    nprobe=nlist move), sharing the ``ann_topk`` oracle while still
+    exercising the bucket machinery (plane projection, bucket keys,
+    segment scan, tie-safe merge). Pruned-bucket recall (n_bits > 0) is
+    measured on planted pairs in tests/test_ann_media.py."""
     from europa_ray.stages.ann import lsh_topk
 
     q, ids = _query_vectors(sf_dir, 10)
-    return lsh_topk(_load_embeddings(sf_dir), q, ids, k=5, n_bits=4)
+    return lsh_topk(_load_embeddings(sf_dir), q, ids, k=5, n_bits=0)
 
 
 def _q_ann_topk_ivf(sf_dir: str):
@@ -460,12 +509,16 @@ def _q_event_sessions(sf_dir: str):
 def _q_near_dup_representatives(sf_dir: str):
     """The deduplicated corpus under near-dup clustering: one canonical
     representative (min (sha256, doc_id)) per cluster + all unclustered
-    rows. LSH-dependent → rows-only here; both dispatch paths are
-    equivalence- and truth-tested in tests/test_neardup.py."""
+    rows — at the oracle config, value-checked against the SQL
+    recursive-CTE cluster construction + windowed representative pick.
+    Both dispatch paths are additionally equivalence- and truth-tested in
+    tests/test_neardup.py."""
     from europa_ray.pipelines.neardup import near_dup_representatives
     from europa_ray.sources.augment import with_mutants
 
-    return near_dup_representatives(with_mutants(_docs(sf_dir)), id_col="doc_id")
+    return near_dup_representatives(
+        with_mutants(_docs(sf_dir)), _oracle_cfg(), id_col="doc_id"
+    )
 
 
 def _q_hash_sample(sf_dir: str):
@@ -1251,6 +1304,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT b AS node FROM jpairs
         ) GROUP BY node
     """
+    # ---- flagship near-dup chain (value-checked at the oracle config:
+    # complete candidates + exact verify ⇒ the engine's pair set equals the
+    # all-pairs true-Jaccard oracle BY CONSTRUCTION; clusters follow by a
+    # recursive-CTE connected-components construction; reference semantics:
+    # SimilarImageFinder.cs:340-411 / SURVEY A6) ----
+    sql["minhash_pairs"] = f"""
+        WITH jp AS ({sql['ngram_jaccard_pairs']})
+        SELECT a, b, jaccard AS est, 'lsh' AS source FROM jp
+    """
+    # flagship neighbor aggregation shares the exact-pair neighbor oracle
+    sql["neighbor_sets"] = sql["jaccard_neighbor_sets"]
+    # shared corpus CTEs: gen = planted verbatim-block substring mutants;
+    # newdocs = documents ∪ all with_mutants rows (ids mirrored from
+    # sources/augment.py offsets); node = int64 view of the sha256's
+    # leading 64 bits (the engine's content-node identity)
+    _gen_cte = """gen AS (
+              SELECT doc_id AS d, lang,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'sb' || (((doc_id*1000+1) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS block,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fa' || (((doc_id*1000+2) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fa,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fb' || (((doc_id*1000+3) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fb
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 50 = 0
+            )"""
+    _newdocs_cte = """newdocs AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 10000000, array_to_string(
+                       list_filter(string_split(text, ' '), (w, i) -> (i - 1) % 11 <> 0), ' ')
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+              UNION ALL SELECT d + 20000000, fa || ' ' || block FROM gen
+              UNION ALL SELECT d + 30000000, block || ' ' || fb FROM gen
+            )"""
+    _cc_ctes = f"""{_gen_cte},
+            {_newdocs_cte},
+            docs3 AS (
+              SELECT doc_id, sha256(text) AS sha256,
+                     CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
+                          - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                      >= 9223372036854775808::UBIGINT
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0::HUGEINT END
+                          AS BIGINT) AS node
+              FROM newdocs
+            ),
+            jp AS ({sql['ngram_jaccard_pairs']}),
+            edges AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b, a FROM jp),
+            reach AS (
+              SELECT DISTINCT u AS node, u AS r FROM edges
+              UNION
+              SELECT e.v AS node, reach.r AS r FROM reach JOIN edges e ON e.u = reach.node
+            ),
+            labels AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+            shac AS (SELECT sha256, count(*) AS c FROM docs3 GROUP BY sha256)"""
+    # members: rows whose node is in a component (cluster = component min,
+    # 16-hex of the uint64 view, source 'lsh') plus rows of ≥2-row digests
+    # outside any component (cluster = own node, source 'exact') — the
+    # engine's assemble_members semantics (A7 ≥2-member emit rule)
+    sql["minhash_near_dup_clusters"] = f"""
+        WITH RECURSIVE {_cc_ctes}
+        SELECT d.doc_id, d.sha256,
+               lower(lpad(hex(coalesce(l.cluster, d.node)), 16, '0')) AS cluster_id,
+               CASE WHEN l.cluster IS NOT NULL THEN 'lsh' ELSE 'exact' END AS source
+        FROM docs3 d
+        LEFT JOIN labels l ON l.node = d.node
+        JOIN shac s ON s.sha256 = d.sha256
+        WHERE l.cluster IS NOT NULL OR s.c > 1
+    """
+    # deduplicated corpus: drop every cluster member except the minimum
+    # (sha256, doc_id) representative; keep all unclustered rows (including
+    # null/empty-content rows, which never enter the signature stage)
+    sql["near_dup_representatives"] = f"""
+        WITH RECURSIVE {_cc_ctes},
+        members AS (
+          SELECT d.doc_id, d.sha256,
+                 lower(lpad(hex(coalesce(l.cluster, d.node)), 16, '0')) AS cluster_id
+          FROM docs3 d
+          LEFT JOIN labels l ON l.node = d.node
+          JOIN shac s ON s.sha256 = d.sha256
+          WHERE l.cluster IS NOT NULL OR s.c > 1
+        ),
+        drops AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY sha256, doc_id) AS rn
+            FROM members
+          ) WHERE rn > 1
+        ),
+        alldocs_out AS (
+          SELECT doc_id, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, lang FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+          UNION ALL SELECT d + 20000000, lang FROM gen
+          UNION ALL SELECT d + 30000000, lang FROM gen
+        )
+        SELECT doc_id, lang FROM alldocs_out
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+    # The hyperplane-LSH ANN variant's driver config uses n_bits=0 — one
+    # global bucket, every query scans every row exactly once — so the
+    # result equals brute force by construction and shares the exact top-k
+    # oracle (same move as ann_topk_ivf below); bucket-pruned recall is
+    # covered by tests/test_ann_media.py on planted pairs.
+    sql["ann_topk_lsh"] = sql["ann_topk"]
     # The IVF variant's driver config probes every cell (nprobe = nlist):
     # each (query, row) pair is scored exactly once, so the result equals
     # brute force by construction and the exact top-k oracle applies —

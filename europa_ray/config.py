@@ -31,6 +31,16 @@ class EngineConfig:
     #   Program.cs:104-108 / ImageHashResolver.cs:15-20): "simhash" (pHash
     #   analog) or "diffhash" (dHash analog); extensible via
     #   register_signature().
+    candidates: str = "lsh"               # candidate generation: "lsh"
+    #   (banded MinHash LSH — the probabilistic scale path) or "all" (one
+    #   global band: COMPLETE candidate coverage through the same
+    #   explode→pair→dedupe machinery, quadratic in distinct contents —
+    #   the ≡-by-construction oracle/verification mode, like IVF at
+    #   nprobe=nlist; use on verification-scale corpora only)
+    verify_mode: str = "estimate"         # pair verification: "estimate"
+    #   (128-slot signature Jaccard ≥ τ − verify_margin — streaming, no
+    #   content re-read) or "exact" (TRUE shingle-set Jaccard ≥ τ via the
+    #   pairverify cogroup machinery — value-exact, SQL-oracle-comparable)
     minhash_mode: str = "oph"             # "oph" (default): one-permutation
     #   hashing with circular densification (Li/Owen/Zhang NIPS'12,
     #   Shrivastava/Li ICML'14) — one hash pass instead of num_perm, same
@@ -101,6 +111,10 @@ class EngineConfig:
             )
         if self.minhash_mode not in ("perm", "oph"):
             raise ValueError("minhash_mode must be 'perm' or 'oph'")
+        if self.candidates not in ("lsh", "all"):
+            raise ValueError("candidates must be 'lsh' or 'all'")
+        if self.verify_mode not in ("estimate", "exact"):
+            raise ValueError("verify_mode must be 'estimate' or 'exact'")
         if self.minhash_mode == "oph" and (self.num_perm & (self.num_perm - 1)):
             raise ValueError("minhash_mode='oph' requires num_perm to be a power of two")
         if self.min_size is not None and self.max_size is not None and self.min_size > self.max_size:

@@ -32,7 +32,7 @@ import ray.data
 
 from europa_ray.config import DEFAULT_CONFIG, EngineConfig
 from europa_ray.stages.filters import apply_filters
-from europa_ray.stages.lsh import candidate_pairs
+from europa_ray.stages.lsh import PAIRS_SCHEMA, candidate_pairs
 from europa_ray.stages.signatures import signatures
 from europa_ray.state.unionfind import components
 
@@ -56,17 +56,39 @@ def near_dup_pipeline(
     pairs, component count — A8) are recorded as the pipeline runs.
     """
     ds = apply_filters(files, cfg)
+    exact_verify = cfg.verify_mode == "exact"
     # the flagship never reads the 64-bit fuzzy column — skip its kernel
     # (the dominant per-row compute now that MinHash is OPH); the SimHash
-    # PASS computes its own signatures when requested (cli.py)
-    sigs = signatures(ds, cfg, id_cols=id_cols, compute_fuzzy=False)
+    # PASS computes its own signatures when requested (cli.py). In
+    # exact-verify + complete-candidates mode MinHash itself is unused
+    # (banding is one global band, verification reads true shingle sets).
+    need_minhash = not (exact_verify and cfg.candidates == "all")
+    sigs = signatures(
+        ds, cfg, id_cols=id_cols, compute_fuzzy=False, compute_minhash=need_minhash
+    )
     # the signature table is consumed twice (pairs + member assembly):
     # materialize once so the actor pool doesn't recompute per consumer
     sigs = sigs.materialize()
 
     pairs, aux = candidate_pairs(
-        sigs, cfg, num_partitions=num_partitions, return_aux=True
+        sigs, cfg, num_partitions=num_partitions, return_aux=True,
+        verify=not exact_verify,
     )
+    if exact_verify:
+        # content-level TRUE shingle-set Jaccard ≥ τ (no estimator margin)
+        # over the unverified candidate set, via the budget-dispatched
+        # pairverify machinery — the value-exact, SQL-oracle-comparable mode
+        from europa_ray.stages.pairverify import verify_pairs_chunked
+
+        k = cfg.shingle_k
+        pairs = verify_pairs_chunked(
+            ds,
+            pairs,
+            lambda col: shingle_set_payload(col, k),
+            jaccard_metric(cfg.jaccard_threshold),
+            PAIRS_SCHEMA,
+            lambda na, nb, j: (na, nb, j, "lsh"),
+        )
     if extra_pairs is not None:
         from europa_ray.stages.lsh import dedupe_pairs
 
@@ -74,6 +96,8 @@ def near_dup_pipeline(
     pairs = pairs.materialize()  # verified duplicate pairs: ≪ corpus
 
     labels = components(pairs, driver_max_edges=cfg.cc_driver_max_edges)
+    if not isinstance(labels, dict):
+        labels = labels.materialize()  # (node, cluster) Dataset, ≪ corpus
 
     if manifest is not None:
         from europa_ray.state.manifest import fingerprint_of
@@ -82,17 +106,19 @@ def near_dup_pipeline(
         manifest.record(
             "signatures", fp, {"signature_rows": float(sigs.count())}
         )
+        n_labeled = len(labels) if isinstance(labels, dict) else labels.count()
         manifest.record(
             "pairs",
             fp,
             {
                 "verified_pairs": float(pairs.count()),
-                "cc_labeled_nodes": float(len(labels)),
+                "cc_labeled_nodes": float(n_labeled),
             },
         )
 
     clusters = assemble_members(
-        sigs, labels, cfg, id_cols=id_cols, dup_nodes=aux.get("dup_nodes")
+        sigs, labels, cfg, id_cols=id_cols, dup_nodes=aux.get("dup_nodes"),
+        num_partitions=num_partitions,
     )
     return {"pairs": pairs, "clusters": clusters}
 
@@ -113,6 +139,23 @@ def shingle_set_payload(content: pa.Array, k: int) -> tuple[np.ndarray, np.ndarr
     th, off = tokenize_arrow(content)
     sh, soff = shingles(th, off, k)
     return unique_per_row(sh, soff)
+
+
+def jaccard_metric(tau: float):
+    """TRUE shingle-set Jaccard pair metric for the pairverify machinery:
+    returns ``round(jaccard, 6)`` when ≥ ``tau``, else None (same rounding
+    as the SQL oracles)."""
+
+    def metric(sa: np.ndarray, sb: np.ndarray) -> float | None:
+        if sa.shape[0] == 0 or sb.shape[0] == 0:
+            return None
+        inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+        jac = inter / (sa.shape[0] + sb.shape[0] - inter) if inter else 0.0
+        if jac < tau:
+            return None
+        return round(jac, 6)
+
+    return metric
 
 
 def exact_jaccard_pairs(
@@ -147,23 +190,13 @@ def exact_jaccard_pairs(
     if cand.count() == 0:
         return ray.data.from_arrow(JACCARD_SCHEMA.empty_table())
     k = cfg.shingle_k
-    tau = cfg.jaccard_threshold
-
-    def metric(sa: np.ndarray, sb: np.ndarray) -> float | None:
-        if sa.shape[0] == 0 or sb.shape[0] == 0:
-            return None
-        inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
-        jac = inter / (sa.shape[0] + sb.shape[0] - inter) if inter else 0.0
-        if jac < tau:
-            return None
-        return round(jac, 6)
 
     # candidate (a, b) list gathered in enforced-budget chunks
     return verify_pairs_chunked(
         ds,
         cand,
         lambda col: shingle_set_payload(col, k),
-        metric,
+        jaccard_metric(cfg.jaccard_threshold),
         JACCARD_SCHEMA,
         lambda na, nb, j: (na, nb, j),
         driver_max_payload_bytes=driver_max_payload_bytes,
@@ -251,11 +284,12 @@ def neighbor_sets(
 
 def assemble_members(
     sigs: ray.data.Dataset,
-    labels: dict[int, int],
+    labels,
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     id_cols: tuple[str, ...] = ("repo", "path", "commit"),
     dup_nodes: np.ndarray | None = None,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Join cluster labels back to member rows and suppress singletons.
 
@@ -264,10 +298,24 @@ def assemble_members(
       group (cluster = own node).
     - else singleton → dropped (A7, ``SimilarImageFinder.cs:119``).
 
+    ``labels`` is either {node → cluster} (driver union-find path —
+    broadcast as sorted arrays) or a ``(node, cluster)`` Dataset (the
+    distributed CC path — labels never land on the driver; assembly is a
+    hash join, equivalence-tested by forcing ``cc_driver_max_edges=0``).
+
     ``dup_nodes``: optional precomputed sorted array of exact-duplicate
     nodes (a free by-product of the candidate-pair gather) — passing it
     spares this stage its own corpus scan.
     """
+    if not isinstance(labels, dict):
+        labels = labels.materialize()
+        if labels.count() == 0:
+            labels = {}  # degenerate: broadcast path handles empty cheaply
+        else:
+            return _assemble_members_join(
+                sigs, labels, id_cols=id_cols, dup_nodes=dup_nodes,
+                num_partitions=num_partitions,
+            )
     # labels as parallel sorted arrays → vectorized searchsorted inside the
     # tagging map (no Python per-row dict lookups)
     if labels:
@@ -337,6 +385,98 @@ def assemble_members(
     members = sigs.map_batches(tag, batch_format="pyarrow")
     sort_cols = ["cluster_id", *[c for c in id_cols]]
     return members.sort(sort_cols)
+
+
+def _assemble_members_join(
+    sigs: ray.data.Dataset,
+    labels_ds: ray.data.Dataset,
+    *,
+    id_cols: tuple[str, ...],
+    dup_nodes: np.ndarray | None,
+    num_partitions: int | None,
+) -> ray.data.Dataset:
+    """Distributed member assembly: the (node, cluster) label Dataset is
+    hash-joined back to the signature table (left outer), the exact-dup
+    marker set likewise — NO driver-side label structure, so a 100-TB
+    corpus with an arbitrarily large duplicate fraction never materializes
+    its labels in one process. Semantics identical to the broadcast path
+    (forced-dispatch equivalence test in tests/test_neardup.py)."""
+    import pyarrow.compute as pc
+
+    from europa_ray.util import default_num_partitions
+
+    nparts = num_partitions or default_num_partitions()
+    sel_cols = [c for c in (*id_cols, "sha256", "node") if c in sigs.schema().names]
+    base = sigs.select_columns(sel_cols)
+
+    lab = labels_ds.rename_columns({"node": "__lab_node"}).materialize()
+    joined = base.join(
+        lab, join_type="left_outer", num_partitions=nparts,
+        on=("node",), right_on=("__lab_node",),
+    )
+
+    if dup_nodes is not None:
+        dup_arr = np.asarray(dup_nodes, dtype=np.int64)
+        dups = ray.data.from_arrow(
+            pa.table(
+                {
+                    "__dup_node": pa.array(dup_arr),
+                    "__dup": pa.array(np.ones(dup_arr.shape[0], np.int8)),
+                }
+            )
+        )
+    else:
+        dups = (
+            sigs.select_columns(["node"])
+            .groupby("node")
+            .count()
+            .rename_columns({"count()": "__cnt"})
+            .filter(expr="__cnt > 1")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "__dup_node": b["node"],
+                        "__dup": pa.array(np.ones(b.num_rows, np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    dups = dups.materialize()
+    has_dups = dups.count() > 0
+    if has_dups:
+        joined = joined.join(
+            dups, join_type="left_outer", num_partitions=nparts,
+            on=("node",), right_on=("__dup_node",),
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy()
+        cl = batch["cluster"]
+        if isinstance(cl, pa.ChunkedArray):
+            cl = cl.combine_chunks()
+        in_lab = pc.is_valid(cl).to_numpy(zero_copy_only=False)
+        if has_dups and "__dup" in batch.column_names:
+            dv = batch["__dup"]
+            if isinstance(dv, pa.ChunkedArray):
+                dv = dv.combine_chunks()
+            in_dup = pc.is_valid(dv).to_numpy(zero_copy_only=False) & ~in_lab
+        else:
+            in_dup = np.zeros(nodes.shape[0], dtype=bool)
+        keep = in_lab | in_dup
+        clv = cl.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = np.where(in_lab, clv, nodes)
+        source = np.where(in_lab, "lsh", "exact")
+        sel = batch.select(sel_cols).filter(pa.array(keep))
+        kept = cluster[keep].view(np.uint64)
+        sel = sel.append_column(
+            "cluster_id", pa.array([f"{c:016x}" for c in kept], pa.string())
+        )
+        sel = sel.append_column("source", pa.array(source[keep].tolist(), pa.string()))
+        return sel
+
+    members = joined.map_batches(tag, batch_format="pyarrow")
+    return members.sort(["cluster_id", *id_cols])
 
 
 def near_dup_representatives(

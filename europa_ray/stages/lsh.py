@@ -34,11 +34,29 @@ PAIRS_SCHEMA = pa.schema(
     ]
 )
 
+CAND_SCHEMA = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
+
+
+def effective_bands(cfg: EngineConfig) -> int:
+    """Bands actually exploded: ``candidates='all'`` collapses banding to ONE
+    global band (complete candidate coverage — the ≡-by-construction
+    oracle mode), so the explode is ×1 and needs no MinHash at all."""
+    return 1 if cfg.candidates == "all" else cfg.lsh_bands
+
+
+def _pair_limits(cfg: EngineConfig) -> tuple[int, int]:
+    """(max_band_size, max_pairs_per_band) in effect: unbounded in
+    ``candidates='all'`` mode — window pairing or per-band caps would break
+    the completeness guarantee that mode exists for."""
+    if cfg.candidates == "all":
+        return 1 << 62, 1 << 62
+    return cfg.max_band_size, cfg.max_pairs_per_band
+
 
 def explode_bands(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
     """(node, minhash) → ``lsh_bands`` rows: (band_key, node, minhash) × b."""
     n = batch.num_rows
-    b = cfg.lsh_bands
+    b = effective_bands(cfg)
     if n == 0:
         return pa.table(
             {
@@ -48,7 +66,10 @@ def explode_bands(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Tab
             }
         )
     sig32 = minhash_matrix(batch, cfg.num_perm)
-    bk = band_keys(sig32.astype(np.uint64), b, cfg.lsh_rows).view(np.int64)  # (n, b)
+    if cfg.candidates == "all":
+        bk = np.zeros((n, 1), dtype=np.int64)
+    else:
+        bk = band_keys(sig32.astype(np.uint64), b, cfg.lsh_rows).view(np.int64)  # (n, b)
     node = batch["node"].to_numpy()
     rep = np.repeat(sig32, b, axis=0)  # row-major: row i's b bands contiguous
     return pa.table(
@@ -76,7 +97,8 @@ def pair_band_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.T
         return PAIRS_SCHEMA.empty_table()
     sig = minhash_matrix(group, cfg.num_perm)[first_idx]  # sorted by node asc
 
-    if n <= cfg.max_band_size:
+    max_band, max_pairs = _pair_limits(cfg)
+    if n <= max_band:
         iu, ju = np.triu_indices(n, k=1)
     else:
         # Hot band: sorted window pairing (salting/splitting with
@@ -92,8 +114,8 @@ def pair_band_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.T
     est = (sig[iu] == sig[ju]).mean(axis=1)
     pass_mask = est >= (cfg.jaccard_threshold - cfg.verify_margin)
     iu, ju, est = iu[pass_mask], ju[pass_mask], est[pass_mask]
-    if iu.shape[0] > cfg.max_pairs_per_band:
-        top = np.argpartition(-est, cfg.max_pairs_per_band)[: cfg.max_pairs_per_band]
+    if iu.shape[0] > max_pairs:
+        top = np.argpartition(-est, max_pairs)[:max_pairs]
         iu, ju, est = iu[top], ju[top], est[top]
     if iu.shape[0] == 0:
         return PAIRS_SCHEMA.empty_table()
@@ -116,6 +138,8 @@ def explode_band_keys(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
     collision detection without paying the ×16 signature replication."""
     if batch.num_rows == 0:
         return pa.table({"band_key": pa.array([], pa.int64())})
+    if cfg.candidates == "all":
+        return pa.table({"band_key": pa.array(np.zeros(batch.num_rows, np.int64))})
     sig32 = minhash_matrix(batch, cfg.num_perm)
     bk = band_keys(sig32.astype(np.uint64), cfg.lsh_bands, cfg.lsh_rows).view(np.int64)
     return pa.table({"band_key": pa.array(bk.ravel())})
@@ -157,9 +181,17 @@ def explode_band_key_nodes(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) 
         return pa.table(
             {"band_key": pa.array([], pa.int64()), "node": pa.array([], pa.int64())}
         )
+    node = batch["node"].to_numpy()
+    if cfg.candidates == "all":
+        # one global band: membership only — no MinHash needed at all
+        return pa.table(
+            {
+                "band_key": pa.array(np.zeros(node.shape[0], np.int64)),
+                "node": pa.array(node),
+            }
+        )
     sig32 = minhash_matrix(batch, cfg.num_perm)
     bk = band_keys(sig32.astype(np.uint64), cfg.lsh_bands, cfg.lsh_rows).view(np.int64)
-    node = batch["node"].to_numpy()
     return pa.table(
         {
             "band_key": pa.array(bk.ravel()),
@@ -183,7 +215,8 @@ def _pair_nodes_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
     n = nodes.shape[0]
     if n < 2:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    if n <= cfg.max_band_size:
+    max_band, max_pairs = _pair_limits(cfg)
+    if n <= max_band:
         iu, ju = np.triu_indices(n, k=1)
     else:
         w = cfg.pair_window
@@ -192,8 +225,8 @@ def _pair_nodes_group(group: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa
         ju = iu + d
         ok = ju < n
         iu, ju = iu[ok], ju[ok]
-    if iu.shape[0] > cfg.max_pairs_per_band:
-        iu, ju = iu[: cfg.max_pairs_per_band], ju[: cfg.max_pairs_per_band]
+    if iu.shape[0] > max_pairs:
+        iu, ju = iu[:max_pairs], ju[:max_pairs]
     return pa.table({"a": pa.array(nodes[iu]), "b": pa.array(nodes[ju])})
 
 
@@ -273,9 +306,11 @@ def _gather_candidate_sigs(sig_ds, nodes_needed: np.ndarray, cfg: EngineConfig):
     import ray
 
     try:
+        refs = [
+            r for bundle in sig_ds.iter_internal_ref_bundles() for r in bundle.block_refs
+        ]
+    except AttributeError:  # older Ray without ref bundles
         refs = sig_ds.get_internal_block_refs()
-    except AttributeError:  # newer API name
-        refs = [b.block_refs[0] for b in sig_ds.iter_internal_ref_bundles()]
     nodes_ref = ray.put(nodes_needed)
     worker = ray.remote(num_cpus=1)(_pick_candidate_sigs)
     results = ray.get([worker.remote(r, nodes_ref, cfg.num_perm) for r in refs])
@@ -311,9 +346,10 @@ def _pair_hot_driver(
     starts = np.nonzero(newb)[0]
     sizes = np.diff(np.append(starts, bk.shape[0]))
 
-    small = sizes <= cfg.max_band_size
+    max_band, band_cap = _pair_limits(cfg)
+    small = sizes <= max_band
     proj = int((sizes[small] * (sizes[small] - 1) // 2).sum()) + int(
-        np.minimum(sizes[~small] * cfg.pair_window, cfg.max_pairs_per_band).sum()
+        np.minimum(sizes[~small] * cfg.pair_window, band_cap).sum()
     )
     if proj > max_pairs:
         return None
@@ -333,7 +369,7 @@ def _pair_hot_driver(
         iu = np.tile(np.arange(s), w)
         ju = iu + d
         ok = ju < s
-        iu, ju = iu[ok][: cfg.max_pairs_per_band], ju[ok][: cfg.max_pairs_per_band]
+        iu, ju = iu[ok][:band_cap], ju[ok][:band_cap]
         out_a.append(seg[iu])
         out_b.append(seg[ju])
     if not out_a:
@@ -407,6 +443,7 @@ def candidate_pairs(
     driver_max_cand_rows: int = 20_000_000,
     driver_max_kn_rows: int = 100_000_000,
     return_aux: bool = False,
+    verify: bool = True,
 ):
     """signatures Dataset → verified, deduplicated candidate pairs.
 
@@ -426,6 +463,10 @@ def candidate_pairs(
     (``explode_bands`` → ``pair_band_group``), where pairing AND
     verification happen inside band groups with no driver state
     (equivalence-tested by forcing the budgets to 0).
+
+    ``verify=False`` returns the deduplicated UNVERIFIED candidate set
+    (schema ``(a, b)``) — the feed for content-level exact verification
+    (``cfg.verify_mode='exact'``, pipelines/neardup.py).
     """
     import pandas as pd
     import ray
@@ -455,18 +496,19 @@ def candidate_pairs(
             break
         bk_parts.append(b["band_key"].to_numpy())
         nd_parts.append(b["node"].to_numpy())
+    empty_schema = PAIRS_SCHEMA if verify else CAND_SCHEMA
     if over:
-        return _ret(_candidate_pairs_inline(sig_ds, kn, cfg, num_partitions))
+        return _ret(_candidate_pairs_inline(sig_ds, kn, cfg, num_partitions, verify=verify))
     if not bk_parts:
-        return _ret(ray.data.from_arrow(PAIRS_SCHEMA.empty_table()), np.empty(0, np.int64))
+        return _ret(ray.data.from_arrow(empty_schema.empty_table()), np.empty(0, np.int64))
     bk = np.concatenate(bk_parts)
     nd = np.concatenate(nd_parts)
 
-    # exact-dup node set: the explode emits each row's node lsh_bands times
-    # CONSECUTIVELY (np.repeat, order-preserving iter), so nd[::b] is one
-    # entry per corpus row — sort 1/b of the stream instead of all of it;
+    # exact-dup node set: the explode emits each row's node effective_bands
+    # times CONSECUTIVELY (np.repeat, order-preserving iter), so nd[::b] is
+    # one entry per corpus row — sort 1/b of the stream instead of all of it;
     # count ≥ 2 ⇔ rows sharing content (used by member assembly)
-    b_ = cfg.lsh_bands
+    b_ = effective_bands(cfg)
     if nd.shape[0] % b_ == 0 and (
         nd.shape[0] == 0 or (nd[: min(b_, nd.shape[0])] == nd[0]).all()
     ):
@@ -484,14 +526,17 @@ def candidate_pairs(
 
     paired = _pair_partitioned(bk, nd, cfg, driver_max_cand_rows)
     if paired is None:
-        return _ret(_candidate_pairs_inline(sig_ds, kn, cfg, num_partitions), dup_nodes)
+        return _ret(_candidate_pairs_inline(sig_ds, kn, cfg, num_partitions, verify=verify), dup_nodes)
     ca, cb = paired
     if ca.shape[0] == 0:
-        return _ret(ray.data.from_arrow(PAIRS_SCHEMA.empty_table()), dup_nodes)
+        return _ret(ray.data.from_arrow(empty_schema.empty_table()), dup_nodes)
     order = np.lexsort((cb, ca))
     ca, cb = ca[order], cb[order]
     keep = np.ones(ca.shape[0], dtype=bool)
     keep[1:] = (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])
+    if not verify:
+        cand = pa.table({"a": pa.array(ca[keep]), "b": pa.array(cb[keep])})
+        return _ret(ray.data.from_arrow(cand), dup_nodes)
     cand_df = pd.DataFrame({"a": ca[keep], "b": cb[keep]})
     try:
         verified = verify_pairs_by_signature(cand_df, sig_ds, cfg)
@@ -500,9 +545,11 @@ def candidate_pairs(
     return _ret(ray.data.from_arrow(verified), dup_nodes)
 
 
-def _candidate_pairs_inline(sig_ds, kn, cfg: EngineConfig, num_partitions: int):
+def _candidate_pairs_inline(sig_ds, kn, cfg: EngineConfig, num_partitions: int, *, verify: bool = True):
     """Fully distributed fallback: signatures carried through the band
-    explode, verification inside each band group (no driver state)."""
+    explode, verification inside each band group (no driver state).
+    ``verify=False`` pairs from the metadata-only (band_key, node) explode
+    instead (no signature payload) and skips verification."""
     import ray.data
 
     collisions = (
@@ -514,7 +561,17 @@ def _candidate_pairs_inline(sig_ds, kn, cfg: EngineConfig, num_partitions: int):
         .materialize()  # colliding-band keys only; Ray 2.49 join quirk
     )
     if collisions.count() == 0:
-        return ray.data.from_arrow(PAIRS_SCHEMA.empty_table())
+        schema = PAIRS_SCHEMA if verify else CAND_SCHEMA
+        return ray.data.from_arrow(schema.empty_table())
+    if not verify:
+        hot = semi_join_keys(kn, collisions, "band_key", num_partitions=num_partitions)
+        pairs = hot.groupby("band_key").map_groups(
+            _pair_nodes_group, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
+        )
+        # canonical (a, b) dedup, metadata-only distributed aggregate
+        return (
+            pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+        )
     bands = sig_ds.map_batches(
         explode_bands, fn_kwargs={"cfg": cfg}, batch_format="pyarrow"
     )

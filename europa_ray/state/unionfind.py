@@ -153,14 +153,12 @@ def connected_components_distributed(pairs_ds, *, max_iters: int = 50):
     return labels.map_batches(clamp, batch_format="pyarrow")
 
 
-def components(pairs_ds, *, driver_max_edges: int = 5_000_000) -> dict[int, int]:
-    """Dispatch: driver union-find for small edge lists, distributed
-    hash-to-min above the threshold. Returns {node → cluster}."""
+def components(pairs_ds, *, driver_max_edges: int = 5_000_000):
+    """Dispatch: driver union-find for small edge lists (returns
+    {node → cluster}), distributed hash-to-min above the threshold (returns
+    a ``(node, cluster)`` Dataset — labels NEVER land on the driver; member
+    assembly joins them back, ``pipelines/neardup.py:assemble_members``)."""
     n_edges = pairs_ds.count()
     if n_edges <= driver_max_edges:
         return connected_components_driver(pairs_ds)
-    labels = connected_components_distributed(pairs_ds)
-    out: dict[int, int] = {}
-    for batch in labels.iter_batches(batch_format="pyarrow", batch_size=65536):
-        out.update(zip(batch["node"].to_numpy().tolist(), batch["cluster"].to_numpy().tolist()))
-    return out
+    return connected_components_distributed(pairs_ds)

@@ -203,3 +203,55 @@ def test_near_dup_representatives_both_paths(ray_session):
         docs, id_col="doc_id", driver_max_cluster_rows=0
     ).to_pandas()
     assert set(b.doc_id) == want
+
+
+def test_exact_verify_mode_equals_truth(ray_session, tiny_corpus, truth_pairs):
+    """The oracle config (candidates='all' + verify_mode='exact') produces
+    EXACTLY the brute-force true-Jaccard pair set — no estimator margin, no
+    banding recall gap — while running the full band-explode → pairing →
+    dedupe → verify chain (the ≡-by-construction driver-oracle mode)."""
+    import ray.data
+
+    from europa_ray.config import EngineConfig
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+
+    cfg = EngineConfig(candidates="all", verify_mode="exact")
+    out = near_dup_pipeline(ray.data.read_parquet(tiny_corpus), cfg)
+    got = out["pairs"].to_pandas()
+    assert set(zip(got.a, got.b)) == truth_pairs
+
+
+def test_exact_verify_lsh_candidates_subset(ray_session, tiny_corpus, truth_pairs):
+    """Exact verification over PRODUCTION banded-LSH candidates: every
+    emitted pair is a true pair (precision 1.0 by construction) and recall
+    stays at the banding level (≥ 0.99 on this corpus)."""
+    import ray.data
+
+    from europa_ray.config import EngineConfig
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+
+    cfg = EngineConfig(verify_mode="exact")  # candidates stay 'lsh'
+    out = near_dup_pipeline(ray.data.read_parquet(tiny_corpus), cfg)
+    got = set(zip(*(lambda d: (d.a, d.b))(out["pairs"].to_pandas())))
+    assert got <= truth_pairs
+    assert len(got) >= 0.99 * len(truth_pairs)
+
+
+def test_join_assembly_matches_broadcast(ray_session):
+    """Forcing cc_driver_max_edges=0 routes through distributed CC labels +
+    the join-based member assembly (no driver label dict) — output must be
+    identical to the default broadcast assembly."""
+    from europa_ray.config import EngineConfig
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+    from europa_ray.sources.augment import with_mutants
+    from europa_ray.sources.files import read_documents_as_files
+    from tests.conftest import SF_TINY
+
+    docs = with_mutants(read_documents_as_files(SF_TINY))
+    base = near_dup_pipeline(docs, id_cols=("doc_id",))["clusters"].to_pandas()
+    forced = near_dup_pipeline(
+        docs, EngineConfig(cc_driver_max_edges=0), id_cols=("doc_id",)
+    )["clusters"].to_pandas()
+    key = lambda df: sorted(zip(df.doc_id, df.sha256, df.cluster_id, df.source))
+    assert key(forced) == key(base)
+    assert len(base) > 0
