@@ -37,6 +37,19 @@ class EngineConfig:
     #   explode→pair→dedupe machinery, quadratic in distinct contents —
     #   the ≡-by-construction oracle/verification mode, like IVF at
     #   nprobe=nlist; use on verification-scale corpora only)
+    ppjoin_order: str = "hash"            # prefix-filter token order: "hash"
+    #   (ascending 64-bit shingle hash — no extra pass) or "df"
+    #   (document-frequency ascending — rarest grams first, the classic
+    #   AllPairs/PPJoin ordering: one budgeted gram-frequency pass demotes
+    #   hot grams out of every prefix, shrinking the groupby(gram) buckets
+    #   the distributed path shuffles; completeness holds under ANY fixed
+    #   total order, so the df pass may be sampled). Measured (BASELINE.md
+    #   round 4): 'df' collapses hot buckets ~n/df_min on PARTIAL-share skew
+    #   (hot boilerplate header + distinct bodies) but cannot shrink
+    #   full-clique buckets (identical gram sets reorder identically), so on
+    #   the clique-dominated bench corpus its extra corpus pass costs more
+    #   than it saves — hence 'hash' default; flip to 'df' when the corpus
+    #   shows hot partially-shared grams.
     verify_mode: str = "estimate"         # pair verification: "estimate"
     #   (128-slot signature Jaccard ≥ τ − verify_margin — streaming, no
     #   content re-read) or "exact" (TRUE shingle-set Jaccard ≥ τ via the
@@ -115,6 +128,8 @@ class EngineConfig:
             raise ValueError("candidates must be 'lsh' or 'all'")
         if self.verify_mode not in ("estimate", "exact"):
             raise ValueError("verify_mode must be 'estimate' or 'exact'")
+        if self.ppjoin_order not in ("df", "hash"):
+            raise ValueError("ppjoin_order must be 'df' or 'hash'")
         if self.minhash_mode == "oph" and (self.num_perm & (self.num_perm - 1)):
             raise ValueError("minhash_mode='oph' requires num_perm to be a power of two")
         if self.min_size is not None and self.max_size is not None and self.min_size > self.max_size:

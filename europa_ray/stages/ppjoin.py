@@ -34,10 +34,29 @@ per DOC. Dispatch mirrors ``stages/lsh.py:candidate_pairs``: below the row
 budget the explode is gathered once and grouped/paired in vectorized driver
 NumPy; above it, duplicated gram keys are detected distributed, the explode
 is semi-joined to them and paired inside ``groupby(gram)`` groups
-(equivalence-tested by forcing the budget to 0). Hash order makes prefix
-gram popularity random; the classic df-ascending ordering (rarest grams
-first) is the known refinement if a corpus shows hot prefix grams — it
-needs one extra gram-frequency pass and is not implemented here.
+(equivalence-tested by forcing the budget to 0).
+
+Token order (``cfg.ppjoin_order``): the prefix lemma holds under ANY fixed
+total order, so the order is a pure performance knob. ``'df'`` is the
+classic **df-ascending** ordering (rarest grams first, Bayardo WWW'07 §3.1
+/ Xiao WWW'08): one budgeted gram-frequency pass builds a broadcast table
+of the hot grams (df ≥ ``df_min``, capped at the hottest ``df_table_max``);
+prefixes then sort those LAST, so a gram shared by k documents stops
+appearing in k prefixes and the ``groupby(gram)`` buckets the distributed
+path shuffles shrink from clique-sized to ~df_min. Because correctness is
+order-independent, the df pass may stop at ``df_gather_max`` rows (a
+corpus-prefix sample) — a stale or partial table only costs candidates,
+never completeness. ``'hash'`` (default) skips the extra pass (ascending
+64-bit shingle hash — random gram popularity). Measured on the bench
+corpus (round 4): identical pair output; bucket quadratic work
+``Σ C(n,2)`` 3.73e8 → 3.19e8 under 'df', but the dominant 3000-doc
+FULL-clique bucket is order-invariant (identical gram sets reorder
+identically — no order can split it; the distinct-group/union-merge
+machinery below is what handles cliques), and the extra corpus pass cost
+more than the ~15 % bucket saving — hence the 'hash' default. 'df' wins
+when hot grams are PARTIALLY shared (boilerplate header + distinct
+bodies): there it collapses the header buckets from corpus-sized to
+~df_min (demonstrated in tests/test_ppjoin.py).
 
 Reference parity: the reference verifies near-duplicates by similarity
 search over signatures (`/root/reference/Api/Client/QdrantRepository.cs`
@@ -64,19 +83,58 @@ def prefix_lengths(sizes: np.ndarray, tau: float) -> np.ndarray:
     return np.clip(p, 1, np.maximum(sizes, 1))
 
 
+_DF_TABLE_CACHE: list = [None, None]  # [ref_hex, (hot_grams, hot_keys)]
+
+
+def _resolve_df_table(df_table):
+    """fn_kwargs carry the df table as a ``ray.ObjectRef`` (broadcast once
+    via ``ray.put``, zero-copy from the local object store); a 1-entry
+    per-process cache skips the per-batch ``ray.get`` round trip."""
+    if df_table is None or isinstance(df_table, tuple):
+        return df_table
+    import ray
+
+    key = df_table.hex()
+    if _DF_TABLE_CACHE[0] != key:
+        _DF_TABLE_CACHE[0] = key
+        _DF_TABLE_CACHE[1] = ray.get(df_table)
+    return _DF_TABLE_CACHE[1]
+
+
+def _order_keys(ushu: np.ndarray, df_table) -> np.ndarray:
+    """uint64 sort key realizing the df-ascending total order: grams absent
+    from the hot table keep (hash >> 1) ∈ [0, 2^63) — rare, hash-ordered,
+    FIRST; hot grams get 2^63 + df_rank — demoted to the back, rarest hot
+    gram first. Ties (the >>1 bit loss) are broken by the gram value in the
+    caller's lexsort, keeping the order total and globally consistent."""
+    hot_g, hot_k = df_table
+    key = ushu >> np.uint64(1)
+    if hot_g.shape[0] and ushu.shape[0]:
+        pos = np.searchsorted(hot_g, ushu)
+        posc = np.minimum(pos, hot_g.shape[0] - 1)
+        hit = hot_g[posc] == ushu
+        if hit.any():
+            key[hit] = hot_k[posc[hit]]
+    return key
+
+
 def explode_prefix(
     batch: pa.Table,
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     content_col: str = "content",
+    df_table=None,
 ) -> pa.Table:
     """(gram, node, size) prefix explode of one batch.
 
     node = int64 view of the content sha256's leading 64 bits (the engine's
     node id everywhere); gram = int64 view of a shingle hash; size = number
-    of unique shingles of the doc. Shingle sets are already ascending-hash
-    sorted (``unique_per_row``), so the prefix is the first ``p`` elements
-    of each row segment."""
+    of unique shingles of the doc. Shingle sets come ascending-hash sorted
+    (``unique_per_row``); with ``df_table`` set each row segment is
+    re-sorted by the df-ascending key first, so the prefix is the first
+    ``p`` elements of the segment under the configured total order. The
+    emitted gram IDENTITY is always the raw shingle hash — the order only
+    decides which grams make the prefix."""
     from europa_ray.functions.text import shingles, tokenize_arrow, unique_per_row
     from europa_ray.stages.hash_stage import add_sha256
     from europa_ray.stages.pairverify import _ranges_gather
@@ -103,6 +161,13 @@ def explode_prefix(
     nz = sizes > 0
     if not nz.any():
         return empty
+    df_table = _resolve_df_table(df_table)
+    if df_table is not None and ush.shape[0]:
+        ushu = ush.view(np.uint64)
+        key = _order_keys(ushu, df_table)
+        row_of = np.repeat(np.arange(sizes.shape[0], dtype=np.int64), sizes)
+        order = np.lexsort((ushu, key, row_of))
+        ush = ush[order]
     p = np.where(nz, prefix_lengths(sizes, cfg.jaccard_threshold), 0)
     idx = _ranges_gather(uoff[:-1], p)
     return pa.table(
@@ -112,6 +177,79 @@ def explode_prefix(
             "size": pa.array(np.repeat(sizes, p)),
         }
     )
+
+
+def explode_unique_grams(
+    batch: pa.Table,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    content_col: str = "content",
+) -> pa.Table:
+    """(gram,) per-doc-unique shingle explode — feeds the df pass only (no
+    sha256, no sizes: document frequency is all it needs)."""
+    from europa_ray.functions.text import shingles, tokenize_arrow, unique_per_row
+
+    if batch.num_rows == 0:
+        return pa.table({"gram": pa.array([], pa.int64())})
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    th, off = tokenize_arrow(col)
+    sh, soff = shingles(th, off, cfg.shingle_k)
+    ush, _ = unique_per_row(sh, soff)
+    return pa.table({"gram": pa.array(ush.view(np.int64))})
+
+
+def gram_df_table(
+    ds,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    content_col: str = "content",
+    df_min: int = 4,
+    df_table_max: int = 4_000_000,
+    df_gather_max: int = 200_000_000,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """One budgeted gram-frequency pass → the df-ascending hot-gram table:
+    ``(hot_grams sorted-by-gram, hot_keys)`` uint64 arrays, or None when no
+    gram reaches ``df_min`` (ordering then stays pure hash order).
+
+    Only grams with df ≥ ``df_min`` need demoting — a df < df_min gram's
+    bucket is at most df_min−1 rows, already cheap — so the broadcast table
+    is hot-grams-only (≤ ``df_table_max`` entries ≈ 64 MB, hottest kept on
+    overflow). The gather stops at ``df_gather_max`` explode rows: a
+    corpus-prefix SAMPLE, sound because completeness holds under any fixed
+    total order (module docstring)."""
+    kn = ds.map_batches(
+        explode_unique_grams,
+        fn_kwargs={"cfg": cfg, "content_col": content_col},
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
+    parts: list[np.ndarray] = []
+    total = 0
+    for bt in kn.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        parts.append(bt["gram"].to_numpy())
+        total += parts[-1].shape[0]
+        if total > df_gather_max:
+            break
+    if not parts:
+        return None
+    g = np.concatenate(parts).view(np.uint64)
+    uniq, cnt = np.unique(g, return_counts=True)
+    hot = cnt >= max(df_min, 2)
+    uniq, cnt = uniq[hot], cnt[hot]
+    if uniq.shape[0] == 0:
+        return None
+    if uniq.shape[0] > df_table_max:
+        top = np.argpartition(-cnt, df_table_max)[:df_table_max]
+        uniq, cnt = uniq[top], cnt[top]
+    order = np.lexsort((uniq, cnt))  # df ascending, gram value tiebreak
+    ranked = uniq[order]
+    keys = (np.uint64(1) << np.uint64(63)) + np.arange(
+        ranked.shape[0], dtype=np.uint64
+    )
+    by_gram = np.argsort(ranked)  # searchsorted layout
+    return ranked[by_gram], keys[by_gram]
 
 
 def _length_filter(
@@ -285,9 +423,16 @@ def prefix_candidate_pairs(
     if num_partitions is None:
         num_partitions = default_num_partitions()
     tau = cfg.jaccard_threshold
+    df_ref = None
+    if cfg.ppjoin_order == "df":
+        import ray
+
+        df_table = gram_df_table(ds, cfg, content_col=content_col)
+        if df_table is not None:
+            df_ref = ray.put(df_table)  # broadcast ONCE, read per worker
     kn = ds.map_batches(
         explode_prefix,
-        fn_kwargs={"cfg": cfg, "content_col": content_col},
+        fn_kwargs={"cfg": cfg, "content_col": content_col, "df_table": df_ref},
         batch_size=cfg.batch_size,
         batch_format="pyarrow",
     )

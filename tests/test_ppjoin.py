@@ -244,3 +244,106 @@ def test_clique_corpus_end_to_end_exact(ray_session):
     got = exact_jaccard_pairs(_files_ds(docs)).to_pandas()
     got_d = {(int(r.a), int(r.b)): round(float(r.jaccard), 6) for r in got.itertuples()}
     assert got_d == truth
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_df_order_identical_pairs(ray_session, seed):
+    """df-ascending ordering is a pure performance knob: the verified pair
+    set (values included) is IDENTICAL to hash order — completeness holds
+    under any fixed total order."""
+    from dataclasses import replace
+
+    from europa_ray.config import DEFAULT_CONFIG
+    from europa_ray.pipelines.neardup import exact_jaccard_pairs
+
+    docs = _rand_docs(seed)
+    truth = _brute_pairs(docs, 0.72)
+    got = exact_jaccard_pairs(
+        _files_ds(docs), replace(DEFAULT_CONFIG, ppjoin_order="df")
+    ).to_pandas()
+    got_d = {(int(r.a), int(r.b)): round(float(r.jaccard), 6) for r in got.itertuples()}
+    assert got_d == truth
+
+
+def test_df_order_distributed_path_equivalent(ray_session):
+    """df ordering composes with the forced-distributed dispatch."""
+    from dataclasses import replace
+
+    from europa_ray.config import DEFAULT_CONFIG
+    from europa_ray.stages.ppjoin import prefix_candidate_pairs
+
+    cfg = replace(DEFAULT_CONFIG, ppjoin_order="df")
+    docs = _rand_docs(11, n_base=24)
+    driver = prefix_candidate_pairs(_files_ds(docs), cfg).to_pandas()
+    dist = prefix_candidate_pairs(
+        _files_ds(docs), cfg, driver_max_explode_rows=0
+    ).to_pandas()
+    key = ["a", "b"]
+    d1 = driver.sort_values(key).reset_index(drop=True)
+    d2 = dist[key].sort_values(key).reset_index(drop=True)
+    assert d1[key].equals(d2)
+
+
+def _partial_share_docs(n: int = 400, header_toks: int = 60, body_toks: int = 120):
+    """PARTIAL-share skew: every doc opens with the same hot boilerplate
+    header (well below tau of any pair's union) followed by a distinct
+    body — hash-order prefixes keep header grams (corpus-sized buckets);
+    df order demotes them (buckets collapse to ~df_min)."""
+    header = " ".join(f"hdr{i}" for i in range(header_toks))
+    return [
+        header + " " + " ".join(f"b{d}x{i}" for i in range(body_toks))
+        for d in range(n)
+    ]
+
+
+def test_df_order_collapses_partial_share_buckets(ray_session):
+    """The case df-ascending exists for: hot partially-shared grams leave
+    every prefix, so the max gram bucket collapses from ~corpus-sized to
+    df_min-bounded, and the bucket quadratic work drops by orders of
+    magnitude. Pair output (empty here — headers are below tau) matches."""
+    from dataclasses import replace
+
+    import ray
+
+    from europa_ray.config import DEFAULT_CONFIG
+    from europa_ray.stages.ppjoin import (
+        explode_prefix,
+        gram_df_table,
+        prefix_candidate_pairs,
+    )
+
+    docs = _partial_share_docs()
+    ds = _files_ds(docs)
+
+    def max_bucket(cfg):
+        df_ref = None
+        if cfg.ppjoin_order == "df":
+            t = gram_df_table(ds, cfg)
+            assert t is not None
+            df_ref = ray.put(t)
+        kn = ds.map_batches(
+            explode_prefix,
+            fn_kwargs={"cfg": cfg, "content_col": "content", "df_table": df_ref},
+            batch_format="pyarrow",
+        )
+        import numpy as np
+
+        gs = [b["gram"].to_numpy() for b in kn.iter_batches(batch_format="pyarrow")]
+        g = np.concatenate(gs)
+        _, cnt = np.unique(g, return_counts=True)
+        return int(cnt.max()), float((cnt * (cnt - 1) // 2).sum())
+
+    hash_max, hash_quad = max_bucket(DEFAULT_CONFIG)
+    df_max, df_quad = max_bucket(replace(DEFAULT_CONFIG, ppjoin_order="df"))
+    assert hash_max >= 100  # hash order: header grams bucket ~corpus-sized
+    assert df_max <= 8      # df order: hot grams demoted out of prefixes
+    assert df_quad < hash_quad / 100
+
+    # and the verified output is identical under both orders
+    truth = _brute_pairs(docs, 0.72)
+    for mode in ("hash", "df"):
+        cand = prefix_candidate_pairs(
+            ds, replace(DEFAULT_CONFIG, ppjoin_order=mode)
+        ).to_pandas()
+        cset = {(int(r.a), int(r.b)) for r in cand.itertuples()}
+        assert set(truth) <= cset
