@@ -82,6 +82,14 @@ def cmd_neardup(args) -> dict:
     cfg = _config_from_args(args)
     files = read_files(args.input)
 
+    progress = None
+    if getattr(args, "progress", False):
+        # live per-stage row stream to stderr while the run is in flight —
+        # the SignalR notification analog (DuplicateByHashFinder.cs:146-171)
+        from europa_ray.state.progress import Progress
+
+        progress = Progress().watch()
+
     extra = None
     if args.substr:
         extra = substring_pairs(read_files(args.input), cfg)
@@ -110,6 +118,8 @@ def cmd_neardup(args) -> dict:
         sigs, sig_counters = incremental_signatures(
             read_files(args.input), cfg, cache_root=args.checkpoint
         )
+        if progress is not None:
+            sigs = progress.count_stage(sigs, "signature_rows")
         sigs = sigs.materialize()
         man.record("signatures", fp, sig_counters, rows_out=sigs.count())
 
@@ -129,14 +139,19 @@ def cmd_neardup(args) -> dict:
         clusters = assemble_members(sigs, labels, cfg)
         out = {"pairs": pairs, "clusters": clusters}
     else:
-        out = near_dup_pipeline(files, cfg, extra_pairs=extra)
+        out = near_dup_pipeline(files, cfg, extra_pairs=extra, progress=progress)
 
+    # clusters is lazy: materialize once so write + count don't re-execute
+    # the assembly (and don't double-count the live progress stream)
+    out["clusters"] = out["clusters"].materialize()
     out["clusters"].write_parquet(args.output + "/clusters")
     out["pairs"].write_parquet(args.output + "/pairs")
     result = {
         "clusters_rows": out["clusters"].count(),
         "pairs_rows": out["pairs"].count(),
     }
+    if progress is not None:
+        progress.stop()
     if args.checkpoint:
         man.record_output(
             "clusters",
@@ -256,6 +271,8 @@ def main(argv=None) -> int:
             sp.add_argument("--checkpoint", default=None)
             sp.add_argument("--simhash", action="store_true")
             sp.add_argument("--substr", action="store_true")
+            sp.add_argument("--progress", action="store_true",
+                            help="stream live per-stage row counts to stderr")
             # algorithm swaps (keyed-DI analog, Program.cs:104-108)
             sp.add_argument("--fuzzy-algo", default=None, choices=["simhash", "diffhash"])
             sp.add_argument("--minhash-mode", default=None, choices=["perm", "oph"])

@@ -46,6 +46,7 @@ def near_dup_pipeline(
     num_partitions: int | None = None,
     extra_pairs: ray.data.Dataset | None = None,
     manifest=None,
+    progress=None,
 ) -> dict[str, ray.data.Dataset]:
     """Run the full pipeline; returns {"pairs": ..., "clusters": ...}.
 
@@ -54,6 +55,11 @@ def near_dup_pipeline(
     ``manifest``: optional :class:`europa_ray.state.manifest.Manifest` —
     when given, per-stage progress counters (signature rows, verified
     pairs, component count — A8) are recorded as the pipeline runs.
+    ``progress``: optional :class:`europa_ray.state.progress.Progress` —
+    when given, signature/pair/cluster rows are streamed LIVE as batches
+    flow (the reference's every-100-items SignalR notification,
+    ``DuplicateByHashFinder.cs:146-171``); subscribe via
+    ``progress.watch()``.
     """
     ds = apply_filters(files, cfg)
     exact_verify = cfg.verify_mode == "exact"
@@ -66,6 +72,8 @@ def near_dup_pipeline(
     sigs = signatures(
         ds, cfg, id_cols=id_cols, compute_fuzzy=False, compute_minhash=need_minhash
     )
+    if progress is not None:
+        sigs = progress.count_stage(sigs, "signature_rows")
     # the signature table is consumed twice (pairs + member assembly):
     # materialize once so the actor pool doesn't recompute per consumer
     sigs = sigs.materialize()
@@ -93,6 +101,8 @@ def near_dup_pipeline(
         from europa_ray.stages.lsh import dedupe_pairs
 
         pairs = dedupe_pairs(pairs.union(extra_pairs), source=None)
+    if progress is not None:
+        pairs = progress.count_stage(pairs, "verified_pairs")
     pairs = pairs.materialize()  # verified duplicate pairs: ≪ corpus
 
     labels = components(pairs, driver_max_edges=cfg.cc_driver_max_edges)
@@ -120,6 +130,8 @@ def near_dup_pipeline(
         sigs, labels, cfg, id_cols=id_cols, dup_nodes=aux.get("dup_nodes"),
         num_partitions=num_partitions,
     )
+    if progress is not None:
+        clusters = progress.count_stage(clusters, "cluster_rows")
     return {"pairs": pairs, "clusters": clusters}
 
 
