@@ -479,9 +479,34 @@ def prefix_candidate_pairs(
     return ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
 
 
+def _group_set_hash(group: pa.Table) -> pa.Table:
+    """(gram, 64-bit hash of the group's distinct node SET) — one row per
+    gram group. Same hash construction as ``_distinct_group_rows`` (order-
+    free splitmix64 sum, size folded in), computed over the np.unique'd
+    nodes to match ``_pair_prefix_group``'s within-group dedup."""
+    from europa_ray.util import splitmix64
+
+    nd = np.unique(group["node"].to_numpy())
+    h = splitmix64(nd.view(np.uint64))
+    with np.errstate(over="ignore"):
+        sig = splitmix64(
+            h.sum(dtype=np.uint64)
+            ^ splitmix64(np.array([nd.shape[0]], np.uint64))[0]
+        )
+    return pa.table(
+        {
+            "gram": group["gram"][:1],
+            "sethash": pa.array(np.asarray(sig, np.uint64).reshape(1).view(np.int64)),
+        }
+    )
+
+
 def _prefix_pairs_distributed(kn, cfg: EngineConfig, num_partitions: int):
     """Fully distributed shape: duplicated gram keys (driver count below its
     own budget, Ray count-aggregate above) → broadcast/distributed semi-join
+    → distinct-group dedup (one representative gram per distinct node set —
+    the driver path's boilerplate-clique guard, distributed: a k-doc clique
+    sharing g prefix grams would otherwise pair the same k²/2 nodes g times)
     → ``groupby(gram)`` pairing → distinct (a, b)."""
     import ray.data
 
@@ -505,6 +530,20 @@ def _prefix_pairs_distributed(kn, cfg: EngineConfig, num_partitions: int):
         if collisions.count() == 0:
             return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
         hot = semi_join_keys(kn, collisions, "gram", num_partitions=num_partitions)
+    hot = hot.materialize()  # consumed twice: set-hash pass + pairing
+    # one representative gram per distinct node set: pairs from a dropped
+    # group are exactly the kept representative's pairs (same node set ⇒
+    # same pair set), so completeness is invariant — metadata-only shuffles
+    set_hashes = hot.groupby("gram").map_groups(
+        _group_set_hash, batch_format="pyarrow"
+    )
+    reps = set_hashes.groupby("sethash").min("gram")
+    rep_grams = reps.map_batches(
+        lambda b: pa.table({"gram": b["min(gram)"]}), batch_format="pyarrow"
+    )
+    hot = semi_join_keys(
+        hot, rep_grams.materialize(), "gram", num_partitions=num_partitions
+    )
     pairs = hot.groupby("gram").map_groups(
         _pair_prefix_group, fn_kwargs={"tau": tau}, batch_format="pyarrow"
     )

@@ -347,3 +347,27 @@ def test_df_order_collapses_partial_share_buckets(ray_session):
         ).to_pandas()
         cset = {(int(r.a), int(r.b)) for r in cand.itertuples()}
         assert set(truth) <= cset
+
+
+def test_distributed_clique_dedup_equivalent(ray_session):
+    """The distributed path's distinct-group dedup (one representative gram
+    per node set) must not change the candidate set on a boilerplate clique
+    — the regime it exists for (a k-doc clique sharing g prefix grams would
+    otherwise regenerate the same k²/2 pairs g times)."""
+    from europa_ray.stages.ppjoin import prefix_candidate_pairs
+
+    docs = [
+        " ".join(f"cl{j}" for j in range(200)) + f" u{i}a u{i}b"
+        for i in range(40)
+    ]
+    ds = _files_ds(docs)
+    key = ["a", "b"]
+    drv = prefix_candidate_pairs(ds).to_pandas().sort_values(key).reset_index(drop=True)
+    dist = (
+        prefix_candidate_pairs(ds, driver_max_explode_rows=0)
+        .to_pandas()[key]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(drv) >= 40 * 39 // 2  # full clique present
+    assert drv[key].equals(dist)
