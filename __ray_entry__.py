@@ -178,6 +178,8 @@ def _q_quality_filter(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """Language ID — value-checked against a full SQL replica of the
+    lexicon + trigram-fallback chain (_lang_id_sql)."""
     from europa_ray.pipelines.textstats import lang_id_batch
 
     return _docs(sf_dir).map_batches(
@@ -186,6 +188,8 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_doc_fingerprints(sf_dir: str):
+    """Order-sensitive 64-bit fingerprints — value-checked against a full
+    SQL replica of the splitmix64 token-hash chain (_doc_fingerprint_sql)."""
     from europa_ray.pipelines.textstats import fingerprint_batch
 
     return _docs(sf_dir).map_batches(
@@ -233,6 +237,8 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash pass — value-checked against a full SQL replica of the
+    signature + pigeonhole-complete pairing chain (_simhash_pairs_sql)."""
     from europa_ray.sources.augment import with_mutants
     from europa_ray.stages.signatures import signatures
     from europa_ray.stages.simhash_pass import simhash_pairs
@@ -614,6 +620,363 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": wrap(_q_token_budget_sample),
         "decontam_stats": wrap(_q_decontam_stats),
     }
+
+
+_SM_M = 1 << 64
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_MIX1 = 0xBF58476D1CE4E5B9
+_SM_MIX2 = 0x94D049BB133111EB
+
+
+def _sm_sql_stages(prefix: str, x: str) -> tuple[list[str], str]:
+    """splitmix64 (europa_ray.util.splitmix64's exact constants) as four
+    chained SQL column definitions over UBIGINT-safe arithmetic. 64×64-bit
+    multiply-mod-2^64 splits the constant into 32-bit halves so every
+    HUGEINT partial product stays < 2^96 (INT128-safe)."""
+    a, b, c, o = f"{prefix}_a", f"{prefix}_b", f"{prefix}_c", prefix
+
+    def mulmod(t: str, const: int) -> str:
+        lo, hi = const & 0xFFFFFFFF, const >> 32
+        return (
+            f"CAST(((CAST({t} AS HUGEINT) * {lo}) % {_SM_M}"
+            f" + ((CAST({t} AS HUGEINT) * {hi}) % 4294967296) * 4294967296)"
+            f" % {_SM_M} AS UBIGINT)"
+        )
+
+    return [
+        f"CAST((CAST({x} AS HUGEINT) + {_SM_GOLDEN}) % {_SM_M} AS UBIGINT) AS {a}",
+        f"{mulmod(f'xor({a}, {a} >> 30)', _SM_MIX1)} AS {b}",
+        f"{mulmod(f'xor({b}, {b} >> 27)', _SM_MIX2)} AS {c}",
+        f"xor({c}, {c} >> 31) AS {o}",
+    ], o
+
+
+def _doc_fingerprint_sql() -> str:
+    """DuckDB replica of pipelines/textstats.py:fingerprint_batch —
+    fp = sm(Σ_i sm(tok_i ^ sm(i)) mod 2^64) viewed int64, where
+    tok = sm(head8 ^ sm(tail8 ^ sm(len))) over the token's little-endian
+    first/last-8 bytes (functions/text.py:_finalize_token_hash) and tokens
+    are RE2 ``\\w+|[^\\w\\s]`` matches — DuckDB's regex engine IS RE2, so
+    boundaries match the engine's byte tokenizer exactly. Byte extraction
+    uses ord(substr(...)), valid because the synthetic documents are pure
+    ASCII (verified; non-ASCII token hashing is covered by the engine's
+    fuzz tests instead — same accepted scope as the byte-class quality
+    oracles)."""
+
+    def byte_at(pos_expr: str, k: int) -> str:
+        return (
+            f"(CASE WHEN length(tok) >= {k} THEN"
+            f" CAST(ord(substr(tok, {pos_expr}, 1)) AS UBIGINT)"
+            f" ELSE 0 END << {8 * (k - 1)})"
+        )
+
+    head = " + ".join(byte_at(str(k), k) for k in range(1, 9))
+    tail = " + ".join(
+        byte_at(f"greatest(length(tok) - 8, 0) + {k}", k) for k in range(1, 9)
+    )
+
+    defs1, smlen = _sm_sql_stages("sl", "CAST(length(tok) AS UBIGINT)")
+    defs2, smtl = _sm_sql_stages("st", f"xor(tailv, {smlen})")
+    defs3, tokh = _sm_sql_stages("sh", f"xor(headv, {smtl})")
+    defs4, smpos = _sm_sql_stages("sp", "CAST(pos AS UBIGINT)")
+    defs5, term = _sm_sql_stages("tm", f"xor({tokh}, {smpos})")
+
+    ctes = [
+        """toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')) AS tok,
+                   unnest(range(len(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')))) AS pos
+            FROM documents
+        )""",
+        f"""ht AS (
+            SELECT doc_id, tok, pos,
+                   CAST(({head}) AS UBIGINT) AS headv,
+                   CAST(({tail}) AS UBIGINT) AS tailv
+            FROM toks
+        )""",
+    ]
+    cur = "ht"
+    step = 0
+    for defs in (defs1, defs2, defs3, defs4, defs5):
+        for d in defs:
+            nm = f"s{step}"
+            ctes.append(f"{nm} AS (SELECT *, {d} FROM {cur})")
+            cur = nm
+            step += 1
+    ctes.append(
+        f"""agg AS (
+            SELECT doc_id, CAST(sum(CAST({term} AS HUGEINT)) % {_SM_M} AS UBIGINT) AS acc
+            FROM {cur} GROUP BY doc_id
+        )""",
+    )
+    ctes.append(
+        """accs AS (
+            SELECT d.doc_id, coalesce(g.acc, CAST(0 AS UBIGINT)) AS acc
+            FROM documents d LEFT JOIN agg g ON g.doc_id = d.doc_id
+        )""",
+    )
+    fdefs, fout = _sm_sql_stages("fz", "acc")
+    cur = "accs"
+    for d in fdefs:
+        nm = f"s{step}"
+        ctes.append(f"{nm} AS (SELECT *, {d} FROM {cur})")
+        cur = nm
+        step += 1
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+    SELECT doc_id,
+           CAST(CAST({fout} AS HUGEINT)
+                - CASE WHEN {fout} >= 9223372036854775808::UBIGINT
+                       THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS fingerprint
+    FROM {cur}"""
+
+
+def _simhash_pairs_sql(gen_cte: str, newdocs_cte: str) -> str:
+    """DuckDB replica of the full SimHash pass over the with_mutants corpus
+    (stages/simhash_pass.py): per-doc SimHash-64 = per-bit MAJORITY over the
+    UNIQUE shingle set (functions/sig.py:simhash_signatures — ties set the
+    bit), shingle = sm(poly_FNV(k tok hashes) ^ k) with the whole-row
+    fallback for rows shorter than k (functions/text.py:shingles), token
+    hash as in _doc_fingerprint_sql; pairs = all distinct-node pairs at
+    Hamming ≤ 3 (the 4×16-bit pigeonhole banding is COMPLETE for Hamming ≤
+    pieces−1, so the engine's bucketed output equals this all-pairs
+    construction), est = 1 − d/64, canonical a < b. Same ASCII-corpus scope
+    as _doc_fingerprint_sql."""
+    k = 5  # cfg.shingle_k
+    fnv = 0x100000001B3
+
+    def mulmod(t: str, const: int) -> str:
+        lo, hi = const & 0xFFFFFFFF, const >> 32
+        return (
+            f"CAST(((CAST({t} AS HUGEINT) * {lo}) % {_SM_M}"
+            f" + ((CAST({t} AS HUGEINT) * {hi}) % 4294967296) * 4294967296)"
+            f" % {_SM_M} AS UBIGINT)"
+        )
+
+    def poly_expr(terms: list[str]) -> str:
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = (
+                f"CAST((CAST({mulmod(acc, fnv)} AS HUGEINT)"
+                f" + CAST({t} AS HUGEINT)) % {_SM_M} AS UBIGINT)"
+            )
+        return acc
+
+    def byte_at(pos_expr: str, j: int) -> str:
+        return (
+            f"(CASE WHEN length(tok) >= {j} THEN"
+            f" CAST(ord(substr(tok, {pos_expr}, 1)) AS UBIGINT)"
+            f" ELSE 0 END << {8 * (j - 1)})"
+        )
+
+    head = " + ".join(byte_at(str(j), j) for j in range(1, 9))
+    tail = " + ".join(
+        byte_at(f"greatest(length(tok) - 8, 0) + {j}", j) for j in range(1, 9)
+    )
+
+    ctes = [
+        gen_cte,
+        newdocs_cte,
+        """docsn AS (
+            SELECT doc_id, text,
+                   CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
+                        - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                    >= 9223372036854775808::UBIGINT
+                               THEN 18446744073709551616::HUGEINT
+                               ELSE 0::HUGEINT END
+                        AS BIGINT) AS node
+            FROM newdocs
+        )""",
+        """toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')) AS tok,
+                   unnest(range(len(regexp_extract_all(coalesce(text, ''), '\\w+|[^\\w\\s]')))) AS pos
+            FROM docsn
+        )""",
+        f"""ht AS (
+            SELECT doc_id, pos,
+                   CAST(({head}) AS UBIGINT) AS headv,
+                   CAST(({tail}) AS UBIGINT) AS tailv,
+                   CAST(length(tok) AS UBIGINT) AS toklen
+            FROM toks WHERE pos < 65536
+        )""",
+    ]
+    cur = "ht"
+    step = [0]
+
+    def chain(defs):
+        nonlocal cur
+        for d in defs:
+            nm = f"z{step[0]}"
+            ctes.append(f"{nm} AS (SELECT *, {d} FROM {cur})")
+            cur = nm
+            step[0] += 1
+
+    defs, smlen = _sm_sql_stages("sl", "toklen")
+    chain(defs)
+    defs, smtl = _sm_sql_stages("st", f"xor(tailv, {smlen})")
+    chain(defs)
+    defs, tokh = _sm_sql_stages("sh", f"xor(headv, {smtl})")
+    chain(defs)
+    ctes.append(
+        f"lists AS (SELECT doc_id, list({tokh} ORDER BY pos) AS th,"
+        f" count(*) AS n FROM {cur} GROUP BY doc_id)"
+    )
+    win_poly = poly_expr([f"th[w + {j}]" for j in range(1, k + 1)])
+    ctes.append(
+        f"""wins AS (
+            SELECT doc_id, {win_poly} AS acc
+            FROM (SELECT doc_id, th, unnest(range(n - {k - 1})) AS w
+                  FROM lists WHERE n >= {k})
+        )"""
+    )
+    short_polys = " ".join(
+        f"WHEN n = {m} THEN {poly_expr([f'th[{j}]' for j in range(1, m + 1)])}"
+        for m in range(1, k)
+    )
+    ctes.append(
+        f"""shorts AS (
+            SELECT doc_id, CASE {short_polys} END AS acc, n
+            FROM lists WHERE n > 0 AND n < {k}
+        )"""
+    )
+    ctes.append(
+        f"accs AS (SELECT doc_id, acc, CAST({k} AS UBIGINT) AS seed FROM wins"
+        f" UNION ALL SELECT doc_id, acc, CAST(n AS UBIGINT) AS seed FROM shorts)"
+    )
+    cur = "accs"
+    defs, shingle = _sm_sql_stages("sg", "xor(acc, seed)")
+    chain(defs)
+    ctes.append(f"usets AS (SELECT DISTINCT doc_id, {shingle} AS sh FROM {cur})")
+    bit_sums = ", ".join(
+        f"sum(CAST((sh >> {j}) & 1 AS BIGINT)) AS b{j}" for j in range(64)
+    )
+    ctes.append(
+        f"bits AS (SELECT doc_id, count(*) AS m, {bit_sums} FROM usets GROUP BY doc_id)"
+    )
+    packed = " + ".join(
+        f"(CASE WHEN 2 * b{j} >= m THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    ctes.append(
+        f"sims AS (SELECT doc_id, CAST({packed} AS UBIGINT) AS simhash FROM bits)"
+    )
+    ctes.append(
+        "nodesim AS (SELECT DISTINCT d.node, s.simhash"
+        " FROM sims s JOIN docsn d USING (doc_id))"
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+    SELECT x.node AS a, y.node AS b,
+           1.0 - bit_count(xor(x.simhash, y.simhash)) / 64.0 AS est,
+           'simhash' AS source
+    FROM nodesim x JOIN nodesim y ON x.node < y.node
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of pipelines/textstats.py:lang_id_batch — lexicon
+    stopword-hit rate over the first 400 tokens of the lowered text
+    (argmax, ties → first language in _LANG_ORDER), byte-trigram fallback
+    (first 2 KiB) when the lexicon best is < _MIN_LEXICON_SCORE, 'und'
+    when every signal is zero. Profile tables are generated FROM the
+    engine's own lexicon/trigram tables (ASCII-only entries — non-ASCII
+    profile entries can never match the ASCII corpus; same scope note as
+    _doc_fingerprint_sql), so the oracle tracks the shipped profiles."""
+    from europa_ray.pipelines import textstats as ts
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    lex_rows = [
+        f"({li}, '{esc(w)}')"
+        for li, lang in enumerate(ts._LANG_ORDER)
+        for w in ts._LANG_PROFILES[lang]
+        if all(ord(c) < 128 for c in w)
+    ]
+    tri_rows = []
+    for li, prof in enumerate(ts._TRIGRAM_PROFILES):
+        for code in prof.tolist():
+            b = bytes([(code >> 16) & 0xFF, (code >> 8) & 0xFF, code & 0xFF])
+            if all(x < 128 for x in b):
+                tri_rows.append(f"({li}, '{esc(b.decode('ascii'))}')")
+    langs_rows = ", ".join(
+        f"({li}, '{lang}')" for li, lang in enumerate(ts._LANG_ORDER)
+    )
+    return f"""
+WITH lex(lidx, word) AS (VALUES {', '.join(lex_rows)}),
+tri(lidx, g) AS (VALUES {', '.join(tri_rows)}),
+langs(lidx, lang) AS (VALUES {langs_rows}),
+docs AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(s, '\\w+|[^\\w\\s]')) AS tok,
+         unnest(range(len(regexp_extract_all(s, '\\w+|[^\\w\\s]')))) AS pos
+  FROM docs
+),
+toks4 AS (SELECT doc_id, tok FROM toks WHERE pos < {ts._MAX_LANG_TOKENS}),
+ntok AS (SELECT doc_id, count(*) AS n FROM toks4 GROUP BY doc_id),
+lexhits AS (
+  SELECT t.doc_id, l.lidx, count(*) AS hits
+  FROM toks4 t JOIN lex l ON t.tok = l.word
+  GROUP BY t.doc_id, l.lidx
+),
+lexscores AS (
+  SELECT d.doc_id, lg.lidx,
+         coalesce(h.hits, 0) / CAST(n.n AS DOUBLE) AS score
+  FROM (SELECT doc_id FROM docs) d
+  CROSS JOIN langs lg
+  JOIN ntok n ON n.doc_id = d.doc_id
+  LEFT JOIN lexhits h ON h.doc_id = d.doc_id AND h.lidx = lg.lidx
+),
+lexbest AS (
+  SELECT doc_id, lidx, score FROM (
+    SELECT doc_id, lidx, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lidx) AS rn
+    FROM lexscores
+  ) WHERE rn = 1
+),
+fbdocs AS (
+  SELECT b.doc_id, substr(d.s, 1, {ts._MAX_LANG_BYTES}) AS s2
+  FROM lexbest b JOIN docs d USING (doc_id)
+  WHERE b.score < {ts._MIN_LEXICON_SCORE}
+),
+trigrams AS (
+  SELECT doc_id, unnest(list_transform(range(length(s2) - 2), i -> substr(s2, i + 1, 3))) AS g
+  FROM fbdocs WHERE length(s2) >= 3
+),
+ntri AS (SELECT doc_id, count(*) AS n FROM trigrams GROUP BY doc_id),
+trihits AS (
+  SELECT t.doc_id, p.lidx, count(*) AS hits
+  FROM trigrams t JOIN tri p ON t.g = p.g
+  GROUP BY t.doc_id, p.lidx
+),
+triscores AS (
+  SELECT f.doc_id, lg.lidx,
+         coalesce(h.hits, 0) / CAST(greatest(coalesce(n.n, 0), 1) AS DOUBLE) AS score
+  FROM fbdocs f
+  CROSS JOIN langs lg
+  LEFT JOIN ntri n ON n.doc_id = f.doc_id
+  LEFT JOIN trihits h ON h.doc_id = f.doc_id AND h.lidx = lg.lidx
+),
+tribest AS (
+  SELECT doc_id, lidx, score FROM (
+    SELECT doc_id, lidx, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lidx) AS rn
+    FROM triscores
+  ) WHERE rn = 1
+),
+final AS (
+  SELECT b.doc_id,
+         CASE WHEN t.doc_id IS NOT NULL AND t.score > 0 THEN t.lidx ELSE b.lidx END AS lidx,
+         CASE WHEN t.doc_id IS NOT NULL AND t.score > 0 THEN t.score ELSE b.score END AS score
+  FROM lexbest b LEFT JOIN tribest t USING (doc_id)
+)
+SELECT f.doc_id,
+       CASE WHEN f.score > 0 THEN lg.lang ELSE 'und' END AS lang_pred
+FROM final f JOIN langs lg ON lg.lidx = f.lidx
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1304,6 +1667,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT b AS node FROM jpairs
         ) GROUP BY node
     """
+    # order-sensitive doc fingerprint: full splitmix64/token-hash replica in
+    # SQL (programmatically generated — see _doc_fingerprint_sql)
+    sql["doc_fingerprints"] = _doc_fingerprint_sql()
+    # language ID: lexicon + trigram-fallback replica generated from the
+    # engine's own profile tables (see _lang_id_sql)
+    sql["lang_id"] = _lang_id_sql()
     # ---- flagship near-dup chain (value-checked at the oracle config:
     # complete candidates + exact verify ⇒ the engine's pair set equals the
     # all-pairs true-Jaccard oracle BY CONSTRUCTION; clusters follow by a
@@ -1341,6 +1710,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT d + 20000000, fa || ' ' || block FROM gen
               UNION ALL SELECT d + 30000000, block || ' ' || fb FROM gen
             )"""
+    # SimHash pass: full SQL replica of the signature + pigeonhole pairing
+    # chain (programmatically generated — see _simhash_pairs_sql)
+    sql["simhash_pairs"] = _simhash_pairs_sql(_gen_cte, _newdocs_cte)
     _cc_ctes = f"""{_gen_cte},
             {_newdocs_cte},
             docs3 AS (
