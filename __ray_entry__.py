@@ -557,13 +557,28 @@ def _q_decontam_stats(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
+    """Multimodal actor-pool PLUMBING, value-checked: the projection
+    (media_id, kind, error) pins exactly-once per-row fan-out through the
+    adapter + actor pool and the absence of spurious error routing — the
+    real Ray-side surface of this operator. The feature VALUES are excluded
+    from the oracle because decode is honestly stubbed (no codecs in the
+    sandbox; stages/multimodal.py); feature/error-routing behavior is
+    pytest-covered. error is null-filled to '' so the hash compare is
+    null-representation-independent."""
+    import pyarrow.compute as pc
     import ray.data
 
     from europa_ray.stages.multimodal import documents_as_media, media_features
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     media = docs.map_batches(documents_as_media, batch_format="pyarrow")
-    return media_features(media).select_columns(["media_id", "kind", "error"])
+    out = media_features(media).select_columns(["media_id", "kind", "error"])
+
+    def fill(b: pa.Table) -> pa.Table:
+        idx = b.column_names.index("error")
+        return b.set_column(idx, "error", pc.fill_null(b["error"], ""))
+
+    return out.map_batches(fill, batch_format="pyarrow")
 
 
 def entry() -> Any:
@@ -1673,6 +1688,14 @@ def oracle_sql() -> dict[str, str]:
     # language ID: lexicon + trigram-fallback replica generated from the
     # engine's own profile tables (see _lang_id_sql)
     sql["lang_id"] = _lang_id_sql()
+    # multimodal PLUMBING oracle: exactly-once per-row fan-out through the
+    # media adapter + actor pool, no spurious error routing (decode is
+    # stubbed — no codecs in the sandbox — so feature values are pytest
+    # scope, not oracle scope; see _q_multimodal_features)
+    sql["multimodal_features"] = """
+        SELECT doc_id AS media_id, 'image' AS kind, '' AS error
+        FROM documents
+    """
     # ---- flagship near-dup chain (value-checked at the oracle config:
     # complete candidates + exact verify ⇒ the engine's pair set equals the
     # all-pairs true-Jaccard oracle BY CONSTRUCTION; clusters follow by a
