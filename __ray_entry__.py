@@ -582,8 +582,21 @@ def _q_multimodal_features(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship pipeline (near-dup detection + clustering) on sf0.001."""
-    return _q_minhash_clusters("/root/testdata/sf0.001").to_pandas()
+    """Flagship pipeline (near-dup detection + clustering) on sf0.001 at
+    the PRODUCTION config (banded LSH + estimate verify — what a real run
+    uses; the driver-checked ``minhash_near_dup_clusters`` query runs the
+    same chain at the ≡-by-construction oracle config instead)."""
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+    from europa_ray.sources.augment import with_mutants
+
+    out = near_dup_pipeline(
+        with_mutants(_docs("/root/testdata/sf0.001")), id_cols=("doc_id",)
+    )
+    return (
+        out["clusters"]
+        .select_columns(["doc_id", "sha256", "cluster_id", "source"])
+        .to_pandas()
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
