@@ -63,9 +63,10 @@ class Progress:
     def __init__(self) -> None:
         import ray
 
-        self._actor = (
-            ray.remote(num_cpus=0)(_Tracker).options(max_concurrency=4).remote()
-        )
+        # default max_concurrency=1: calls are serialized, so the
+        # read-modify-write in incr() needs no locking (a threaded actor
+        # would race it and lose counts)
+        self._actor = ray.remote(num_cpus=0)(_Tracker).remote()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
