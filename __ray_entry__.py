@@ -312,7 +312,8 @@ def _q_exact_dup_pairs(sf_dir: str):
     members = _collect(
         exact_dup_clusters(with_exact_dups(_docs(sf_dir)), id_cols=("doc_id",))
     )
-    cl = np.asarray(members["cluster_id"].to_pylist(), dtype="U16")
+    cl = np.asarray(members["cluster_id"].to_pylist(), dtype="U64")  # FULL
+    # 64-hex sha256 — a U16 dtype would group by a 64-bit digest prefix
     ids = members["doc_id"].to_numpy()
     order = np.lexsort((ids, cl))
     cl, ids = cl[order], ids[order]
@@ -952,10 +953,10 @@ lexhits AS (
 ),
 lexscores AS (
   SELECT d.doc_id, lg.lidx,
-         coalesce(h.hits, 0) / CAST(n.n AS DOUBLE) AS score
+         coalesce(h.hits, 0) / CAST(greatest(coalesce(n.n, 0), 1) AS DOUBLE) AS score
   FROM (SELECT doc_id FROM docs) d
   CROSS JOIN langs lg
-  JOIN ntok n ON n.doc_id = d.doc_id
+  LEFT JOIN ntok n ON n.doc_id = d.doc_id
   LEFT JOIN lexhits h ON h.doc_id = d.doc_id AND h.lidx = lg.lidx
 ),
 lexbest AS (

@@ -132,11 +132,15 @@ def cmd_neardup(args) -> dict:
             from europa_ray.stages.lsh import dedupe_pairs
 
             pairs = dedupe_pairs(pairs.union(extra), source=None)
+        if progress is not None:
+            pairs = progress.count_stage(pairs, "verified_pairs")
         pairs = pairs.materialize()
         man.record("pairs", fp, pair_counters, rows_out=pairs.count())
 
         labels = components(pairs, driver_max_edges=cfg.cc_driver_max_edges)
         clusters = assemble_members(sigs, labels, cfg)
+        if progress is not None:
+            clusters = progress.count_stage(clusters, "cluster_rows").materialize()
         out = {"pairs": pairs, "clusters": clusters}
     else:
         out = near_dup_pipeline(files, cfg, extra_pairs=extra, progress=progress)
@@ -151,7 +155,7 @@ def cmd_neardup(args) -> dict:
         "pairs_rows": out["pairs"].count(),
     }
     if progress is not None:
-        progress.stop()
+        progress.close()  # drain + final flush, then release the actor
     if args.checkpoint:
         man.record_output(
             "clusters",

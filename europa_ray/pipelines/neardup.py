@@ -131,7 +131,9 @@ def near_dup_pipeline(
         num_partitions=num_partitions,
     )
     if progress is not None:
-        clusters = progress.count_stage(clusters, "cluster_rows")
+        # materialize so a consumer that executes clusters twice (write +
+        # count) cannot re-run the counting map and double-report
+        clusters = progress.count_stage(clusters, "cluster_rows").materialize()
     return {"pairs": pairs, "clusters": clusters}
 
 

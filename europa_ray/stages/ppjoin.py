@@ -372,6 +372,33 @@ def _dedupe_ab(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return a[keep], b[keep]
 
 
+_SET_HASH_SEED2 = np.uint64(0xA5A5A5A5DEADBEEF)
+
+
+def _set_hash_pair(nd_u64: np.ndarray, starts: np.ndarray, counts: np.ndarray):
+    """Two INDEPENDENT order-free 64-bit set hashes per group (sum of
+    splitmix64 over two seeded streams, size folded in) — a combined
+    128-bit identity, so two DIFFERENT node sets colliding on both halves
+    is ~n²/2^128: negligible at any corpus size, unlike a single 64-bit
+    hash whose birthday collision becomes material around 10⁹ distinct
+    prefix groups (the distributed path's operating regime) and would
+    silently drop a gram bucket from the COMPLETE candidate set."""
+    from europa_ray.util import splitmix64
+
+    with np.errstate(over="ignore"):
+        h1 = splitmix64(nd_u64)
+        h2 = splitmix64(nd_u64 ^ _SET_HASH_SEED2)
+        if nd_u64.shape[0]:
+            s1 = np.add.reduceat(h1, starts)
+            s2 = np.add.reduceat(h2, starts)
+        else:
+            s1 = s2 = np.empty(0, np.uint64)
+        cu = counts.astype(np.uint64)
+        sig1 = splitmix64(s1 ^ splitmix64(cu))
+        sig2 = splitmix64(s2 ^ splitmix64(cu ^ _SET_HASH_SEED2))
+    return sig1, sig2
+
+
 def _distinct_group_rows(gid: np.ndarray, nd: np.ndarray) -> np.ndarray:
     """Boolean row mask keeping ONE representative group per distinct node
     SET. Boilerplate cliques make many prefix grams share the identical
@@ -379,23 +406,18 @@ def _distinct_group_rows(gid: np.ndarray, nd: np.ndarray) -> np.ndarray:
     in every prefix); pairing each such group repeats the same k²/2 pairs
     per gram, only for ``_dedupe_ab`` to discard the copies — on a 3 000-doc
     clique that is ~85× the useful work (hundreds of millions of rows).
-    Two groups are equal iff their sorted node arrays match; a 64-bit
-    set hash (sum of splitmix64(node), length as tiebreak) identifies them
-    without materializing per-group tuples — same collision regime as the
-    engine's sha256-prefix node identity."""
-    from europa_ray.util import splitmix64
-
+    Two groups are equal iff their sorted node arrays match; a 128-bit set
+    hash (``_set_hash_pair``) identifies them without materializing
+    per-group tuples."""
     counts = np.bincount(gid)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    h = splitmix64(nd.view(np.uint64))
-    with np.errstate(over="ignore"):
-        gsum = np.add.reduceat(h, starts) if nd.shape[0] else np.empty(0, np.uint64)
-        # fold size into the set hash (1-D unique: axis-unique over 2-D
-        # void views is ~7× slower at millions of groups)
-        sig = splitmix64(gsum ^ splitmix64(counts.astype(np.uint64)))
-    _, rep_idx = np.unique(sig, return_index=True)
+    sig1, sig2 = _set_hash_pair(nd.view(np.uint64), starts, counts)
+    order = np.lexsort((sig2, sig1))
+    s1o, s2o = sig1[order], sig2[order]
+    first = np.ones(order.shape[0], dtype=bool)
+    first[1:] = (s1o[1:] != s1o[:-1]) | (s2o[1:] != s2o[:-1])
     keep_group = np.zeros(counts.shape[0], dtype=bool)
-    keep_group[rep_idx] = True
+    keep_group[order[first]] = True
     return keep_group[gid]
 
 
@@ -480,23 +502,23 @@ def prefix_candidate_pairs(
 
 
 def _group_set_hash(group: pa.Table) -> pa.Table:
-    """(gram, 64-bit hash of the group's distinct node SET) — one row per
-    gram group. Same hash construction as ``_distinct_group_rows`` (order-
-    free splitmix64 sum, size folded in), computed over the np.unique'd
-    nodes to match ``_pair_prefix_group``'s within-group dedup."""
-    from europa_ray.util import splitmix64
-
+    """(gram, 128-bit hash of the group's distinct node SET as two int64
+    columns) — one row per gram group. Same ``_set_hash_pair`` construction
+    as ``_distinct_group_rows``, computed over the np.unique'd nodes to
+    match ``_pair_prefix_group``'s within-group dedup; 128 bits because a
+    64-bit birthday collision at ~10⁹ distinct groups would silently drop
+    a gram bucket from the COMPLETE candidate set."""
     nd = np.unique(group["node"].to_numpy())
-    h = splitmix64(nd.view(np.uint64))
-    with np.errstate(over="ignore"):
-        sig = splitmix64(
-            h.sum(dtype=np.uint64)
-            ^ splitmix64(np.array([nd.shape[0]], np.uint64))[0]
-        )
+    sig1, sig2 = _set_hash_pair(
+        nd.view(np.uint64),
+        np.zeros(1, np.int64),
+        np.array([nd.shape[0]], np.int64),
+    )
     return pa.table(
         {
             "gram": group["gram"][:1],
-            "sethash": pa.array(np.asarray(sig, np.uint64).reshape(1).view(np.int64)),
+            "sethash1": pa.array(sig1.view(np.int64)),
+            "sethash2": pa.array(sig2.view(np.int64)),
         }
     )
 
@@ -537,7 +559,7 @@ def _prefix_pairs_distributed(kn, cfg: EngineConfig, num_partitions: int):
     set_hashes = hot.groupby("gram").map_groups(
         _group_set_hash, batch_format="pyarrow"
     )
-    reps = set_hashes.groupby("sethash").min("gram")
+    reps = set_hashes.groupby(["sethash1", "sethash2"]).min("gram")
     rep_grams = reps.map_batches(
         lambda b: pa.table({"gram": b["min(gram)"]}), batch_format="pyarrow"
     )

@@ -128,11 +128,31 @@ class Progress:
         self._thread.start()
         return self
 
-    def stop(self) -> None:
+    def stop(self, *, drain_seconds: float = 5.0) -> None:
+        """Stop the watcher. Worker ``incr`` messages are fire-and-forget,
+        so first wait (bounded) for the counters to go quiet — two equal
+        snapshots 100 ms apart — before the watcher's final flush."""
         if self._thread is not None:
+            deadline = time.monotonic() + drain_seconds
+            last = None
+            while time.monotonic() < deadline:
+                snap = self.snapshot()
+                if snap == last:
+                    break
+                last = snap
+                time.sleep(0.1)
             self._stop.set()
             self._thread.join(timeout=10.0)
             self._thread = None
+
+    def close(self) -> None:
+        """Stop the watcher and terminate the tracker actor (a long-lived
+        driver constructing one Progress per run would otherwise accumulate
+        idle actors). ``snapshot()`` is invalid after close."""
+        import ray
+
+        self.stop()
+        ray.kill(self._actor)
 
     def __enter__(self) -> "Progress":
         if self._thread is None:
