@@ -336,6 +336,18 @@ def _q_exact_dup_pairs(sf_dir: str):
     )
 
 
+def _q_repo_fork_pairs(sf_dir: str):
+    """Repository-level fork detection over the fork-augmented corpus:
+    Jaccard over per-repo distinct content-digest sets with boilerplate
+    (high repo-frequency digests) excluded — the granularity The Stack
+    dedups at before file-level dedup (Kocetkov et al. 2022). The planted
+    forks (one per repo, every 4th file patched) are the only pairs ≥ τ."""
+    from europa_ray.pipelines.forks import repo_fork_pairs
+    from europa_ray.sources.augment import with_forks
+
+    return repo_fork_pairs(with_forks(_docs(sf_dir)))
+
+
 def _q_file_kind_counts(sf_dir: str):
     from europa_ray.stages.classify import kind_counts
 
@@ -631,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": wrap(_q_embedding_dup_pairs_lsh),
         "multimodal_features": wrap(_q_multimodal_features),
         "exact_dup_pairs": wrap(_q_exact_dup_pairs),
+        "repo_fork_pairs": wrap(_q_repo_fork_pairs),
         "file_kind_counts": wrap(_q_file_kind_counts),
         "neighbor_sets": wrap(_q_neighbor_sets),
         "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
@@ -1829,4 +1842,53 @@ def oracle_sql() -> dict[str, str]:
     # probe-table scoring and the tie-safe merge. Pruned-probe recall is
     # covered by tests/test_ann_media.py on clustered data.
     sql["ann_topk_ivf"] = sql["ann_topk"]
+    # Mirrors sources/augment.py:with_forks (one fork per repo under
+    # doc_id + 50000000 with every 4th file patched; one shared LICENSE row
+    # per ORIGINAL repo under min(doc_id) + 60000000) and
+    # pipelines/forks.py:repo_fork_pairs (df-capped Jaccard over per-repo
+    # distinct content-digest sets; digests in > 16 repos are boilerplate
+    # and excluded from the similarity universe on BOTH sides).
+    from europa_ray.pipelines.forks import DEFAULT_MAX_REPOS_PER_SHA as _FORK_CAP
+    from europa_ray.pipelines.forks import DEFAULT_THRESHOLD as _FORK_TAU
+    from europa_ray.sources.augment import (
+        FORK_OFFSET as _FK_OFF,
+        FORK_PATCH_MOD as _FK_MOD,
+        FORK_PATCH_MUL as _FK_MUL,
+        FORK_PATCH_PRIME as _FK_PRIME,
+        LICENSE_OFFSET as _LIC_OFF,
+        LICENSE_TEXT as _LIC_TXT,
+    )
+
+    sql["repo_fork_pairs"] = f"""
+        WITH base AS (
+            SELECT doc_id, source AS repo, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        minids AS (SELECT source AS repo, min(doc_id) AS mid FROM documents GROUP BY source),
+        lic AS (SELECT mid + {_LIC_OFF} AS doc_id, repo, '{_LIC_TXT}' AS text FROM minids),
+        forks AS (
+            SELECT doc_id + {_FK_OFF} AS doc_id, repo || '_fork' AS repo,
+                   CASE WHEN ((doc_id * {_FK_MUL}) % {_FK_PRIME}) % {_FK_MOD} = 0
+                        THEN text || ' forkpatch ' || doc_id ELSE text END AS text
+            FROM base
+        ),
+        allf AS (
+            SELECT * FROM base UNION ALL SELECT * FROM lic UNION ALL SELECT * FROM forks
+        ),
+        rs AS (SELECT DISTINCT repo, sha256(text) AS sha FROM allf),
+        dfc AS (SELECT sha, count(*) AS c FROM rs GROUP BY sha),
+        rs2 AS (SELECT rs.repo, rs.sha FROM rs JOIN dfc USING (sha) WHERE c <= {_FORK_CAP}),
+        sizes AS (SELECT repo, count(*) AS n FROM rs2 GROUP BY repo),
+        inter AS (
+            SELECT x.repo AS repo_a, y.repo AS repo_b, count(*) AS n_common
+            FROM rs2 x JOIN rs2 y ON x.sha = y.sha AND x.repo < y.repo
+            GROUP BY 1, 2
+        )
+        SELECT i.repo_a, i.repo_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+               CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.repo = i.repo_a
+        JOIN sizes sb ON sb.repo = i.repo_b
+        WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_FORK_TAU}
+    """
     return sql

@@ -289,6 +289,101 @@ def with_contaminated_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.map_batches(contaminate, batch_format="pyarrow")
 
 
+FORK_OFFSET = 50_000_000
+FORK_PATCH_MOD = 4   # ~every 4th file diverges in the fork
+FORK_PATCH_MUL = 7919    # decorrelates the patch choice from doc_id % n_repos
+FORK_PATCH_PRIME = 104729  # (doc_id round-robins over sources, so a plain
+# doc_id % 4 rule patches ALL files of some repos and NONE of others)
+
+
+def _fork_patched(d: int) -> bool:
+    return ((d * FORK_PATCH_MUL) % FORK_PATCH_PRIME) % FORK_PATCH_MOD == 0
+LICENSE_OFFSET = 60_000_000
+LICENSE_TEXT = (
+    "permission is hereby granted free of charge to any person obtaining a "
+    "copy of this software to deal in it without restriction"
+)
+
+
+def _fork_rows(batch: pa.Table) -> pa.Table:
+    """Fork-repo copies of every nonempty original doc: repo → repo||'_fork',
+    doc_id shifted by ``FORK_OFFSET``; ~1/FORK_PATCH_MOD of each repo's files
+    diverge (``text || ' forkpatch ' || doc_id``, selected by
+    ``_fork_patched`` so the fraction is uniform per repo), giving fork
+    Jaccard ≈ 0.56–0.67 ≥ τ=0.5 at every sf. Mirrored by the SQL ``forks``
+    CTE in ``oracle_sql()['repo_fork_pairs']``."""
+    import pyarrow.compute as pc
+
+    c = batch["content"]
+    mask = pc.fill_null(
+        pc.and_kleene(pc.is_valid(c), pc.greater(pc.utf8_length(c), 0)), False
+    )
+    sub = batch.filter(mask)
+    ids = sub["doc_id"].to_numpy() if sub.num_rows else np.empty(0, np.int64)
+    texts = sub["content"].to_pylist()
+    new_texts = [
+        t + f" forkpatch {d}" if _fork_patched(d) else t
+        for d, t in zip(ids.tolist(), texts)
+    ]
+    new_ids = ids + FORK_OFFSET
+    cols = {}
+    for name in sub.column_names:
+        if name == "doc_id":
+            cols[name] = pa.array(new_ids, pa.int64())
+        elif name == "repo":
+            cols[name] = pc.binary_join_element_wise(
+                sub["repo"], pa.scalar("_fork"), ""
+            )
+        elif name == "content":
+            cols[name] = pa.array(new_texts, pa.string())
+        elif name == "commit":
+            cols[name] = pa.array(
+                [str(i).rjust(40, "0") for i in new_ids.tolist()], pa.string()
+            )
+        else:
+            cols[name] = sub[name]
+    return pa.table({c: cols[c] for c in sub.column_names})
+
+
+def with_forks(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset ∪ one deterministic fork per repo ∪ one shared
+    LICENSE file per ORIGINAL repo (identical content across all repos — the
+    boilerplate row that exercises the fork detector's repo-frequency cap).
+    Pure function of the input; SQL mirror in
+    ``oracle_sql()['repo_fork_pairs']``."""
+    forks = files_ds.map_batches(_fork_rows, batch_format="pyarrow")
+
+    def license_rows(batch: pa.Table) -> pa.Table:
+        # batch: (repo, min(doc_id)) aggregate rows
+        ids = batch["min(doc_id)"].to_numpy() + LICENSE_OFFSET
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "repo": batch["repo"],
+                "path": pa.array(["LICENSE"] * n, pa.string()),
+                "commit": pa.array(
+                    [str(i).rjust(40, "0") for i in ids.tolist()], pa.string()
+                ),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "content": pa.array([LICENSE_TEXT] * n, pa.string()),
+            }
+        )
+
+    lic = (
+        files_ds.groupby("repo")
+        .min("doc_id")
+        .map_batches(license_rows, batch_format="pyarrow")
+    )
+    # column order must match for union
+    cols = ["doc_id", "repo", "path", "commit", "lang", "content"]
+    return (
+        files_ds.select_columns(cols)
+        .union(forks.select_columns(cols))
+        .union(lic.select_columns(cols))
+    )
+
+
 def _dup_embeddings(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 

@@ -79,6 +79,7 @@ def test_all_queries_have_callables(entry_mod):
         "decontam_stats",
         "content_errors",
         "exact_dup_pairs",
+        "repo_fork_pairs",
         "substr_pairs",
         "embedding_dup_pairs_lsh",
         "windowed_event_counts",
