@@ -277,6 +277,20 @@ def _q_cross_corpus_new_docs(sf_dir: str):
     return cross_corpus_new_docs(with_mutants(docs), docs, id_col="doc_id")
 
 
+def _q_cross_corpus_near_dups(sf_dir: str):
+    """Cross-corpus NEAR dedup (fuzzy decontamination): per new doc, how
+    many DISTINCT reference contents it matches at TRUE shingle Jaccard ≥ τ
+    and the best score. New corpus = with_mutants (originals match exactly
+    at 1.0; token-drop mutants match their source near 0.9; substring
+    mutants at ≈1/3 fall below τ and are absent). Complete candidates +
+    exact verify ⇒ equals the cross all-pairs SQL oracle by construction."""
+    from europa_ray.pipelines.crossdup import cross_corpus_near_dup_stats
+    from europa_ray.sources.augment import with_mutants
+
+    docs = _docs(sf_dir)
+    return cross_corpus_near_dup_stats(with_mutants(docs), docs)
+
+
 def _q_dup_span_stats(sf_dir: str):
     """ExactSubstr-style duplicated-span statistics (Lee et al. 2021) over
     the mutant-augmented corpus: per-doc count of duplicated w-gram
@@ -649,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
         "dup_span_stats": wrap(_q_dup_span_stats),
         "cross_corpus_new_docs": wrap(_q_cross_corpus_new_docs),
+        "cross_corpus_near_dups": wrap(_q_cross_corpus_near_dups),
         "line_dup_stats": wrap(_q_line_dup_stats),
         "line_dedup_stats": wrap(_q_line_dedup_stats),
         "repetition_stats": wrap(_q_repetition_stats),
@@ -1842,6 +1857,69 @@ def oracle_sql() -> dict[str, str]:
     # probe-table scoring and the tie-safe merge. Pruned-probe recall is
     # covered by tests/test_ann_media.py on clustered data.
     sql["ann_topk_ivf"] = sql["ann_topk"]
+    # Cross-corpus near dedup: TRUE shingle Jaccard between every distinct
+    # NEW content (with_mutants corpus) and every distinct REFERENCE
+    # content (raw documents), aggregated per new doc. The engine output
+    # equals this all-cross-pairs construction by construction (complete
+    # prefix-filter candidates + exact verify — the ngram_jaccard_pairs
+    # move applied cross-corpus; identical contents match at jaccard 1.0
+    # through the same gram join, node-equality included).
+    _node_expr = """CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
+                          - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                      >= 9223372036854775808::UBIGINT
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0::HUGEINT END
+                          AS BIGINT)"""
+    sql["cross_corpus_near_dups"] = f"""
+        WITH {_gen_cte},
+        {_newdocs_cte},
+        refdocs AS (
+            SELECT text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        nodes_new AS (
+            SELECT text, {_node_expr} AS node FROM (SELECT DISTINCT text FROM newdocs)
+        ),
+        nodes_ref AS (
+            SELECT text, {_node_expr} AS node FROM (SELECT DISTINCT text FROM refdocs)
+        ),
+        toks_n AS (SELECT node, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS tk FROM nodes_new),
+        toks_r AS (SELECT node, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS tk FROM nodes_ref),
+        grams_n AS (
+            SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
+            FROM toks_n, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+            UNION
+            SELECT node, array_to_string(tk, ' ') AS gram
+            FROM toks_n WHERE len(tk) BETWEEN 1 AND 4
+        ),
+        grams_r AS (
+            SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
+            FROM toks_r, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+            UNION
+            SELECT node, array_to_string(tk, ' ') AS gram
+            FROM toks_r WHERE len(tk) BETWEEN 1 AND 4
+        ),
+        sizes_n AS (SELECT node, count(*) AS n FROM grams_n GROUP BY node),
+        sizes_r AS (SELECT node, count(*) AS n FROM grams_r GROUP BY node),
+        inter AS (
+            SELECT gn.node AS nn, gr.node AS nr, count(*) AS c
+            FROM grams_n gn JOIN grams_r gr USING (gram)
+            GROUP BY 1, 2
+        ),
+        cpairs AS (
+            SELECT nn, nr, round(CAST(c AS DOUBLE) / (sn.n + sr.n - c), 6) AS j
+            FROM inter
+            JOIN sizes_n sn ON sn.node = inter.nn
+            JOIN sizes_r sr ON sr.node = inter.nr
+            WHERE CAST(c AS DOUBLE) / (sn.n + sr.n - c) >= {0.72}
+        ),
+        per AS (
+            SELECT nn, count(*) AS n_ref_matches, max(j) AS best_jaccard
+            FROM cpairs GROUP BY nn
+        ),
+        docmap AS (SELECT doc_id, {_node_expr} AS node FROM newdocs)
+        SELECT d.doc_id, p.n_ref_matches, p.best_jaccard
+        FROM docmap d JOIN per p ON p.nn = d.node
+    """
     # Mirrors sources/augment.py:with_forks (one fork per repo under
     # doc_id + 50000000 with every 4th file patched; one shared LICENSE row
     # per ORIGINAL repo under min(doc_id) + 60000000) and

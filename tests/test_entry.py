@@ -88,6 +88,7 @@ def test_all_queries_have_callables(entry_mod):
         "quality_filter",
         "dup_span_stats",
         "cross_corpus_new_docs",
+        "cross_corpus_near_dups",
         "token_quantiles",
     ],
 )
