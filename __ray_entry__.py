@@ -455,6 +455,33 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
     )
 
 
+def _q_semantic_dup_pairs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) within-cell cosine pairs at the ORACLE
+    config: nlist=1 puts every row in one cell, so the pair set equals the
+    exact all-pairs cosine baseline by construction and shares its DuckDB
+    oracle (the ann_topk_ivf move). Clustered recall (nlist > 1) is
+    measured on planted duplicates in tests/test_semdedup.py."""
+    from europa_ray.pipelines.semdedup import semantic_dup_pairs
+    from europa_ray.sources.augment import with_embedding_dups
+
+    return semantic_dup_pairs(
+        with_embedding_dups(_load_embeddings(sf_dir)), threshold=0.9, nlist=1
+    )
+
+
+def _q_semdedup_kept_ids(sf_dir: str):
+    """The semantically deduplicated corpus manifest: union-find over the
+    semantic-dup pairs, keep the minimum vec_id per component plus every
+    unmatched row — value-checked against a recursive-CTE connected-
+    components construction over the exact cosine pair oracle."""
+    from europa_ray.pipelines.semdedup import semdedup_kept_ids
+    from europa_ray.sources.augment import with_embedding_dups
+
+    return semdedup_kept_ids(
+        with_embedding_dups(_load_embeddings(sf_dir)), threshold=0.9, nlist=1
+    )
+
+
 def _q_line_dup_stats(sf_dir: str):
     """C4/CCNet-style line-level dedup, global stats: lines (≥30 chars)
     occurring more than once in the line-augmented corpus."""
@@ -655,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": wrap(_q_ann_topk_ivf),
         "embedding_dup_pairs": wrap(_q_embedding_dup_pairs),
         "embedding_dup_pairs_lsh": wrap(_q_embedding_dup_pairs_lsh),
+        "semantic_dup_pairs": wrap(_q_semantic_dup_pairs),
+        "semdedup_kept_ids": wrap(_q_semdedup_kept_ids),
         "multimodal_features": wrap(_q_multimodal_features),
         "exact_dup_pairs": wrap(_q_exact_dup_pairs),
         "repo_fork_pairs": wrap(_q_repo_fork_pairs),
@@ -1713,6 +1742,30 @@ def oracle_sql() -> dict[str, str]:
     # sub-1.0 similarity is covered by tests/test_embed_neardup.py
     # (recall >= 0.99 vs the exact pass on perturbed planted pairs).
     sql["embedding_dup_pairs_lsh"] = sql["embedding_dup_pairs"]
+    # SemDeDup at nlist=1 (single cell) scores every pair exactly once —
+    # equals the exact all-pairs cosine oracle by construction (see
+    # _q_semantic_dup_pairs); clustered recall is pytest scope.
+    sql["semantic_dup_pairs"] = sql["embedding_dup_pairs"]
+    # keep-min-per-component over those pairs: recursive-CTE connected
+    # components (the minhash_near_dup_clusters construction applied to
+    # the embedding pair graph), all unmatched rows kept
+    sql["semdedup_kept_ids"] = f"""
+        WITH RECURSIVE ep AS ({sql['embedding_dup_pairs']}),
+        edges AS (SELECT a AS u, b AS v FROM ep UNION ALL SELECT b, a FROM ep),
+        reach AS (
+          SELECT DISTINCT u AS node, u AS r FROM edges
+          UNION
+          SELECT e.v AS node, reach.r AS r FROM reach JOIN edges e ON e.u = reach.node
+        ),
+        labels AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        allv AS (
+          SELECT vec_id FROM embeddings
+          UNION ALL
+          SELECT vec_id + 5000000 AS vec_id FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT vec_id FROM allv
+        WHERE vec_id NOT IN (SELECT node FROM labels WHERE node <> cluster)
+    """
     # Neighbor aggregation (A5) over the exact-Jaccard pair list: the pair
     # set is a TRUE oracle (prefix-filter candidates are complete), so the
     # symmetric per-node neighbor count is SQL-derivable from it verbatim.

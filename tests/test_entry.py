@@ -82,6 +82,8 @@ def test_all_queries_have_callables(entry_mod):
         "repo_fork_pairs",
         "substr_pairs",
         "embedding_dup_pairs_lsh",
+        "semantic_dup_pairs",
+        "semdedup_kept_ids",
         "windowed_event_counts",
         "event_sessions",
         "jaccard_neighbor_sets",
