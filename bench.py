@@ -200,6 +200,48 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
     if not only or only == "incremental":
         incremental()
 
+    def forks():
+        """Repo-level fork detection over the bench corpus (~50 repos; the
+        planted cross-repo exact-dup/boilerplate structure exercises the
+        df-cap and the digest self-join)."""
+        from europa_ray.pipelines.forks import repo_fork_pairs
+
+        out = repo_fork_pairs(read())
+        return out.count() if hasattr(out, "count") else out.num_rows
+
+    bench("forks", forks)
+
+    def cross_near():
+        """Cross-corpus near dedup: full corpus vs a 10% reference slice
+        (the realistic decontamination shape — a bounded reference set
+        screened against the whole ingest) — measures the cross-only
+        candidate filter + oriented verify chain."""
+        from europa_ray.pipelines.crossdup import cross_corpus_near_dup_stats
+        from europa_ray.util import hash_strings
+
+        def tenth(batch):
+            import pyarrow as pa
+
+            keep = hash_strings(batch["path"].to_pylist()) % 10 == 0
+            return batch.filter(pa.array(keep))
+
+        ref = read().map_batches(tenth, batch_format="pyarrow")
+        out = cross_corpus_near_dup_stats(read(), ref, id_col="path")
+        return out.count() if hasattr(out, "count") else out.num_rows
+
+    bench("cross_near", cross_near)
+
+    def semdedup():
+        """SemDeDup at the clustered production config (nlist=16) over the
+        sf embeddings table."""
+        from europa_ray.pipelines.semdedup import semdedup_kept_ids
+
+        emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        out = semdedup_kept_ids(emb, threshold=0.9, nlist=16)
+        return out.count() if hasattr(out, "count") else out.num_rows
+
+    bench("semdedup", semdedup)
+
     def ann():
         import duckdb
 
