@@ -277,6 +277,16 @@ def _q_cross_corpus_new_docs(sf_dir: str):
     return cross_corpus_new_docs(with_mutants(docs), docs, id_col="doc_id")
 
 
+def _q_dedup_report(sf_dir: str):
+    """Per-repo exact-dedup report card over the dup-augmented corpus:
+    within-repo file/distinct/dup counts + integer ppm dup rate — the
+    accounting an ingest pipeline publishes around a dedup pass."""
+    from europa_ray.pipelines.exact import dedup_report
+    from europa_ray.sources.augment import with_exact_dups
+
+    return dedup_report(with_exact_dups(_docs(sf_dir)))
+
+
 def _q_cross_corpus_near_dups(sf_dir: str):
     """Cross-corpus NEAR dedup (fuzzy decontamination): per new doc, how
     many DISTINCT reference contents it matches at TRUE shingle Jaccard ≥ τ
@@ -693,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": wrap(_q_dup_span_stats),
         "cross_corpus_new_docs": wrap(_q_cross_corpus_new_docs),
         "cross_corpus_near_dups": wrap(_q_cross_corpus_near_dups),
+        "dedup_report": wrap(_q_dedup_report),
         "line_dup_stats": wrap(_q_line_dup_stats),
         "line_dedup_stats": wrap(_q_line_dedup_stats),
         "repetition_stats": wrap(_q_repetition_stats),
@@ -1972,6 +1983,26 @@ def oracle_sql() -> dict[str, str]:
         docmap AS (SELECT doc_id, {_node_expr} AS node FROM newdocs)
         SELECT d.doc_id, p.n_ref_matches, p.best_jaccard
         FROM docmap d JOIN per p ON p.nn = d.node
+    """
+    # per-repo exact-dedup report card (dupdocs CTE mirrors with_exact_dups)
+    sql["dedup_report"] = """
+        WITH dupdocs AS (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 40000000, source, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+        ),
+        f AS (
+            SELECT source AS repo, sha256(text) AS sha FROM dupdocs
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        per AS (
+            SELECT repo, count(*) AS n_files, count(DISTINCT sha) AS n_distinct
+            FROM f GROUP BY repo
+        )
+        SELECT repo, n_files, n_distinct, n_files - n_distinct AS dup_rows,
+               ((n_files - n_distinct) * 1000000) // n_files AS dup_rate_ppm
+        FROM per
     """
     # Mirrors sources/augment.py:with_forks (one fork per repo under
     # doc_id + 50000000 with every 4th file patched; one shared LICENSE row

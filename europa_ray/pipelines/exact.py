@@ -198,6 +198,60 @@ def dedup_representatives(
     return agg.rename_columns({f"min({id_col})": id_col}).sort("sha256")
 
 
+def dedup_report(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    group_col: str = "repo",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-``group_col`` exact-dedup report card: how much of each group is
+    duplicate mass — the accounting a corpus ingest publishes before/after
+    dedup. Columns: ``(group_col, n_files, n_distinct, dup_rows,
+    dup_rate_ppm)`` where counts are WITHIN-group (a file duplicated across
+    two repos is distinct in each) and ``dup_rate_ppm`` is integer
+    ``floor(dup_rows * 1e6 / n_files)``.
+
+    Two metadata-only shuffles: ``groupby(group, sha256).count`` (digest
+    distinct) then ``groupby(group)`` roll-up — content never moves.
+    """
+    import ray.data.aggregate as agg
+
+    ds = apply_filters(files, cfg)
+    hashed = ds.map_batches(
+        add_sha256, fn_kwargs={"keep_cols": (group_col,)}, batch_format="pyarrow"
+    )
+    per_digest = (
+        hashed.groupby([group_col, "sha256"])
+        .count()
+        .rename_columns({"count()": "n_rows"})
+    )
+    rolled = (
+        per_digest.groupby(group_col)
+        .aggregate(agg.Sum("n_rows"), agg.Count())
+        .rename_columns({"sum(n_rows)": "n_files", "count()": "n_distinct"})
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nf = batch["n_files"].to_numpy().astype(np.int64)
+        ndist = batch["n_distinct"].to_numpy().astype(np.int64)
+        dup = nf - ndist
+        ppm = np.zeros(nf.shape[0], np.int64)
+        nz = nf > 0
+        ppm[nz] = (dup[nz] * 1_000_000) // nf[nz]
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "n_files": pa.array(nf, pa.int64()),
+                "n_distinct": pa.array(ndist, pa.int64()),
+                "dup_rows": pa.array(dup, pa.int64()),
+                "dup_rate_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow").sort(group_col)
+
+
 def cross_corpus_new_docs(
     new_files: ray.data.Dataset,
     reference_files: ray.data.Dataset,

@@ -91,6 +91,7 @@ def test_all_queries_have_callables(entry_mod):
         "dup_span_stats",
         "cross_corpus_new_docs",
         "cross_corpus_near_dups",
+        "dedup_report",
         "token_quantiles",
     ],
 )

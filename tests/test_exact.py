@@ -131,3 +131,35 @@ def test_cross_corpus_new_docs_both_paths(ray_session):
     assert sorted(map(tuple, a[["path", "sha256"]].values)) == sorted(
         map(tuple, b[["path", "sha256"]].values)
     )
+
+
+def test_dedup_report_within_group_semantics(ray_session):
+    """Counts are WITHIN-group: a content duplicated across two repos is
+    distinct in each; within-repo copies count as dup mass."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.exact import dedup_report
+
+    files = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r1", "r1", "r2", "r2", "r2"]),
+                "path": pa.array([f"{i}.py" for i in range(6)]),
+                "content": pa.array(
+                    ["same", "same", "only r1", "same", "b", ""]
+                ),
+            }
+        )
+    )
+    out = dedup_report(files).to_pandas().set_index("repo")
+    # r1: 3 files, 2 distinct (two copies of "same")
+    assert out.loc["r1"].to_dict() == {
+        "n_files": 3, "n_distinct": 2, "dup_rows": 1,
+        "dup_rate_ppm": 333_333,
+    }
+    # r2: empty content dropped -> 2 files, both distinct ("same" is
+    # distinct within r2 even though r1 also has it)
+    assert out.loc["r2"].to_dict() == {
+        "n_files": 2, "n_distinct": 2, "dup_rows": 0, "dup_rate_ppm": 0,
+    }
