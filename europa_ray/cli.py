@@ -260,10 +260,82 @@ def cmd_decontam(args) -> dict:
     return {"snippets": snippets.num_rows, "flagged_rows": out.count()}
 
 
+def cmd_forks(args) -> dict:
+    """Repo-level fork detection (pipelines/forks.py)."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.forks import repo_fork_pairs
+    from europa_ray.sources.files import read_files
+
+    out = repo_fork_pairs(
+        read_files(args.input),
+        threshold=args.threshold,
+        max_repos_per_sha=args.max_repos_per_sha,
+    )
+    if isinstance(out, pa.Table):
+        out = ray.data.from_arrow(out)
+    out.write_parquet(args.output + "/fork_pairs")
+    return {"pairs": out.count()}
+
+
+def cmd_crossdup(args) -> dict:
+    """Cross-corpus near dedup: --input (new) vs --reference."""
+    from europa_ray.pipelines.crossdup import cross_corpus_near_dup_stats
+    from europa_ray.sources.files import read_files
+
+    import pyarrow as pa
+    import ray.data
+
+    cfg = _config_from_args(args)
+    new = _with_row_id(read_files(args.input))
+    ref = _with_row_id(read_files(args.reference))
+    out = cross_corpus_near_dup_stats(new, ref, cfg, id_col="row_id")
+    if isinstance(out, pa.Table):
+        out = ray.data.from_arrow(out)
+    out.write_parquet(args.output + "/cross_near_dups")
+    return {"matched_rows": out.count()}
+
+
+def cmd_semdedup(args) -> dict:
+    """SemDeDup over an embeddings parquet (vec_id, embedding)."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.semdedup import semantic_dup_pairs, semdedup_kept_ids
+
+    emb = ray.data.read_parquet(args.input)
+    pairs = semantic_dup_pairs(
+        emb, threshold=args.threshold, nlist=args.nlist
+    )
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+    pairs.write_parquet(args.output + "/semantic_pairs")
+    kept = semdedup_kept_ids(emb, threshold=args.threshold, nlist=args.nlist)
+    if isinstance(kept, pa.Table):
+        kept = ray.data.from_arrow(kept)
+    kept.write_parquet(args.output + "/kept_ids")
+    return {"pairs": pairs.count(), "kept": kept.count()}
+
+
+def cmd_report(args) -> dict:
+    """Per-repo exact-dedup report card."""
+    from europa_ray.pipelines.exact import dedup_report
+    from europa_ray.sources.files import read_files
+
+    cfg = _config_from_args(args)
+    out = dedup_report(read_files(args.input), cfg)
+    out.write_parquet(args.output + "/dedup_report")
+    return {"groups": out.count()}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="europa_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("neardup", "exact", "textstats", "sample", "decontam"):
+    for name in (
+        "neardup", "exact", "textstats", "sample", "decontam",
+        "forks", "crossdup", "semdedup", "report",
+    ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True)
         sp.add_argument("--output", required=True)
@@ -291,6 +363,15 @@ def main(argv=None) -> int:
         if name == "decontam":
             sp.add_argument("--benchmark", default=None,
                             help="files-shaped corpus to derive benchmark snippets from (default: the input)")
+        if name == "forks":
+            sp.add_argument("--threshold", type=float, default=0.5)
+            sp.add_argument("--max-repos-per-sha", type=int, default=16)
+        if name == "crossdup":
+            sp.add_argument("--reference", required=True,
+                            help="files-shaped reference corpus to screen --input against")
+        if name == "semdedup":
+            sp.add_argument("--threshold", type=float, default=0.9)
+            sp.add_argument("--nlist", type=int, default=64)
     args = p.parse_args(argv)
 
     owned = _init_ray()
@@ -301,6 +382,10 @@ def main(argv=None) -> int:
         "textstats": cmd_textstats,
         "sample": cmd_sample,
         "decontam": cmd_decontam,
+        "forks": cmd_forks,
+        "crossdup": cmd_crossdup,
+        "semdedup": cmd_semdedup,
+        "report": cmd_report,
     }[args.cmd](args)
     result["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(result))

@@ -30,8 +30,10 @@ candidates + exact verify — the same move as ``ngram_jaccard_pairs``).
 
 Size dispatch: node membership sets are distinct-content-sized (8 B/node);
 below ``driver_max_nodes`` they are broadcast (``ray.put``, one plasma copy
-per node) and applied vectorized; above it, marker-join fallback
-(forced-budget-0 equivalence-tested in ``tests/test_crossdup.py``).
+per node) and applied vectorized; above it, a fully distributed fallback
+attaches membership flags through bucketed ``groupby().map_groups``
+cogroups (vectorized per bucket — see :func:`_distributed`), forced-
+budget-0 equivalence-tested in ``tests/test_crossdup.py``.
 """
 
 from __future__ import annotations

@@ -88,3 +88,68 @@ def test_cli_sample_and_decontam(ray_session, tiny_corpus, tmp_path, capsys):
     # snippet sources contain their own snippet → flagged ≥ 1 when any
     # snippet qualifies (planted corpus rows are long enough)
     assert res4["snippets"] > 0 and res4["flagged_rows"] > 0
+
+
+def test_cli_round4_subcommands(ray_session, tiny_corpus, tmp_path, capsys):
+    """forks / report / crossdup / semdedup run end-to-end and write
+    parquet results."""
+    import numpy as np
+    import pyarrow as pa
+
+    from europa_ray.cli import main
+
+    out = str(tmp_path / "forks")
+    assert main(["forks", "--input", tiny_corpus, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pairs"] >= 0
+    if res["pairs"]:  # an empty Dataset writes no parquet parts
+        assert glob.glob(out + "/fork_pairs/*.parquet")
+
+    out = str(tmp_path / "report")
+    assert main(["report", "--input", tiny_corpus, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["groups"] > 0
+    tbl = pq.read_table(glob.glob(out + "/dedup_report/*.parquet"))
+    assert {"repo", "n_files", "n_distinct", "dup_rows", "dup_rate_ppm"} == set(
+        tbl.column_names
+    )
+    # the tiny corpus plants exact dups → some group has dup mass
+    assert max(tbl["dup_rows"].to_pylist()) > 0
+
+    out = str(tmp_path / "crossdup")
+    assert (
+        main(
+            ["crossdup", "--input", tiny_corpus, "--reference", tiny_corpus,
+             "--output", out]
+        )
+        == 0
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # corpus vs itself: every row matches itself exactly
+    assert res["matched_rows"] > 0
+
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(80, 16)).astype(np.float32)
+    mat[40:] = mat[:40]  # 40 planted exact copies
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(80), pa.int64()),
+                "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+            }
+        ),
+        str(emb_dir / "emb.parquet"),
+    )
+    out = str(tmp_path / "semdedup")
+    assert (
+        main(
+            ["semdedup", "--input", str(emb_dir / "emb.parquet"),
+             "--output", out, "--nlist", "4"]
+        )
+        == 0
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pairs"] >= 40  # every planted copy found (same argmax cell)
+    assert res["kept"] == 40
