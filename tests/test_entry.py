@@ -89,6 +89,14 @@ def test_all_queries_have_callables(entry_mod):
         "jaccard_neighbor_sets",
         "quality_filter",
         "dup_span_stats",
+        "lang_id",
+        "doc_fingerprints",
+        "minhash_near_dup_clusters",
+        "minhash_pairs",
+        "simhash_pairs",
+        "ann_topk_lsh",
+        "near_dup_representatives",
+        "multimodal_features",
         "cross_corpus_new_docs",
         "cross_corpus_near_dups",
         "dedup_report",
@@ -111,17 +119,10 @@ def test_query_matches_oracle(entry_mod, name):
                 assert (got[c].astype(str).to_numpy() == want[c].astype(str).to_numpy()).all(), c
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["lang_id", "doc_fingerprints", "minhash_near_dup_clusters", "minhash_pairs",
-     "simhash_pairs", "ann_topk_lsh", "multimodal_features",
-     "near_dup_representatives"],
-)
-def test_rows_only_queries_run(entry_mod, name):
-    fn = entry_mod.queries()[name]
-    df = _to_df(fn(SF_TINY))
-    assert df is not None
-    assert len(df.columns) > 0
+def test_every_query_is_oracle_checked(entry_mod):
+    """Round-4 invariant: EVERY queries() entry has a DuckDB oracle (no
+    rows-only queries remain)."""
+    assert set(entry_mod.oracle_sql()) == set(entry_mod.queries())
 
 
 def test_entry_smoke(entry_mod):
