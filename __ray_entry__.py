@@ -372,6 +372,18 @@ def _q_repo_fork_pairs(sf_dir: str):
     return repo_fork_pairs(with_forks(_docs(sf_dir)))
 
 
+def _q_vendored_dir_groups(sf_dir: str):
+    """Vendored-directory detection over the fork+dir-augmented corpus:
+    (repo, dir) pairs with IDENTICAL file-digest sets, grouped by the
+    order-independent xor set key. Planted truth: every original repo's
+    ''-directory holds exactly the shared LICENSE (one all-repos group);
+    unpatched fork directories match their source repo's directory."""
+    from europa_ray.pipelines.vendored import vendored_dir_groups
+    from europa_ray.sources.augment import with_dirs, with_forks
+
+    return vendored_dir_groups(with_dirs(with_forks(_docs(sf_dir))))
+
+
 def _q_file_kind_counts(sf_dir: str):
     from europa_ray.stages.classify import kind_counts
 
@@ -697,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": wrap(_q_multimodal_features),
         "exact_dup_pairs": wrap(_q_exact_dup_pairs),
         "repo_fork_pairs": wrap(_q_repo_fork_pairs),
+        "vendored_dir_groups": wrap(_q_vendored_dir_groups),
         "file_kind_counts": wrap(_q_file_kind_counts),
         "neighbor_sets": wrap(_q_neighbor_sets),
         "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
@@ -2052,5 +2065,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.repo = i.repo_a
         JOIN sizes sb ON sb.repo = i.repo_b
         WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= {_FORK_TAU}
+    """
+    # Vendored-directory groups over the same fork corpus + with_dirs
+    # (path → 'd{{doc_id % 7}}/…'; LICENSE keeps its bare path → dir '').
+    # bit_xor over the int64 node is the engine's exact set key.
+    from europa_ray.sources.augment import DIR_MOD as _DIR_MOD
+
+    sql["vendored_dir_groups"] = f"""
+        WITH base AS (
+            SELECT doc_id, source AS repo, text FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        minids AS (SELECT source AS repo, min(doc_id) AS mid FROM documents GROUP BY source),
+        lic AS (SELECT mid + {_LIC_OFF} AS doc_id, repo, '{_LIC_TXT}' AS text FROM minids),
+        forks AS (
+            SELECT doc_id + {_FK_OFF} AS doc_id, repo || '_fork' AS repo,
+                   CASE WHEN ((doc_id * {_FK_MUL}) % {_FK_PRIME}) % {_FK_MOD} = 0
+                        THEN text || ' forkpatch ' || doc_id ELSE text END AS text
+            FROM base
+        ),
+        allf AS (
+            SELECT * FROM base UNION ALL SELECT * FROM lic UNION ALL SELECT * FROM forks
+        ),
+        drows AS (
+            SELECT repo,
+                   CASE WHEN doc_id >= {_LIC_OFF} THEN ''
+                        ELSE 'd' || (doc_id % {_DIR_MOD}) END AS dir,
+                   {_node_expr} AS node
+            FROM allf
+        ),
+        d AS (SELECT DISTINCT repo, dir, node FROM drows),
+        summ AS (
+            SELECT repo, dir, bit_xor(node) AS group_hash, count(*) AS n_files
+            FROM d GROUP BY repo, dir
+        ),
+        gs AS (
+            SELECT group_hash, n_files, count(*) AS members
+            FROM summ GROUP BY 1, 2
+        )
+        SELECT s.group_hash, s.repo, s.dir, s.n_files
+        FROM summ s
+        JOIN gs ON gs.group_hash = s.group_hash AND gs.n_files = s.n_files
+        WHERE gs.members >= 2
     """
     return sql

@@ -145,33 +145,55 @@ def semdedup_kept_ids(
         drop = np.array(
             sorted(n for n, c in labels.items() if n != c), dtype=np.int64
         )
-    else:
-        # distributed labels: duplicate-only rows, gather the non-min set
-        # (≪ corpus — same contract as the flagship's member assembly)
-        parts = [
-            b
-            for b in labels.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
-            if b.num_rows
-        ]
-        if parts:
-            t = pa.concat_tables(parts)
-            nd = t["node"].to_numpy()
-            cl = t["cluster"].to_numpy()
-            drop = np.sort(nd[nd != cl])
-        else:
-            drop = np.empty(0, np.int64)
-    drop_ref = ray.put(drop)
+        drop_ref = ray.put(drop)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        ids = batch[id_col].to_numpy()
-        if d.shape[0] == 0:
-            mask = np.ones(ids.shape[0], dtype=bool)
-        else:
-            idx = np.minimum(np.searchsorted(d, ids), d.shape[0] - 1)
-            mask = d[idx] != ids
-        return pa.table({"vec_id": pa.array(ids[mask], pa.int64())})
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = batch[id_col].to_numpy()
+            if d.shape[0] == 0:
+                mask = np.ones(ids.shape[0], dtype=bool)
+            else:
+                idx = np.minimum(np.searchsorted(d, ids), d.shape[0] - 1)
+                mask = d[idx] != ids
+            return pa.table({"vec_id": pa.array(ids[mask], pa.int64())})
 
-    return (
-        embeddings.map_batches(keep, batch_format="pyarrow").sort("vec_id")
+        return embeddings.map_batches(keep, batch_format="pyarrow").sort("vec_id")
+
+    # distributed labels: NEVER gathered (that would defeat the path that
+    # exists because they blew the driver budget). Anti-join instead —
+    # left = map dataset, right = materialized marked aggregate, the
+    # Ray-2.49-safe join shape (see pipelines/exact.py:cross_corpus_new_docs)
+    import pyarrow.compute as pc
+
+    from europa_ray.util import default_num_partitions
+
+    nparts = default_num_partitions()
+
+    def mark_drop(batch: pa.Table) -> pa.Table:
+        nd = batch["node"].to_numpy()
+        cl = batch["cluster"].to_numpy()
+        sub = nd[nd != cl]
+        return pa.table(
+            {
+                "vec_id": pa.array(sub, pa.int64()),
+                "__drop": pa.array(np.ones(sub.shape[0], np.int8), pa.int8()),
+            }
+        )
+
+    drop_ds = (
+        labels.map_batches(mark_drop, batch_format="pyarrow")
+        .repartition(nparts)
+        .materialize()
     )
+    ids_only = embeddings.map_batches(
+        lambda b: b.select([id_col]).rename_columns(["vec_id"]),
+        batch_format="pyarrow",
+    )
+    joined = ids_only.join(
+        drop_ds, join_type="left_outer", num_partitions=nparts, on=("vec_id",)
+    )
+
+    def keep_unmarked(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["__drop"])).select(["vec_id"])
+
+    return joined.map_batches(keep_unmarked, batch_format="pyarrow").sort("vec_id")

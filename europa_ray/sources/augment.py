@@ -384,6 +384,32 @@ def with_forks(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+DIR_MOD = 7
+
+
+def with_dirs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Prefix every non-LICENSE path with a deterministic directory
+    ``d{doc_id % DIR_MOD}/`` (the driver corpus has flat paths; the
+    vendored-directory operator needs directory structure). LICENSE rows
+    keep their bare path → directory '' holds exactly the license in every
+    repo, the planted all-repos vendored group. SQL mirror in
+    ``oracle_sql()['vendored_dir_groups']``."""
+    import pyarrow.compute as pc
+
+    def add_dir(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        is_lic = pc.equal(batch["path"], "LICENSE")
+        dirs = pa.array([f"d{int(d) % DIR_MOD}/" for d in ids], pa.string())
+        newp = pc.if_else(
+            is_lic,
+            batch["path"],
+            pc.binary_join_element_wise(dirs, batch["path"], ""),
+        )
+        return batch.set_column(batch.column_names.index("path"), "path", newp)
+
+    return files_ds.map_batches(add_dir, batch_format="pyarrow")
+
+
 def _dup_embeddings(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 

@@ -98,3 +98,14 @@ def test_cross_near_dup_no_matches(ray_session):
     out = _as_table(cross_corpus_near_dup_stats(new, ref))
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "n_ref_matches", "best_jaccard"]
+
+
+def test_cross_near_dup_pair_budget_dispatch(corpora):
+    """Forced driver_max_pairs=0 → the distributed path takes over after
+    candidate generation; output unchanged."""
+    from europa_ray.pipelines.crossdup import cross_corpus_near_dup_stats
+
+    new, ref = corpora
+    a = _as_table(cross_corpus_near_dup_stats(new, ref))
+    b = _as_table(cross_corpus_near_dup_stats(new, ref, driver_max_pairs=0))
+    assert a.to_pylist() == b.to_pylist()

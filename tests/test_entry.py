@@ -80,6 +80,7 @@ def test_all_queries_have_callables(entry_mod):
         "content_errors",
         "exact_dup_pairs",
         "repo_fork_pairs",
+        "vendored_dir_groups",
         "substr_pairs",
         "embedding_dup_pairs_lsh",
         "semantic_dup_pairs",

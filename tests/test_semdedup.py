@@ -126,3 +126,16 @@ def test_empty_pairs_keeps_everything(ray_session):
     ids = np.arange(50, dtype=np.int64)
     kept = _as_table(semdedup_kept_ids(_emb_ds(mat, ids), threshold=0.9999, nlist=1))
     assert kept["vec_id"].to_pylist() == ids.tolist()
+
+
+def test_kept_ids_distributed_labels_equivalent(clustered):
+    """Forced driver_max_edges=0 → distributed CC labels + anti-join keep
+    path; must equal the driver union-find path row-for-row."""
+    from europa_ray.pipelines.semdedup import semdedup_kept_ids
+
+    ds, _ = clustered
+    a = _as_table(semdedup_kept_ids(ds, threshold=0.999, nlist=1))
+    b = _as_table(
+        semdedup_kept_ids(ds, threshold=0.999, nlist=1, driver_max_edges=0)
+    )
+    assert a["vec_id"].to_pylist() == b["vec_id"].to_pylist()
