@@ -211,6 +211,16 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("forks", forks)
 
+    def vendored():
+        """Vendored-directory detection over the bench corpus (paths carry
+        real directory structure in the synthetic corpus)."""
+        from europa_ray.pipelines.vendored import vendored_dir_groups
+
+        out = vendored_dir_groups(read())
+        return out.num_rows
+
+    bench("vendored", vendored)
+
     def cross_near():
         """Cross-corpus near dedup: full corpus vs a 10% reference slice
         (the realistic decontamination shape — a bounded reference set
