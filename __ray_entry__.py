@@ -5,10 +5,13 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2 /
 the training-data operator set; ``oracle_sql()`` holds the DuckDB-equivalent
-SQL where the semantics are SQL-expressible (column names match exactly).
-Non-SQL-expressible ops (MinHash/SimHash/substring near-dup, LSH ANN,
-fingerprints, media stubs) are present without an oracle → rows-only check;
-their correctness gates live in ``tests/`` against brute-force oracles.
+SQL (column names match exactly). EVERY query carries an oracle: natively
+SQL-expressible ops directly; probabilistic ops (MinHash/SimHash/LSH/IVF/
+SemDeDup) at a config where the result provably equals a SQL-expressible
+baseline BY CONSTRUCTION (complete candidates + exact verify, nprobe=nlist,
+n_bits=0, nlist=1), with the production configs recall-gated in ``tests/``
+against brute-force / planted truth; kernel chains (fingerprint, SimHash,
+language ID) as full SQL replicas of the engine math.
 """
 
 from __future__ import annotations
@@ -365,7 +368,7 @@ def _q_repo_fork_pairs(sf_dir: str):
     Jaccard over per-repo distinct content-digest sets with boilerplate
     (high repo-frequency digests) excluded — the granularity The Stack
     dedups at before file-level dedup (Kocetkov et al. 2022). The planted
-    forks (one per repo, every 4th file patched) are the only pairs ≥ τ."""
+    forks (one per repo, ~25% of files patched) are the only pairs ≥ τ."""
     from europa_ray.pipelines.forks import repo_fork_pairs
     from europa_ray.sources.augment import with_forks
 
@@ -2018,7 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         FROM per
     """
     # Mirrors sources/augment.py:with_forks (one fork per repo under
-    # doc_id + 50000000 with every 4th file patched; one shared LICENSE row
+    # doc_id + 50000000 with ~25% of files patched; one shared LICENSE row
     # per ORIGINAL repo under min(doc_id) + 60000000) and
     # pipelines/forks.py:repo_fork_pairs (df-capped Jaccard over per-repo
     # distinct content-digest sets; digests in > 16 repos are boilerplate
