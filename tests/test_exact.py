@@ -163,3 +163,24 @@ def test_dedup_report_within_group_semantics(ray_session):
     assert out.loc["r2"].to_dict() == {
         "n_files": 2, "n_distinct": 2, "dup_rows": 0, "dup_rate_ppm": 0,
     }
+
+
+def test_dedup_report_empty_corpus(ray_session):
+    """All rows filtered (empty content) → zero groups, schema intact."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.exact import dedup_report
+
+    files = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r2"]),
+                "path": pa.array(["a.py", "b.py"]),
+                "content": pa.array(["", None], pa.string()),
+            }
+        )
+    )
+    out = dedup_report(files)
+    tbl = out.to_pandas()
+    assert len(tbl) == 0
