@@ -160,22 +160,55 @@ def repo_fork_pairs(
     content digests within the df-capped universe (see module docstring).
     """
     nparts = num_partitions or default_num_partitions()
-    distinct = _distinct_repo_digests(files)
 
-    if distinct.count() <= driver_max_rows:
-        repo_parts: list[np.ndarray] = []
-        sha_parts: list[np.ndarray] = []
-        for b in distinct.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            repo_parts.append(np.asarray(b["repo"].to_pylist(), dtype=object))
-            sha_parts.append(hex_to_u256_arrow(b["sha256"]))
+    # Driver path: stream the RAW (repo, digest) rows (metadata-only,
+    # ~100 B/row) and do the DISTINCT in numpy — a cold Ray hash-shuffle
+    # groupby costs tens of seconds of aggregator-actor startup that a
+    # small/medium corpus never amortizes (measured 38 s for 10k rows in a
+    # fresh session vs <1 s for this gather). The budget check is on raw
+    # rows, stricter than the distinct count it bounds.
+    def nonempty(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = batch["content"]
+        mask = pc.and_kleene(pc.is_valid(c), pc.greater(pc.utf8_length(c), 0))
+        return batch.filter(pc.fill_null(mask, False))
+
+    hashed = files.map_batches(nonempty, batch_format="pyarrow").map_batches(
+        add_sha256, fn_kwargs={"keep_cols": ("repo",)}, batch_format="pyarrow"
+    ).select_columns(["repo", "sha256"])
+
+    repo_parts: list[np.ndarray] = []
+    sha_parts: list[np.ndarray] = []
+    total = 0
+    over = False
+    for b in hashed.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += b.num_rows
+        if total > driver_max_rows:
+            over = True
+            break
+        repo_parts.append(np.asarray(b["repo"].to_pylist(), dtype=object))
+        sha_parts.append(hex_to_u256_arrow(b["sha256"]))
+
+    if not over:
         if not repo_parts:
             return _PAIR_SCHEMA.empty_table()
         repos = np.concatenate(repo_parts)
         shas = np.concatenate(sha_parts)
         repo_names, repo_codes = np.unique(repos, return_inverse=True)
-        return _pairs_from_arrays(
-            repo_codes, repo_names, shas, threshold, max_repos_per_sha
+        # distinct (repo, sha): one structured sort + adjacent-dedup
+        rec = np.empty(
+            repos.shape[0],
+            dtype=[("s", shas.dtype), ("c", np.int64)],
         )
+        rec["s"] = shas
+        rec["c"] = repo_codes
+        rec = np.unique(rec)
+        return _pairs_from_arrays(
+            rec["c"], repo_names, rec["s"], threshold, max_repos_per_sha
+        )
+
+    distinct = _distinct_repo_digests(files)
 
     # --- distributed path: all-relational, digest-keyed ---
     df = (

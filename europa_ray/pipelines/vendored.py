@@ -120,28 +120,41 @@ def vendored_dir_groups(
     hashed = ds.map_batches(
         add_sha256, fn_kwargs={"keep_cols": ("repo", "path")}, batch_format="pyarrow"
     ).map_batches(_dir_rows, batch_format="pyarrow")
-    distinct = (
-        hashed.groupby(["repo", "dir", "node"])
-        .count()
-        .select_columns(["repo", "dir", "node"])
-        .materialize()
-    )
 
-    if distinct.count() <= driver_max_rows:
-        repo_p: list[np.ndarray] = []
-        dir_p: list[np.ndarray] = []
-        node_p: list[np.ndarray] = []
-        for b in distinct.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            repo_p.append(np.asarray(b["repo"].to_pylist(), dtype=object))
-            dir_p.append(np.asarray(b["dir"].to_pylist(), dtype=object))
-            node_p.append(b["node"].to_numpy())
+    # Driver path: stream RAW (repo, dir, node) rows and dedupe in numpy —
+    # skipping the cold Ray hash-shuffle groupby whose aggregator-actor
+    # startup (tens of seconds in a fresh session) never amortizes below
+    # the budget. Budget is on raw rows, stricter than the distinct count.
+    repo_p: list[np.ndarray] = []
+    dir_p: list[np.ndarray] = []
+    node_p: list[np.ndarray] = []
+    total = 0
+    over = False
+    for b in hashed.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += b.num_rows
+        if total > driver_max_rows:
+            over = True
+            break
+        repo_p.append(np.asarray(b["repo"].to_pylist(), dtype=object))
+        dir_p.append(np.asarray(b["dir"].to_pylist(), dtype=object))
+        node_p.append(b["node"].to_numpy())
+
+    if not over:
         if not repo_p:
             return GROUPS_SCHEMA.empty_table()
         repos = np.concatenate(repo_p)
         dirs = np.concatenate(dir_p)
         nodes = np.concatenate(node_p)
-        order = np.lexsort((dirs, repos))
+        order = np.lexsort((nodes, dirs, repos))
         repos, dirs, nodes = repos[order], dirs[order], nodes[order]
+        # distinct (repo, dir, node): adjacent-dedup on the sorted triple
+        uniq = np.ones(repos.shape[0], dtype=bool)
+        uniq[1:] = (
+            (repos[1:] != repos[:-1])
+            | (dirs[1:] != dirs[:-1])
+            | (nodes[1:] != nodes[:-1])
+        )
+        repos, dirs, nodes = repos[uniq], dirs[uniq], nodes[uniq]
         new_d = np.ones(repos.shape[0], dtype=bool)
         new_d[1:] = (repos[1:] != repos[:-1]) | (dirs[1:] != dirs[:-1])
         starts = np.flatnonzero(new_d)
@@ -150,6 +163,13 @@ def vendored_dir_groups(
         return _groups_from_summary(
             xors, counts, repos[starts], dirs[starts], min_group
         )
+
+    distinct = (
+        hashed.groupby(["repo", "dir", "node"])
+        .count()
+        .select_columns(["repo", "dir", "node"])
+        .materialize()
+    )
 
     # --- distributed per-dir reduction: bucketed vectorized cogroup ---
     from europa_ray.util import hash_strings

@@ -353,14 +353,29 @@ def with_forks(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     ``oracle_sql()['repo_fork_pairs']``."""
     forks = files_ds.map_batches(_fork_rows, batch_format="pyarrow")
 
-    def license_rows(batch: pa.Table) -> pa.Table:
-        # batch: (repo, min(doc_id)) aggregate rows
-        ids = batch["min(doc_id)"].to_numpy() + LICENSE_OFFSET
-        n = batch.num_rows
-        return pa.table(
+    # per-repo min(doc_id): streamed two-column gather + vectorized
+    # per-batch min (repo cardinality ≪ corpus) — a hash-shuffle groupby
+    # costs tens of seconds of cold aggregator startup inside what is a
+    # test fixture (fixture precedent for driver-side work: _mutant_rows)
+    mins: dict[str, int] = {}
+    for b in files_ds.select_columns(["repo", "doc_id"]).iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20
+    ):
+        rn, ri = np.unique(
+            np.asarray(b["repo"].to_pylist(), dtype=object), return_inverse=True
+        )
+        bm = np.full(rn.shape[0], np.iinfo(np.int64).max)
+        np.minimum.at(bm, ri, b["doc_id"].to_numpy())
+        for r, m in zip(rn.tolist(), bm.tolist()):
+            mins[r] = min(mins.get(r, m), int(m))
+    repos_sorted = sorted(mins)
+    ids = np.array([mins[r] for r in repos_sorted], np.int64) + LICENSE_OFFSET
+    n = len(repos_sorted)
+    lic = ray.data.from_arrow(
+        pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "repo": batch["repo"],
+                "repo": pa.array(repos_sorted, pa.string()),
                 "path": pa.array(["LICENSE"] * n, pa.string()),
                 "commit": pa.array(
                     [str(i).rjust(40, "0") for i in ids.tolist()], pa.string()
@@ -369,11 +384,6 @@ def with_forks(files_ds: ray.data.Dataset) -> ray.data.Dataset:
                 "content": pa.array([LICENSE_TEXT] * n, pa.string()),
             }
         )
-
-    lic = (
-        files_ds.groupby("repo")
-        .min("doc_id")
-        .map_batches(license_rows, batch_format="pyarrow")
     )
     # column order must match for union
     cols = ["doc_id", "repo", "path", "commit", "lang", "content"]
