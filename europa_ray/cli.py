@@ -320,11 +320,16 @@ def cmd_semdedup(args) -> dict:
 
 def cmd_report(args) -> dict:
     """Per-repo exact-dedup report card."""
+    import pyarrow as pa
+    import ray.data
+
     from europa_ray.pipelines.exact import dedup_report
     from europa_ray.sources.files import read_files
 
     cfg = _config_from_args(args)
     out = dedup_report(read_files(args.input), cfg)
+    if isinstance(out, pa.Table):
+        out = ray.data.from_arrow(out)
     out.write_parquet(args.output + "/dedup_report")
     return {"groups": out.count()}
 

@@ -203,8 +203,9 @@ def dedup_report(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     group_col: str = "repo",
+    driver_max_rows: int = 100_000_000,
     num_partitions: int | None = None,
-) -> ray.data.Dataset:
+) -> ray.data.Dataset | pa.Table:
     """Per-``group_col`` exact-dedup report card: how much of each group is
     duplicate mass — the accounting a corpus ingest publishes before/after
     dedup. Columns: ``(group_col, n_files, n_distinct, dup_rows,
@@ -212,15 +213,68 @@ def dedup_report(
     two repos is distinct in each) and ``dup_rate_ppm`` is integer
     ``floor(dup_rows * 1e6 / n_files)``.
 
-    Two metadata-only shuffles: ``groupby(group, sha256).count`` (digest
-    distinct) then ``groupby(group)`` roll-up — content never moves.
+    Driver path (raw metadata rows ≤ ``driver_max_rows``): one streamed
+    gather + structured numpy sort (a cold hash-shuffle groupby pays tens
+    of seconds of aggregator startup a small corpus never amortizes — the
+    same dispatch as ``exact_dup_clusters``). Above the budget: two
+    metadata-only shuffles (``groupby(group, sha256)`` distinct then the
+    group roll-up) — content never moves on either path.
     """
-    import ray.data.aggregate as agg
+    from europa_ray.util import hex_to_u256_arrow
 
     ds = apply_filters(files, cfg)
     hashed = ds.map_batches(
         add_sha256, fn_kwargs={"keep_cols": (group_col,)}, batch_format="pyarrow"
-    )
+    ).select_columns([group_col, "sha256"])
+
+    group_p: list[np.ndarray] = []
+    sha_p: list[np.ndarray] = []
+    total = 0
+    over = False
+    for b in hashed.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += b.num_rows
+        if total > driver_max_rows:
+            over = True
+            break
+        group_p.append(np.asarray(b[group_col].to_pylist(), dtype=object))
+        sha_p.append(hex_to_u256_arrow(b["sha256"]))
+
+    if not over:
+        if not group_p:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_files": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "dup_rows": pa.array([], pa.int64()),
+                    "dup_rate_ppm": pa.array([], pa.int64()),
+                }
+            )
+        groups = np.concatenate(group_p)
+        shas = np.concatenate(sha_p)
+        names, codes = np.unique(groups, return_inverse=True)
+        nf = np.bincount(codes, minlength=names.shape[0]).astype(np.int64)
+        rec = np.empty(codes.shape[0], dtype=[("c", np.int64), ("s", shas.dtype)])
+        rec["c"] = codes
+        rec["s"] = shas
+        rec = np.unique(rec)
+        ndist = np.bincount(rec["c"], minlength=names.shape[0]).astype(np.int64)
+        dup = nf - ndist
+        ppm = np.zeros(nf.shape[0], np.int64)
+        nz = nf > 0
+        ppm[nz] = (dup[nz] * 1_000_000) // nf[nz]
+        return pa.table(
+            {
+                group_col: pa.array(names, pa.string()),
+                "n_files": pa.array(nf, pa.int64()),
+                "n_distinct": pa.array(ndist, pa.int64()),
+                "dup_rows": pa.array(dup, pa.int64()),
+                "dup_rate_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    import ray.data.aggregate as agg
+
     per_digest = (
         hashed.groupby([group_col, "sha256"])
         .count()

@@ -184,3 +184,26 @@ def test_dedup_report_empty_corpus(ray_session):
     out = dedup_report(files)
     tbl = out.to_pandas()
     assert len(tbl) == 0
+
+
+def test_dedup_report_distributed_equivalent(ray_session):
+    """Forced driver_max_rows=0 → the two-shuffle distributed path; output
+    equals the driver gather path row-for-row."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.exact import dedup_report
+
+    files = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(["r1", "r1", "r1", "r2", "r2"]),
+                "path": pa.array([f"{i}.py" for i in range(5)]),
+                "content": pa.array(["same", "same", "x", "same", "y"]),
+            }
+        )
+    )
+    a = dedup_report(files).to_pandas()
+    b = dedup_report(files, driver_max_rows=0).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert list(a.columns) == list(b.columns)
