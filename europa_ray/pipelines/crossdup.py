@@ -11,17 +11,16 @@ contents trivially match at jaccard 1.0.
 
 Engine shape::
 
-    union(new, ref) → prefix-filter candidates (AllPairs/PPJoin — complete
-        for TRUE Jaccard ≥ τ, stages/ppjoin.py)
-        → CROSS-ONLY candidate filter (new×ref orientation; within-corpus
-          pairs are discarded BEFORE the expensive shingle verification —
-          the reference corpus's own self-pairs are never verified)
-          [measured at 60k rows: candidates 15.0 s (= the standalone
-          exact-Jaccard operator's intrinsic cost at equal corpus size),
-          cross filter 0.6 s, verify 5.1 s of the 25 s total; the known
-          refinement — a two-sided prefix index that probes only new-side
-          grams against ref-side prefixes — would cut candidate volume
-          when ref ≪ new, deferred until that stage dominates a real run]
+    union(new, ref) → SIDE-AWARE prefix-filter candidates (AllPairs/PPJoin
+        with ``cross_sides`` — complete for TRUE cross Jaccard ≥ τ,
+        stages/ppjoin.py): corpus-membership node arrays are broadcast into
+        the candidate stage itself, one-sided gram groups are pruned before
+        pairing and only cross-oriented pairs are emitted — within-corpus
+        near-dup cliques (the reference corpus's self-similarity; the new
+        corpus's own dups when ref ≪ new) never pay quadratic pairing or
+        the pair shuffle
+        → CROSS-ONLY candidate re-check (cheap invariant; the stage above
+          already guarantees orientation)
         → exact shingle-set Jaccard verify (stages/pairverify.py, budgeted)
         → orient pairs new→ref, add exact digest matches (jaccard 1.0)
         → per-new-content aggregate (n_ref_matches, best_jaccard)
@@ -136,8 +135,15 @@ def cross_corpus_near_dup_stats(
 
     union = new_files.union(ref_files)
     ds = apply_filters(union, cfg)
-    cand = prefix_candidate_pairs(ds, cfg, num_partitions=nparts)
     sets_ref = ray.put((new_nodes, ref_nodes))
+    # side-aware candidate generation: one-sided gram groups (within-corpus
+    # near-dup cliques — e.g. the reference corpus's self-similarity, or
+    # the new corpus's own dups when ref ≪ new) are pruned BEFORE pairing,
+    # so they cost neither quadratic pair generation nor pair shuffle;
+    # cross_only below is then a cheap invariant re-check
+    cand = prefix_candidate_pairs(
+        ds, cfg, num_partitions=nparts, cross_sides=sets_ref
+    )
 
     def cross_only(batch: pa.Table) -> pa.Table:
         nn, rn = ray.get(sets_ref)

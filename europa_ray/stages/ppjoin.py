@@ -263,18 +263,61 @@ def _length_filter(
     return np.minimum(na, nb), np.maximum(na, nb)
 
 
-def _pair_prefix_group(group: pa.Table, *, tau: float) -> pa.Table:
+_SIDES_CACHE: list = [None, None]  # [ref_hex, (left_nodes, right_nodes)]
+
+
+def _resolve_sides(sides):
+    """``cross_sides`` as plain tuple or broadcast ``ray.ObjectRef`` (same
+    1-entry per-process cache trick as ``_resolve_df_table``)."""
+    if sides is None or isinstance(sides, tuple):
+        return sides
+    import ray
+
+    key = sides.hex()
+    if _SIDES_CACHE[0] != key:
+        _SIDES_CACHE[0] = key
+        _SIDES_CACHE[1] = ray.get(sides)
+    return _SIDES_CACHE[1]
+
+
+def _cross_pair_keep(
+    a: np.ndarray, b: np.ndarray, left: np.ndarray, right: np.ndarray
+) -> np.ndarray:
+    """Keep pairs with one side ∈ left corpus and the other ∈ right corpus
+    (a node present in BOTH corpora satisfies either role)."""
+    from europa_ray.util import sorted_member
+
+    al, bl = sorted_member(left, a), sorted_member(left, b)
+    ar, br = sorted_member(right, a), sorted_member(right, b)
+    return (al & br) | (bl & ar)
+
+
+def _pair_prefix_group(group: pa.Table, *, tau: float, sides=None) -> pa.Table:
     """All qualifying-size pairs within one colliding gram bucket —
-    UNCAPPED (exactness; see module docstring on hash-order bucket sizes)."""
+    UNCAPPED (exactness; see module docstring on hash-order bucket sizes).
+    With ``sides`` (cross-corpus mode): one-sided buckets are skipped
+    entirely and only cross-oriented pairs are emitted — within-corpus
+    near-dup cliques never generate candidates."""
+    from europa_ray.util import sorted_member
+
     nd = group["node"].to_numpy()
     sz = group["size"].to_numpy()
     nd, first = np.unique(nd, return_index=True)
     sz = sz[first]
+    if sides is not None:
+        left, right = _resolve_sides(sides)
+        isl = sorted_member(left, nd)
+        isr = sorted_member(right, nd)
+        if not (isl.any() and isr.any()):
+            return PAIR_AB_SCHEMA.empty_table()
     n = nd.shape[0]
     if n < 2:
         return PAIR_AB_SCHEMA.empty_table()
     iu, ju = np.triu_indices(n, k=1)
     a, b = _length_filter(nd[iu], nd[ju], sz[iu], sz[ju], tau)
+    if sides is not None:
+        keep = _cross_pair_keep(a, b, left, right)
+        a, b = a[keep], b[keep]
     return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
@@ -429,6 +472,7 @@ def prefix_candidate_pairs(
     num_partitions: int | None = None,
     driver_max_explode_rows: int = 100_000_000,
     large_group: int = 512,
+    cross_sides=None,
 ):
     """Filtered corpus Dataset → COMPLETE candidate (a, b) pair Dataset for
     TRUE-Jaccard >= ``cfg.jaccard_threshold`` (prefix + length filters; no
@@ -437,7 +481,19 @@ def prefix_candidate_pairs(
     Driver path (explode <= ``driver_max_explode_rows`` ≈ 2.4 GB): one
     gather, vectorized group/pair/dedupe. Fallback: distributed duplicated-
     gram detection + ``groupby(gram)`` pairing + distinct
-    (forced-budget-0 equivalence-tested)."""
+    (forced-budget-0 equivalence-tested).
+
+    ``cross_sides`` (cross-corpus join mode): a ``(left_nodes, right_nodes)``
+    tuple of SORTED distinct int64 node arrays — or a ``ray.ObjectRef`` to
+    one (broadcast once) — switches the self-join to a CROSS join: only
+    pairs with one side in each corpus are produced, and one-sided gram
+    groups are pruned BEFORE pairing, so within-corpus near-dup cliques
+    (e.g. a self-similar reference corpus, or the new corpus's own dups in
+    decontamination runs where ref ≪ new) never pay the quadratic pairing
+    or the pair shuffle at all. Completeness for cross pairs is invariant:
+    a qualifying cross pair shares a prefix gram (prefix-filter lemma), and
+    that gram's group contains members of both corpora, hence survives the
+    prune."""
     import ray.data
 
     from europa_ray.util import default_num_partitions
@@ -473,7 +529,9 @@ def prefix_candidate_pairs(
         n_parts.append(bt["node"].to_numpy())
         s_parts.append(bt["size"].to_numpy())
     if over:
-        return _prefix_pairs_distributed(kn, cfg, num_partitions)
+        return _prefix_pairs_distributed(
+            kn, cfg, num_partitions, sides_ref=cross_sides
+        )
     if not g_parts:
         return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
     g = np.concatenate(g_parts)
@@ -494,7 +552,32 @@ def prefix_candidate_pairs(
     newg = np.ones(g.shape[0], dtype=bool)
     newg[1:] = g[1:] != g[:-1]
     gid = np.cumsum(newg) - 1
+    sides = _resolve_sides(cross_sides)
+    if sides is not None:
+        # cross mode: drop one-sided gram groups BEFORE pairing (their
+        # pairs can never be cross-oriented — membership is a node-global
+        # property), then keep cross-oriented pairs only
+        from europa_ray.util import sorted_member
+
+        left, right = sides
+        isl = sorted_member(left, nd)
+        isr = sorted_member(right, nd)
+        counts = np.bincount(gid)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        mixed = np.logical_or.reduceat(isl, starts) & np.logical_or.reduceat(
+            isr, starts
+        )
+        rowkeep = mixed[gid]
+        g, nd, sz = g[rowkeep], nd[rowkeep], sz[rowkeep]
+        if g.shape[0] == 0:
+            return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
+        newg = np.ones(g.shape[0], dtype=bool)
+        newg[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(newg) - 1
     a, b = _grouped_all_pairs(gid, nd, sz, tau, large_group=large_group)
+    if sides is not None and a.shape[0]:
+        keep = _cross_pair_keep(a, b, sides[0], sides[1])
+        a, b = a[keep], b[keep]
     if a.shape[0] == 0:
         return ray.data.from_arrow(PAIR_AB_SCHEMA.empty_table())
     a, b = _dedupe_ab(a, b)
@@ -523,13 +606,17 @@ def _group_set_hash(group: pa.Table) -> pa.Table:
     )
 
 
-def _prefix_pairs_distributed(kn, cfg: EngineConfig, num_partitions: int):
+def _prefix_pairs_distributed(
+    kn, cfg: EngineConfig, num_partitions: int, sides_ref=None
+):
     """Fully distributed shape: duplicated gram keys (driver count below its
     own budget, Ray count-aggregate above) → broadcast/distributed semi-join
     → distinct-group dedup (one representative gram per distinct node set —
     the driver path's boilerplate-clique guard, distributed: a k-doc clique
     sharing g prefix grams would otherwise pair the same k²/2 nodes g times)
-    → ``groupby(gram)`` pairing → distinct (a, b)."""
+    → ``groupby(gram)`` pairing → distinct (a, b). ``sides_ref`` (cross
+    mode, a broadcast ObjectRef or tuple of sorted node arrays) is applied
+    INSIDE the per-gram pairing: one-sided buckets emit nothing."""
     import ray.data
 
     from europa_ray.stages.lsh import duplicated_keys, filter_by_key_array, semi_join_keys
@@ -567,7 +654,9 @@ def _prefix_pairs_distributed(kn, cfg: EngineConfig, num_partitions: int):
         hot, rep_grams.materialize(), "gram", num_partitions=num_partitions
     )
     pairs = hot.groupby("gram").map_groups(
-        _pair_prefix_group, fn_kwargs={"tau": tau}, batch_format="pyarrow"
+        _pair_prefix_group,
+        fn_kwargs={"tau": tau, "sides": sides_ref},
+        batch_format="pyarrow",
     )
     # distinct (a, b) on the REAL composite key (no hashed-key chimeras)
     pairs = pairs.materialize()

@@ -165,6 +165,17 @@ def default_read_blocks(factor: int = 8, floor: int = 64) -> int:
     return max(floor, factor * cpus)
 
 
+def sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``vals`` in a SORTED distinct array via
+    ``searchsorted`` — the house broadcast-set-membership primitive (used
+    for corpus-side flags in crossdup/ppjoin): O(|vals| log |set|), no
+    Python sets, works on any comparable dtype including U256_DTYPE."""
+    if sorted_arr.shape[0] == 0 or vals.shape[0] == 0:
+        return np.zeros(vals.shape[0], dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_arr, vals), sorted_arr.shape[0] - 1)
+    return sorted_arr[idx] == vals
+
+
 def hex_to_u64(hex_ids) -> np.ndarray:
     """Compact uint64 node id from a sha256 hex string (first 16 hex chars).
 

@@ -120,6 +120,66 @@ def test_prefix_distributed_path_equivalent(ray_session):
     assert d1[key].equals(d2)
 
 
+def _corpus_split(docs: list[str]):
+    """Alternating left/right corpus split by doc index → sorted distinct
+    node arrays (mutants follow their base in _rand_docs, so true near-dup
+    pairs straddle the split)."""
+    from europa_ray.util import hex_to_u64, sha256_hex_arrow
+
+    nodes = hex_to_u64(sha256_hex_arrow(pa.array(docs, pa.string()))).view(
+        np.int64
+    )
+    return np.unique(nodes[0::2]), np.unique(nodes[1::2])
+
+
+def test_prefix_candidates_cross_sides(ray_session):
+    """cross_sides mode == the cross-oriented subset of the self-join
+    candidates (exact equality on a no-large-group corpus), and covers
+    every TRUE cross pair (completeness)."""
+    from europa_ray.stages.ppjoin import _cross_pair_keep, prefix_candidate_pairs
+
+    docs = _rand_docs(11)
+    left, right = _corpus_split(docs)
+    full = prefix_candidate_pairs(_files_ds(docs)).to_pandas()
+    cross = prefix_candidate_pairs(
+        _files_ds(docs), cross_sides=(left, right)
+    ).to_pandas()
+    keep = _cross_pair_keep(
+        full["a"].to_numpy(), full["b"].to_numpy(), left, right
+    )
+    expect = {
+        (int(a), int(b))
+        for a, b in zip(full["a"].to_numpy()[keep], full["b"].to_numpy()[keep])
+    }
+    got = {(int(r.a), int(r.b)) for r in cross.itertuples()}
+    assert got == expect
+    truth = _brute_pairs(docs, 0.72)
+    t_a = np.array([a for a, _ in truth], np.int64)
+    t_b = np.array([b for _, b in truth], np.int64)
+    t_keep = _cross_pair_keep(t_a, t_b, left, right)
+    cross_truth = {(int(a), int(b)) for a, b in zip(t_a[t_keep], t_b[t_keep])}
+    assert cross_truth, "fixture must exercise true cross pairs"
+    assert cross_truth <= got
+
+
+def test_prefix_candidates_cross_sides_distributed_equivalent(ray_session):
+    """cross_sides on the forced budget-0 distributed path == driver path."""
+    from europa_ray.stages.ppjoin import prefix_candidate_pairs
+
+    docs = _rand_docs(11, n_base=24)
+    left, right = _corpus_split(docs)
+    driver = prefix_candidate_pairs(
+        _files_ds(docs), cross_sides=(left, right)
+    ).to_pandas()
+    dist = prefix_candidate_pairs(
+        _files_ds(docs), cross_sides=(left, right), driver_max_explode_rows=0
+    ).to_pandas()
+    key = ["a", "b"]
+    d1 = driver.sort_values(key).reset_index(drop=True)
+    d2 = dist[key].sort_values(key).reset_index(drop=True)
+    assert d1[key].equals(d2)
+
+
 def test_prefix_lengths_sound():
     """Exact-rational check: the float prefix length is never SMALLER than
     the true n - ceil(tau*n) + 1 (a smaller prefix could miss pairs)."""
