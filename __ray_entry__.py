@@ -280,6 +280,19 @@ def _q_cross_corpus_new_docs(sf_dir: str):
     return cross_corpus_new_docs(with_mutants(docs), docs, id_col="doc_id")
 
 
+def _q_cross_corpus_new_docs_bloom(sf_dir: str):
+    """The bloom-prefiltered scale path of cross_corpus_new_docs: build a
+    bloom filter over the reference digests (tree OR-reduce), stream rows
+    the filter rejects straight through (definitely new — no false
+    negatives), exact-anti-join only the maybe-dup survivors. Output is
+    EXACT at any filter size — shares the plain operator's oracle."""
+    from europa_ray.pipelines.exact import cross_corpus_new_docs_bloom
+    from europa_ray.sources.augment import with_mutants
+
+    docs = _docs(sf_dir)
+    return cross_corpus_new_docs_bloom(with_mutants(docs), docs, id_col="doc_id")
+
+
 def _q_dedup_report(sf_dir: str):
     """Per-repo exact-dedup report card over the dup-augmented corpus:
     within-repo file/distinct/dup counts + integer ppm dup rate — the
@@ -718,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
         "dup_span_stats": wrap(_q_dup_span_stats),
         "cross_corpus_new_docs": wrap(_q_cross_corpus_new_docs),
+        "cross_corpus_new_docs_bloom": wrap(_q_cross_corpus_new_docs_bloom),
         "cross_corpus_near_dups": wrap(_q_cross_corpus_near_dups),
         "dedup_report": wrap(_q_dedup_report),
         "line_dup_stats": wrap(_q_line_dup_stats),
@@ -1769,6 +1783,10 @@ def oracle_sql() -> dict[str, str]:
     # sub-1.0 similarity is covered by tests/test_embed_neardup.py
     # (recall >= 0.99 vs the exact pass on perturbed planted pairs).
     sql["embedding_dup_pairs_lsh"] = sql["embedding_dup_pairs"]
+    # bloom prefilter never changes the answer (no false negatives; false
+    # positives only enlarge the exact-verify join's input) — the scale
+    # path shares the exact operator's oracle verbatim.
+    sql["cross_corpus_new_docs_bloom"] = sql["cross_corpus_new_docs"]
     # SemDeDup at nlist=1 (single cell) scores every pair exactly once —
     # equals the exact all-pairs cosine oracle by construction (see
     # _q_semantic_dup_pairs); clustered recall is pytest scope.

@@ -389,3 +389,90 @@ def cross_corpus_new_docs(
         return batch.filter(mask).select([id_col, "sha256"])
 
     return joined.map_batches(keep_unseen, batch_format="pyarrow")
+
+
+def cross_corpus_new_docs_bloom(
+    new_files: ray.data.Dataset,
+    reference_files: ray.data.Dataset,
+    *,
+    id_col: str = "path",
+    bits_per_key: int = 12,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Bloom-prefiltered cross-corpus exact dedup — the 100-TB scale path of
+    :func:`cross_corpus_new_docs`, EXACT output at any filter size.
+
+    Above ``broadcast_max_digests`` the plain operator's only option is a
+    distributed left-outer join that shuffles the ENTIRE new corpus's digest
+    rows, even though almost every new row is typically new. Here a bloom
+    filter over the reference digest set (``bits_per_key`` → 12 bits/key ≈
+    0.31% FP at k=8; 1 B digests fit in 1.5 GB, 21× below the 32 B/key exact
+    broadcast) is built distributed (tree OR-reduce) and probed per batch:
+    rows the filter rejects are DEFINITELY new (no false negatives) and
+    stream straight through with zero shuffle; only the maybe-dup survivors
+    (true dups + FP rate of the rest) enter the exact anti-join. Equivalence
+    with the exact path is forced-tiny-filter tested (a 1-bit/key bloom just
+    sends more rows to the verify join — never a wrong answer).
+
+    Design notes for the join stage: its LEFT side is the shrunken survivor
+    set; its right side is still the full distinct-digest table (sharded by
+    the groupby — never collected). See :mod:`europa_ray.stages.bloom`.
+    """
+    import pyarrow.compute as pc
+
+    from europa_ray.stages.bloom import build_bloom, probe_batch
+
+    nparts = num_partitions or default_num_partitions()
+    ref_digests = (
+        reference_files.map_batches(
+            add_sha256, fn_kwargs={"keep_cols": ()}, batch_format="pyarrow"
+        )
+        .groupby("sha256")
+        .count()
+        .select_columns(["sha256"])
+        .materialize()
+    )
+    n_ref = ref_digests.count()
+    new_hashed = new_files.map_batches(
+        add_sha256, fn_kwargs={"keep_cols": (id_col,)}, batch_format="pyarrow"
+    )
+    if n_ref == 0:
+        return new_hashed.select_columns([id_col, "sha256"])
+
+    bitmap, m_bits, n_hashes = build_bloom(
+        ref_digests, n_ref, bits_per_key=bits_per_key
+    )
+    bitmap_ref = ray.put(bitmap)
+
+    def split_definite(batch: pa.Table) -> pa.Table:
+        maybe = probe_batch(batch, bitmap_ref, m_bits, n_hashes)
+        return batch.select([id_col, "sha256"]).append_column(
+            "__maybe", pa.array(maybe)
+        )
+
+    probed = new_hashed.map_batches(split_definite, batch_format="pyarrow").materialize()
+    definite_new = probed.filter(expr="__maybe == False").select_columns(
+        [id_col, "sha256"]
+    )
+    survivors = probed.filter(expr="__maybe == True").select_columns(
+        [id_col, "sha256"]
+    )
+    if survivors.count() == 0:
+        return definite_new
+
+    marked = ref_digests.rename_columns({"sha256": "__ref_sha"}).add_column(
+        "__seen", lambda df: np.ones(len(df), dtype=np.int8)
+    ).materialize()
+    joined = survivors.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("sha256",),
+        right_on=("__ref_sha",),
+    )
+
+    def keep_unseen(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["__seen"])
+        return batch.filter(mask).select([id_col, "sha256"])
+
+    return definite_new.union(joined.map_batches(keep_unseen, batch_format="pyarrow"))
