@@ -69,6 +69,29 @@ def _q_dedup_representatives(sf_dir: str):
     return dedup_representatives(_docs(sf_dir), id_col="doc_id")
 
 
+def _q_norm_exact_dup_members(sf_dir: str):
+    """Normalization-tier ("near-exact") dedup: comment-strip + lowercase +
+    whitespace-collapse, then group by the normalized digest. Planted
+    formatting-only mutants are byte-distinct (invisible to exact dedup)
+    but value-checked here against a pure-SQL replica of the normalizer."""
+    from europa_ray.pipelines.normdedup import norm_dup_members
+    from europa_ray.sources.augment import with_format_mutants
+
+    out = norm_dup_members(with_format_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    return _collect(out).select(["doc_id", "norm_sha256", "n_members"])
+
+
+def _q_dedup_tiers(sf_dir: str):
+    """One-row tier report over the exact-dup + format-mutant augmented
+    corpus: rows each dedup tier (byte-exact, then normalization) removes."""
+    from europa_ray.pipelines.normdedup import dedup_tiers
+    from europa_ray.sources.augment import with_exact_dups, with_format_mutants
+
+    return dedup_tiers(
+        with_format_mutants(with_exact_dups(_docs(sf_dir))), id_col="doc_id"
+    )
+
+
 def _q_exact_group_sizes(sf_dir: str):
     from europa_ray.sources.augment import with_exact_dups
 
@@ -697,6 +720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "exact_dup_members": wrap(_q_exact_dup_members),
+        "norm_exact_dup_members": wrap(_q_norm_exact_dup_members),
+        "dedup_tiers": wrap(_q_dedup_tiers),
         "dedup_representatives": wrap(_q_dedup_representatives),
         "exact_group_sizes": wrap(_q_exact_group_sizes),
         "filter_size_range": wrap(_q_filter_size_range),
@@ -1125,6 +1150,73 @@ def oracle_sql() -> dict[str, str]:
         "dedup_representatives": """
             SELECT sha256(text) AS sha256, min(doc_id) AS doc_id
             FROM documents WHERE length(text) > 0 GROUP BY sha256(text)
+        """,
+        # fmtdocs mirrors sources/augment.py with_format_mutants; the norm
+        # expression replicates pipelines/normdedup.normalize_code_arrow
+        # (same RE2 patterns: comment strip -> lower -> ws collapse -> trim)
+        "norm_exact_dup_members": """
+            WITH fmtdocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 50000000,
+                       '# fmt' || chr(10) || replace(upper(text), ' ', '   ')
+                         || '  ' || chr(10) || chr(9)
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+            ),
+            norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                                lower(regexp_replace(text,
+                                    '(//|#)[^' || chr(10) || ']*', '', 'g')),
+                                '[ ' || chr(9) || chr(13) || chr(10) || ']+',
+                                ' ', 'g'), ' ') AS n
+                FROM fmtdocs WHERE length(text) > 0
+            )
+            SELECT doc_id, sha256(n) AS norm_sha256,
+                   count(*) OVER (PARTITION BY sha256(n)) AS n_members
+            FROM norm WHERE length(n) > 0
+            QUALIFY n_members > 1
+        """,
+        # composition mirrors with_format_mutants(with_exact_dups(docs)):
+        # format mutants are derived from the exact-dup-augmented union
+        "dedup_tiers": """
+            WITH aug0 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 40000000, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+            ),
+            aug AS (
+                SELECT doc_id, text FROM aug0
+                UNION ALL
+                SELECT doc_id + 50000000,
+                       '# fmt' || chr(10) || replace(upper(text), ' ', '   ')
+                         || '  ' || chr(10) || chr(9)
+                FROM aug0
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+            ),
+            hashed AS (
+                SELECT sha256(text) AS raw_sha,
+                       CASE WHEN length(n) = 0 THEN sha256(text)
+                            ELSE sha256(n) END AS norm_sha
+                FROM (
+                    SELECT text,
+                           trim(regexp_replace(
+                                    lower(regexp_replace(text,
+                                        '(//|#)[^' || chr(10) || ']*', '', 'g')),
+                                    '[ ' || chr(9) || chr(13) || chr(10) || ']+',
+                                    ' ', 'g'), ' ') AS n
+                    FROM aug WHERE length(text) > 0
+                )
+            )
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT raw_sha) AS n_exact_distinct,
+                   count(DISTINCT norm_sha) AS n_norm_distinct,
+                   count(*) - count(DISTINCT raw_sha) AS exact_dup_rows,
+                   count(DISTINCT raw_sha) - count(DISTINCT norm_sha)
+                       AS norm_extra_dup_rows
+            FROM hashed
         """,
         "exact_group_sizes": """
             WITH dupdocs AS (

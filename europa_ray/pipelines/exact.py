@@ -29,12 +29,37 @@ from europa_ray.stages.hash_stage import add_prefix_key, add_sha256
 from europa_ray.util import default_num_partitions
 
 
-def _empty_like(ds: ray.data.Dataset, extra: dict[str, pa.DataType] | None = None) -> ray.data.Dataset:
-    """Zero-row Dataset with ``ds``'s schema plus ``extra`` columns."""
-    schema = ds.schema().base_schema
+def _empty_like(
+    ds: ray.data.Dataset,
+    extra: dict[str, pa.DataType] | None = None,
+    fallback: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Zero-row Dataset with ``ds``'s schema plus ``extra`` columns.
+
+    ``fallback`` covers the schema-less case: a materialized Dataset whose
+    upstream stages dropped EVERY row reports ``schema() is None`` (Ray
+    2.49), e.g. a corpus whose files are all filtered/empty."""
+    got = ds.schema()
+    schema = got.base_schema if got is not None else fallback
+    if schema is None:
+        schema = pa.schema([])
     for name, typ in (extra or {}).items():
         schema = schema.append(pa.field(name, typ))
     return ray.data.from_arrow(schema.empty_table())
+
+
+def _hashed_fallback_schema(
+    files: ray.data.Dataset, id_cols: tuple[str, ...]
+) -> pa.Schema | None:
+    """Schema the hash stage WOULD have produced, derived from the input
+    dataset (used only when zero rows survive to the hash stage)."""
+    got = files.schema()
+    if got is None:
+        return None
+    base = got.base_schema
+    fields = [base.field(c) for c in id_cols if c in base.names]
+    fields += [pa.field("sha256", pa.string()), pa.field("size", pa.int64())]
+    return pa.schema(fields)
 
 
 def _dup_sha_counts(hashed: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
@@ -107,7 +132,9 @@ def exact_dup_clusters(
     if not over:
         if not node_parts:
             return _empty_like(
-                hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()}
+                hashed,
+                extra={"n_members": pa.int64(), "cluster_id": pa.string()},
+                fallback=_hashed_fallback_schema(files, id_cols),
             )
         nodes = np.sort(np.concatenate(node_parts))
         dup_mask = np.zeros(nodes.shape[0], dtype=bool)
@@ -115,7 +142,9 @@ def exact_dup_clusters(
         dup_sorted, dup_counts = np.unique(nodes[dup_mask], return_counts=True)
         if dup_sorted.shape[0] == 0:
             return _empty_like(
-                hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()}
+                hashed,
+                extra={"n_members": pa.int64(), "cluster_id": pa.string()},
+                fallback=_hashed_fallback_schema(files, id_cols),
             )
         dup_counts = dup_counts + 1  # unique() over the dup stream drops 1st occurrence
         dup_ref = ray.put((dup_sorted, dup_counts))
@@ -142,7 +171,11 @@ def exact_dup_clusters(
         # Zero duplicate groups: short-circuit (a zero-row join side crashes
         # Ray 2.49's hash-shuffle with schema-less empty partitions, and the
         # answer is known anyway).
-        return _empty_like(hashed, extra={"n_members": pa.int64(), "cluster_id": pa.string()})
+        return _empty_like(
+            hashed,
+            extra={"n_members": pa.int64(), "cluster_id": pa.string()},
+            fallback=_hashed_fallback_schema(files, id_cols),
+        )
     members = hashed.join(
         dups, join_type="inner", num_partitions=num_partitions, on=("sha256",)
     ).map_batches(
@@ -170,7 +203,7 @@ def _two_pass_filter(files, hashed, cfg: EngineConfig, id_cols):
         .materialize()  # aggregate-sized; see _dup_sha_counts note
     )
     if survivors.count() == 0:
-        return _empty_like(hashed)
+        return _empty_like(hashed, fallback=_hashed_fallback_schema(files, id_cols))
     keyed = (
         pass1.join(survivors, join_type="inner", num_partitions=default_num_partitions(), on=("prefix_key",))
         .select_columns(list(id_cols))

@@ -228,6 +228,65 @@ def with_exact_dups(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.union(dups)
 
 
+FMT_DUP_OFFSET = 50_000_000
+FMT_DUP_EVERY = 7
+FMT_DUP_RESIDUE = 3
+
+
+def _format_mutant_rows(batch: pa.Table) -> pa.Table:
+    """Formatting-only variants of every ``FMT_DUP_EVERY``-th doc (residue
+    ``FMT_DUP_RESIDUE``) under a shifted doc_id: a ``#`` comment header, the
+    body uppercased with spaces tripled, trailing whitespace garnish. Byte-
+    distinct from the original (exact dedup must NOT pair them) but identical
+    under the normalization tier (comment strip → lower → ws collapse → trim).
+    SQL mirror (oracle_sql): ``'# fmt' || chr(10) ||
+    replace(upper(text), ' ', '   ') || '  ' || chr(10) || chr(9)``."""
+    import pyarrow.compute as pc
+
+    ids_col = batch["doc_id"]
+    ids = (
+        ids_col.combine_chunks() if isinstance(ids_col, pa.ChunkedArray) else ids_col
+    ).to_numpy()
+    mask = pa.array(
+        (ids % FMT_DUP_EVERY == FMT_DUP_RESIDUE)
+        & pc.greater(pc.utf8_length(batch["content"]), 0).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    picked = batch.filter(mask)
+    if picked.num_rows == 0:
+        return picked
+    new_id = pc.add(picked["doc_id"], FMT_DUP_OFFSET)
+    body = pc.replace_substring(pc.utf8_upper(picked["content"]), " ", "   ")
+    content = pc.binary_join_element_wise(
+        pa.array(["# fmt\n"] * picked.num_rows, pa.string()), body,
+        pa.array(["  \n\t"] * picked.num_rows, pa.string()), "",
+    )
+    cols = {}
+    for c in picked.column_names:
+        if c == "doc_id":
+            cols[c] = new_id
+        elif c == "content":
+            cols[c] = content
+        elif c == "path":
+            cols[c] = pc.binary_join_element_wise(
+                pc.cast(new_id, pa.string()), pa.scalar(".txt"), ""
+            )
+        elif c == "commit":
+            cols[c] = pc.utf8_lpad(pc.cast(new_id, pa.string()), 40, "0")
+        else:
+            cols[c] = picked[c]
+    return pa.table(cols)
+
+
+def with_format_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset ∪ formatting-only variants — the fixture for the
+    normalization dedup tier (:mod:`europa_ray.pipelines.normdedup`): raw
+    sha256 differs, normalized sha256 matches the source doc's."""
+    muts = files_ds.map_batches(_format_mutant_rows, batch_format="pyarrow")
+    return files_ds.union(muts)
+
+
 ERR_EMPTY_EVERY = 53
 ERR_NULL_EVERY = 59
 

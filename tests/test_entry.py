@@ -99,9 +99,12 @@ def test_all_queries_have_callables(entry_mod):
         "near_dup_representatives",
         "multimodal_features",
         "cross_corpus_new_docs",
+        "cross_corpus_new_docs_bloom",
         "cross_corpus_near_dups",
         "dedup_report",
         "token_quantiles",
+        "norm_exact_dup_members",
+        "dedup_tiers",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):
