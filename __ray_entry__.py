@@ -92,6 +92,22 @@ def _q_dedup_tiers(sf_dir: str):
     )
 
 
+def _q_tiered_dedup(sf_dir: str):
+    """Full tiered dedup attribution — exact → normalization → near-dup,
+    each tier over the previous tier's survivors, one (doc_id, tier,
+    dup_of) row per input doc — over a corpus with planted duplicates for
+    every tier (byte-exact copies, formatting-only variants, token-drop
+    near-dup mutants). At the oracle config the near tier's pair set is
+    complete + exactly verified, so the whole attribution is value-checked
+    against a pure-SQL replica (windowed group mins + recursive-CTE CC)."""
+    from europa_ray.pipelines.tiers import tiered_dedup
+    from europa_ray.sources.augment import with_all_dup_tiers
+
+    return tiered_dedup(
+        with_all_dup_tiers(_docs(sf_dir)), _oracle_cfg(), id_col="doc_id"
+    )
+
+
 def _q_exact_group_sizes(sf_dir: str):
     from europa_ray.sources.augment import with_exact_dups
 
@@ -722,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_members": wrap(_q_exact_dup_members),
         "norm_exact_dup_members": wrap(_q_norm_exact_dup_members),
         "dedup_tiers": wrap(_q_dedup_tiers),
+        "tiered_dedup": wrap(_q_tiered_dedup),
         "dedup_representatives": wrap(_q_dedup_representatives),
         "exact_group_sizes": wrap(_q_exact_group_sizes),
         "filter_size_range": wrap(_q_filter_size_range),
@@ -2037,6 +2054,115 @@ def oracle_sql() -> dict[str, str]:
     # The hyperplane-LSH ANN variant's driver config uses n_bits=0 — one
     # global bucket, every query scans every row exactly once — so the
     # result equals brute force by construction and shares the exact top-k
+    # Tiered dedup attribution (pipelines/tiers.py): exact → norm → near
+    # over survivors. Corpus = with_all_dup_tiers (base ∪ near mutants ∪
+    # exact copies ∪ format mutants, each derived from BASE rows only).
+    # Tier reps are windowed group mins; the near tier re-runs the
+    # true-Jaccard gram join RESTRICTED to tier-2 survivor docs (each
+    # survivor has distinct content, so doc_id keys the gram join
+    # directly) + the recursive-CTE CC construction. Engine equality holds
+    # by construction at the oracle config (complete candidates + exact
+    # verify), the minhash_near_dup_clusters move applied tier-wise.
+    sql["tiered_dedup"] = f"""
+        WITH RECURSIVE {_gen_cte},
+        {_newdocs_cte},
+        tierdocs AS (
+          SELECT doc_id, text FROM newdocs
+          UNION ALL
+          SELECT doc_id + 40000000, text FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+          UNION ALL
+          SELECT doc_id + 50000000,
+                 '# fmt' || chr(10) || replace(upper(text), ' ', '   ')
+                   || '  ' || chr(10) || chr(9)
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+        ),
+        d AS (
+          SELECT doc_id, text, sha256(text) AS sha,
+                 CASE WHEN length(n) = 0 THEN sha256(text)
+                      ELSE sha256(n) END AS nsha
+          FROM (
+            SELECT doc_id, text,
+                   trim(regexp_replace(
+                            lower(regexp_replace(text,
+                                '(//|#)[^' || chr(10) || ']*', '', 'g')),
+                            '[ ' || chr(9) || chr(13) || chr(10) || ']+',
+                            ' ', 'g'), ' ') AS n
+            FROM tierdocs WHERE length(text) > 0
+          )
+        ),
+        tg1 AS (SELECT sha, min(doc_id) AS rep1, min(nsha) AS nsha
+                FROM d GROUP BY sha),
+        tg2 AS (SELECT nsha, min(rep1) AS rep2 FROM tg1 GROUP BY nsha),
+        attr AS (
+          SELECT d.doc_id, d.text, g.rep1, g2.rep2
+          FROM d JOIN tg1 g ON d.sha = g.sha JOIN tg2 g2 ON g.nsha = g2.nsha
+        ),
+        surv AS (SELECT doc_id, text FROM attr
+                 WHERE doc_id = rep1 AND rep1 = rep2),
+        stoks AS (SELECT doc_id,
+                         regexp_extract_all(text, '\\w+|[^\\w\\s]') AS tk
+                  FROM surv),
+        sgrams AS (
+          SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+          FROM stoks,
+               unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+          UNION
+          SELECT doc_id, array_to_string(tk, ' ') AS gram
+          FROM stoks WHERE len(tk) BETWEEN 1 AND 4
+        ),
+        ssizes AS (SELECT doc_id, count(*) AS n FROM sgrams GROUP BY doc_id),
+        sinter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sgrams x JOIN sgrams y USING (gram)
+          WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+        ),
+        sjp AS (
+          SELECT a, b FROM sinter
+          JOIN ssizes sa ON sa.doc_id = sinter.a
+          JOIN ssizes sb ON sb.doc_id = sinter.b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.72
+        ),
+        tedges AS (SELECT a AS u, b AS v FROM sjp
+                   UNION ALL SELECT b, a FROM sjp),
+        treach AS (
+          SELECT DISTINCT u AS node, u AS r FROM tedges
+          UNION
+          SELECT e.v AS node, treach.r AS r
+          FROM treach JOIN tedges e ON e.u = treach.node
+        ),
+        tlabels AS (SELECT node, min(r) AS cluster FROM treach GROUP BY node),
+        trep AS (SELECT cluster, min(node) AS rep FROM tlabels GROUP BY cluster),
+        alldrops AS (
+          SELECT doc_id, 'exact' AS tier, rep1 AS dup_of FROM attr
+          WHERE doc_id <> rep1
+          UNION ALL
+          SELECT doc_id, 'norm', rep2 FROM attr
+          WHERE doc_id = rep1 AND rep1 <> rep2
+          UNION ALL
+          SELECT l.node, 'near', r.rep
+          FROM tlabels l JOIN trep r ON r.cluster = l.cluster
+          WHERE l.node <> r.rep
+        ),
+        allids AS (
+          SELECT doc_id FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000 FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+          UNION ALL SELECT d + 20000000 FROM gen
+          UNION ALL SELECT d + 30000000 FROM gen
+          UNION ALL
+          SELECT doc_id + 40000000 FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+          UNION ALL
+          SELECT doc_id + 50000000 FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+        )
+        SELECT i.doc_id, coalesce(dr.tier, 'kept') AS tier,
+               coalesce(dr.dup_of, i.doc_id) AS dup_of
+        FROM allids i LEFT JOIN alldrops dr ON dr.doc_id = i.doc_id
+    """
     # oracle (same move as ann_topk_ivf below); bucket-pruned recall is
     # covered by tests/test_ann_media.py on planted pairs.
     sql["ann_topk_lsh"] = sql["ann_topk"]

@@ -1,0 +1,385 @@
+"""Tiered dedup — the full attribution pipeline: exact → normalization →
+near-dup, each tier running only over the previous tier's survivors, every
+document labeled with the tier that removed it and the surviving document
+it duplicates.
+
+This is how large code-corpus dedups are actually staged (The Stack /
+BigCode run byte-exact, then formatting-normalized-exact, then MinHash
+near-dedup): each tier is strictly cheaper per candidate than the next, so
+running them in order shrinks the expensive near-dup stage's input to the
+distinct-normalized corpus. Reference parity: the exact tier is the
+reference's group-by-digest pass
+(``/root/reference/Api/Implementations/DuplicatesByHash/DuplicateByHashFinder.cs:29-77``),
+the near tier its similarity-cluster pass
+(``/root/reference/Api/Implementations/SimilarImages/SimilarImageFinder.cs:340-411``);
+the exact-before-similar staging mirrors the reference's exact-dup
+coalescing before similarity search (``SimilarImageFinder.cs:161-165``).
+
+Output: one row per input document — ``(id, tier, dup_of)`` where
+
+* ``tier = 'exact'``: another doc with byte-identical content survives;
+  ``dup_of`` = the minimum-id doc of the digest group.
+* ``tier = 'norm'``: survived exact, but another exact-survivor shares its
+  NORMALIZED content (comment strip → lower → whitespace collapse → trim,
+  :func:`europa_ray.pipelines.normdedup.normalize_code_arrow`); ``dup_of``
+  = the minimum-id exact-survivor of the normalization group.
+* ``tier = 'near'``: survived both exact tiers, but sits in a near-dup
+  cluster (true/estimated shingle Jaccard ≥ τ connected components, the
+  flagship pipeline) with a smaller-id survivor; ``dup_of`` = the
+  minimum-id member of the cluster.
+* ``tier = 'kept'``: the surviving corpus (``dup_of`` = own id — the
+  table is a TOTAL doc → canonical-representative mapping). Empty/null
+  content never dedups (``HashGenerator.cs:18-19``) and is always kept.
+
+Representative rule: minimum id at every tier — deterministic, and
+transitively safe (``dup_of`` always names a doc that itself survives its
+own tier's grouping).
+
+Scale shape: content is read once (the digest pass) plus once more for the
+near tier's signature stage over survivors only; every shuffle is
+digest/id-only (~100 B/row). Both the exact/norm attribution and the final
+assembly are budget-dispatched: a driver path (one structured-key argsort +
+``np.minimum.reduceat`` per tier — no shuffle at all) below
+``driver_max_keys`` rows, and a fully distributed path (two digest-keyed
+``groupby().aggregate(Min)`` + hash joins, broadcast-or-join survivor
+semi-join, left-outer kept-marker join) above it, equivalence-tested by
+forcing the budget to 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from europa_ray.config import DEFAULT_CONFIG, EngineConfig
+from europa_ray.util import default_num_partitions, hex_to_u256_arrow
+
+TIERS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("tier", pa.string()),
+        pa.field("dup_of", pa.int64()),
+    ]
+)
+
+
+def scrub_empty_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Drop zero-row blocks from a MATERIALIZED dataset.
+
+    Ray 2.49's hash-shuffle join emits its empty partitions as ZERO-COLUMN
+    blocks (``pa.table({})`` — no schema), and ``map_batches`` passes them
+    through without invoking the UDF, so any join-descended dataset can
+    carry schema-less blocks that crash the next join with "no match or
+    multiple matches for key field … on right side". Zero-row blocks
+    contribute nothing, so we rebuild the dataset from the surviving block
+    refs — no data movement, blocks stay where they are in the object
+    store. ``schema`` supplies the result when every block is empty.
+    """
+    import ray
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)
+
+
+def _group_min(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-group minimum over an UNSORTED (key, val) stream.
+
+    Returns ``(order, group_index_per_sorted_row, min_val_per_group)`` where
+    ``order`` sorts by key and ``group_index`` maps each sorted row to its
+    group id. One argsort + one ``np.minimum.reduceat`` — works on any
+    comparable dtype including the structured U256 digest key.
+    """
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    starts_mask = np.ones(ks.shape[0], dtype=bool)
+    starts_mask[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(starts_mask)
+    gidx = np.cumsum(starts_mask) - 1
+    mins = np.minimum.reduceat(vals[order], starts)
+    return order, gidx, mins
+
+
+def _near_tier_drops(
+    surv_files: ray.data.Dataset,
+    cfg: EngineConfig,
+    id_col: str,
+    nparts: int,
+) -> ray.data.Dataset:
+    """Near-dup tier over the exact/norm survivors: flagship clusters →
+    per-cluster minimum-id representative → ``(id, 'near', dup_of)`` rows
+    for every non-representative member.
+
+    The cluster table holds duplicate members only (≪ corpus), so the
+    representative choice is one aggregate-sized ``groupby(cluster_id)``
+    min + an inner join back — both metadata-only.
+    """
+    from europa_ray.pipelines.neardup import near_dup_pipeline
+
+    clusters = near_dup_pipeline(surv_files, cfg, id_cols=(id_col,))[
+        "clusters"
+    ].materialize()
+    if clusters.count() == 0:
+        return ray.data.from_arrow(TIERS_SCHEMA.empty_table())
+    reps = (
+        clusters.groupby("cluster_id")
+        .min(id_col)
+        .rename_columns({f"min({id_col})": "__rep"})
+        .materialize()
+    )
+
+    def to_drops(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.not_equal(batch[id_col], batch["__rep"]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(keep[id_col], pa.int64()),
+                "tier": pa.array(["near"] * keep.num_rows, pa.string()),
+                "dup_of": pc.cast(keep["__rep"], pa.int64()),
+            }
+        )
+
+    drops = (
+        clusters.join(reps, join_type="inner", num_partitions=nparts, on=("cluster_id",))
+        .map_batches(to_drops, batch_format="pyarrow")
+        .materialize()
+    )
+    return scrub_empty_blocks(drops, TIERS_SCHEMA)
+
+
+def tiered_dedup(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    driver_max_keys: int = 100_000_000,
+) -> ray.data.Dataset:
+    """Per-document tier attribution table ``(doc_id, tier, dup_of)``,
+    sorted by id. See the module docstring for semantics."""
+    from europa_ray.pipelines.normdedup import _add_both_digests
+
+    nparts = num_partitions or default_num_partitions()
+    digests = files.map_batches(
+        _add_both_digests, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
+    ).materialize()
+
+    # ---- budget check: stream ids + both digests to the driver if small
+    ids_p: list[np.ndarray] = []
+    sha_p: list[np.ndarray] = []
+    nsha_p: list[np.ndarray] = []
+    total, over = 0, False
+    for b in digests.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += b.num_rows
+        if total > driver_max_keys:
+            over = True
+            break
+        ids_p.append(b[id_col].to_numpy())
+        sha_p.append(hex_to_u256_arrow(b["sha256"]))
+        nsha_p.append(hex_to_u256_arrow(b["norm_sha256"]))
+
+    if over:
+        return _tiered_dedup_distributed(files, digests, cfg, id_col, nparts)
+
+    if not ids_p:
+        # no hashable content at all: every input row is kept
+        return _all_kept(files, id_col)
+
+    ids = np.concatenate(ids_p)
+    sha = np.concatenate(sha_p)
+    nsha = np.concatenate(nsha_p)
+
+    # tier 1 — exact: rep1 = min id per raw digest
+    order, gidx, rep1_g = _group_min(sha, ids)
+    ids_s = ids[order]
+    rep1 = rep1_g[gidx]
+    # tier 2 — norm, over DISTINCT raw digests only (norm digest is a
+    # function of content, so it is constant within each sha group)
+    starts = np.flatnonzero(np.r_[True, gidx[1:] != gidx[:-1]])
+    nsha_g = nsha[order][starts]
+    o2, g2idx, rep2_n = _group_min(nsha_g, rep1_g)
+    rep2_g = np.empty_like(rep1_g)
+    rep2_g[o2] = rep2_n[g2idx]
+    rep2 = rep2_g[gidx]
+
+    exact_mask = ids_s != rep1
+    norm_mask = (~exact_mask) & (rep1 != rep2)
+    surv_ids = np.sort(ids_s[(~exact_mask) & (~norm_mask)])
+
+    from europa_ray.stages.lsh import filter_by_key_array
+
+    surv_files = filter_by_key_array(files, surv_ids, id_col)
+    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts)
+
+    nd_id_p, nd_rep_p = [], []
+    for b in near_drops.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        nd_id_p.append(b["doc_id"].to_numpy())
+        nd_rep_p.append(b["dup_of"].to_numpy())
+    nd_ids = np.concatenate(nd_id_p) if nd_id_p else np.empty(0, np.int64)
+    nd_reps = np.concatenate(nd_rep_p) if nd_rep_p else np.empty(0, np.int64)
+
+    # kept = every input id (including empty/null-content rows absent from
+    # the digest table) minus all dropped ids
+    all_ids = _gather_ids(files, id_col)
+    drop_ids = np.concatenate([ids_s[exact_mask], ids_s[norm_mask], nd_ids])
+    kept_ids = np.setdiff1d(all_ids, drop_ids)
+
+    out_ids = np.concatenate(
+        [ids_s[exact_mask], ids_s[norm_mask], nd_ids, kept_ids]
+    )
+    out_tier = np.concatenate(
+        [
+            np.full(int(exact_mask.sum()), "exact", dtype="U5"),
+            np.full(int(norm_mask.sum()), "norm", dtype="U5"),
+            np.full(nd_ids.shape[0], "near", dtype="U5"),
+            np.full(kept_ids.shape[0], "kept", dtype="U5"),
+        ]
+    )
+    out_dup = np.concatenate([rep1[exact_mask], rep2[norm_mask], nd_reps, kept_ids])
+    final = np.argsort(out_ids, kind="stable")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(out_ids[final], pa.int64()),
+            "tier": pa.array(out_tier[final].tolist(), pa.string()),
+            "dup_of": pa.array(out_dup[final], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def _gather_ids(files: ray.data.Dataset, id_col: str) -> np.ndarray:
+    parts = [
+        b[id_col].to_numpy()
+        for b in files.select_columns([id_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        )
+    ]
+    return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def _all_kept(files: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    def mark(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch[id_col], pa.int64()),
+                "tier": pa.array(["kept"] * batch.num_rows, pa.string()),
+                "dup_of": pc.cast(batch[id_col], pa.int64()),
+            }
+        )
+
+    return files.map_batches(mark, batch_format="pyarrow").sort("doc_id")
+
+
+def _tiered_dedup_distributed(
+    files: ray.data.Dataset,
+    digests: ray.data.Dataset,
+    cfg: EngineConfig,
+    id_col: str,
+    nparts: int,
+) -> ray.data.Dataset:
+    """Shuffle-based path for corpora beyond the driver budget: two
+    digest-keyed Min-aggregates + joins attribute the exact/norm tiers, a
+    broadcast-or-join semi-join feeds the near tier, and a left-outer
+    marker join labels the kept rows. Every shuffled table is digest/id
+    metadata only."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from europa_ray.stages.lsh import semi_join_keys
+
+    if digests.count() == 0:
+        return _all_kept(files, id_col)
+
+    g1 = (
+        digests.groupby("sha256")
+        .aggregate(Min(id_col), Min("norm_sha256"))
+        .rename_columns({f"min({id_col})": "__rep1", "min(norm_sha256)": "__nsha"})
+        .materialize()
+    )
+    g2 = (
+        g1.groupby("__nsha")
+        .min("__rep1")
+        .rename_columns({"min(__rep1)": "__rep2"})
+        .materialize()
+    )
+    # The exact tier joins the corpus digests against the materialized
+    # GROUPBY output only (the exact.py-proven pattern) — never against a
+    # join output: Ray 2.49's hash-shuffle planner silently drops a
+    # select_columns pushed onto a join output and then fails the next
+    # join with "no match or multiple matches for key field", so every
+    # join output here is consumed by map_batches / iter_batches instead.
+    att1 = digests.join(g1, join_type="inner", num_partitions=nparts, on=("sha256",))
+
+    def exact_drops_fn(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.not_equal(batch[id_col], batch["__rep1"]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(keep[id_col], pa.int64()),
+                "tier": pa.array(["exact"] * keep.num_rows, pa.string()),
+                "dup_of": pc.cast(keep["__rep1"], pa.int64()),
+            }
+        )
+
+    drops_exact = att1.map_batches(exact_drops_fn, batch_format="pyarrow")
+
+    # The norm tier only ever drops exact-tier SURVIVORS — and those are
+    # exactly the __rep1 values — so its attribution lives entirely on the
+    # distinct-digest table: no second corpus-wide join needed.
+    h = g1.join(g2, join_type="inner", num_partitions=nparts, on=("__nsha",))
+
+    def norm_drops_fn(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.not_equal(batch["__rep1"], batch["__rep2"]))
+        return pa.table(
+            {
+                "doc_id": pc.cast(keep["__rep1"], pa.int64()),
+                "tier": pa.array(["norm"] * keep.num_rows, pa.string()),
+                "dup_of": pc.cast(keep["__rep2"], pa.int64()),
+            }
+        )
+
+    def surv_fn(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["__rep1"], batch["__rep2"]))
+        return pa.table({id_col: keep["__rep1"]})
+
+    h = h.materialize()
+    drops_norm = h.map_batches(norm_drops_fn, batch_format="pyarrow")
+    drops_en = scrub_empty_blocks(
+        drops_exact.union(drops_norm).materialize(), TIERS_SCHEMA
+    )
+    surv_ids = scrub_empty_blocks(
+        h.map_batches(surv_fn, batch_format="pyarrow").materialize(),
+        pa.schema([pa.field(id_col, pa.int64())]),
+    )
+    surv_files = semi_join_keys(files, surv_ids, id_col, num_partitions=nparts)
+    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts)
+
+    drops = scrub_empty_blocks(drops_en.union(near_drops).materialize(), TIERS_SCHEMA)
+    all_ids = files.select_columns([id_col]).map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b[id_col], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    if drops.count() == 0:
+        return _all_kept(files, id_col)
+    out = all_ids.join(
+        drops, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
+    )
+
+    def fill_kept(batch: pa.Table) -> pa.Table:
+        tier = pc.coalesce(batch["tier"], pa.scalar("kept", pa.string()))
+        dup = pc.coalesce(batch["dup_of"], pc.cast(batch["doc_id"], pa.int64()))
+        return pa.table({"doc_id": batch["doc_id"], "tier": tier, "dup_of": dup})
+
+    labeled = scrub_empty_blocks(
+        out.map_batches(fill_kept, batch_format="pyarrow").materialize(),
+        TIERS_SCHEMA,
+    )
+    return labeled.sort("doc_id")

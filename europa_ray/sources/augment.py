@@ -287,6 +287,21 @@ def with_format_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.union(muts)
 
 
+def with_all_dup_tiers(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The tiered-dedup fixture: base docs ∪ near-dup/substring mutants
+    (``with_mutants``) ∪ byte-exact copies ∪ formatting-only variants —
+    every augmentation derived from the BASE rows only (NOT nested), so the
+    disjoint id offsets (+10/20/30 M mutants, +40 M exact, +50 M format)
+    can never collide (a nested ``with_format_mutants(with_exact_dups(
+    with_mutants(...)))`` would emit id ``d+50M`` twice for ``d ≡ 0 (mod
+    40) ∧ d ≡ 3 (mod 7)``, e.g. d=80: exact copy of the +10M mutant and
+    format mutant of the base doc). Plants at least one duplicate for each
+    tier of :func:`europa_ray.pipelines.tiers.tiered_dedup`."""
+    exact = files_ds.map_batches(_exact_dup_rows, batch_format="pyarrow")
+    fmt = files_ds.map_batches(_format_mutant_rows, batch_format="pyarrow")
+    return with_mutants(files_ds).union(exact).union(fmt)
+
+
 ERR_EMPTY_EVERY = 53
 ERR_NULL_EVERY = 59
 

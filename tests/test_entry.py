@@ -105,6 +105,7 @@ def test_all_queries_have_callables(entry_mod):
         "token_quantiles",
         "norm_exact_dup_members",
         "dedup_tiers",
+        "tiered_dedup",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):

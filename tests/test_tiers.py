@@ -1,0 +1,160 @@
+"""Tiered dedup (exact → norm → near over survivors) — planted-truth,
+path-equivalence and invariant tests for :mod:`europa_ray.pipelines.tiers`."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from europa_ray.config import EngineConfig
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _corpus():
+    return pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+            "lang": ["py"] * 9,
+            "content": [
+                BASE,  # 1: canonical rep of the whole family
+                BASE,  # 2: byte-exact dup of 1
+                "# header\n" + BASE.upper() + "  \n",  # 3: norm dup of 1
+                BASE + " extra",  # 4: near dup of 1 (J = 6/8 ≥ 0.5)
+                "totally different content with its own unique words",  # 5
+                "",  # 6: empty → kept, never dedups
+                None,  # 7: null → kept
+                "# only a comment",  # 8: normalizes to empty → keeps raw id
+                "# another comment",  # 9: also norm-empty → must NOT merge w/ 8
+            ],
+        }
+    )
+
+
+def _cfg():
+    # oracle config: complete candidates + TRUE-Jaccard verify; τ=0.5 so
+    # the planted one-token-appended mutant is a near dup
+    return EngineConfig(candidates="all", verify_mode="exact", jaccard_threshold=0.5)
+
+
+EXPECT = {
+    1: ("kept", 1),
+    2: ("exact", 1),
+    3: ("norm", 1),
+    4: ("near", 1),
+    5: ("kept", 5),
+    6: ("kept", 6),
+    7: ("kept", 7),
+    8: ("kept", 8),
+    9: ("kept", 9),
+}
+
+
+def _run(files, **kw) -> pd.DataFrame:
+    from europa_ray.pipelines.tiers import tiered_dedup
+
+    return tiered_dedup(files, _cfg(), id_col="doc_id", **kw).to_pandas()
+
+
+def test_planted_truth_driver_path(ray_session):
+    import ray.data
+
+    out = _run(ray.data.from_arrow(_corpus()))
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == EXPECT
+
+
+def test_distributed_path_equivalence(ray_session):
+    """Forcing the driver budget to 0 exercises the groupby/join path;
+    output must be identical."""
+    import ray.data
+
+    a = _run(ray.data.from_arrow(_corpus()))
+    b = _run(ray.data.from_arrow(_corpus()), driver_max_keys=0)
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_invariants(ray_session):
+    """Structural invariants: one row per input doc; dup_of of every drop
+    is a kept doc (the mapping is total and idempotent); kept rows map to
+    themselves; tiers partition the corpus."""
+    import ray.data
+
+    out = _run(ray.data.from_arrow(_corpus()))
+    assert sorted(out.doc_id) == list(range(1, 10))
+    kept = set(out[out.tier == "kept"].doc_id)
+    assert (out[out.tier == "kept"].dup_of == out[out.tier == "kept"].doc_id).all()
+    dropped = out[out.tier != "kept"]
+    assert set(dropped.dup_of).issubset(kept)
+    assert set(out.tier).issubset({"kept", "exact", "norm", "near"})
+
+
+def test_norm_empty_docs_never_merge(ray_session):
+    """Docs that normalize to empty keep their RAW digest identity: two
+    different all-comment files must both be kept (the tier never merges
+    contentless docs), but two byte-identical all-comment files are still
+    exact dups."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["py"] * 3,
+            "content": ["# aaa", "# bbb", "# aaa"],
+        }
+    )
+    out = _run(ray.data.from_arrow(t))
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == {1: ("kept", 1), 2: ("kept", 2), 3: ("exact", 1)}
+
+
+def test_tier_precedence(ray_session):
+    """A doc that is BOTH byte-exact to one doc and near-dup to another is
+    attributed to the CHEAPEST tier that catches it (exact)."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["py"] * 3,
+            "content": [BASE, BASE, BASE + " extra"],
+        }
+    )
+    out = _run(ray.data.from_arrow(t))
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == {1: ("kept", 1), 2: ("exact", 1), 3: ("near", 1)}
+
+
+def test_all_empty_corpus(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {"doc_id": [1, 2], "lang": ["py", "py"], "content": ["", None]}
+    )
+    out = _run(ray.data.from_arrow(t))
+    assert list(out.tier) == ["kept", "kept"]
+    assert list(out.dup_of) == [1, 2]
+
+
+@pytest.mark.parametrize("budget", [None, 0])
+def test_near_tier_chain_through_survivors(ray_session, budget):
+    """The near tier must see ONLY the exact/norm survivors: a near-dup
+    mutant of a dropped exact copy still clusters with the family's single
+    survivor (transitivity through tiers)."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [10, 11, 12],
+            "lang": ["py"] * 3,
+            "content": [BASE, BASE, BASE + " tail"],
+        }
+    )
+    kw = {} if budget is None else {"driver_max_keys": budget}
+    out = _run(ray.data.from_arrow(t), **kw)
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == {10: ("kept", 10), 11: ("exact", 10), 12: ("near", 10)}
