@@ -241,6 +241,18 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("cross_near", cross_near)
 
+    def tiers():
+        """Full tiered dedup attribution (exact → norm → near-dup over the
+        survivors) at the production flagship config — the end-to-end
+        staged-dedup cost, dominated by the near tier over the
+        exact/norm-deduped corpus."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.tiers import tiered_dedup
+
+        return tiered_dedup(_with_row_id(read()), id_col="row_id").count()
+
+    bench("tiers", tiers)
+
     def semdedup():
         """SemDeDup at the clustered production config (nlist=16) over the
         sf embeddings table."""

@@ -214,8 +214,12 @@ def _with_row_id(files):
     from europa_ray.util import hash_strings
 
     def add_id(batch: pa.Table) -> pa.Table:
+        # "\x1f" separator, NOT "\x00": pandas' string hash truncates at
+        # the first NUL byte, so a NUL-joined key hashed only `repo` —
+        # 6000-row corpora collapsed to ~50 distinct row_ids (see
+        # util.hash_strings pitfall note; regression-tested in test_cli.py)
         ident = pc.binary_join_element_wise(
-            batch["repo"], batch["path"], batch["commit"], "\x00"
+            batch["repo"], batch["path"], batch["commit"], "\x1f"
         )
         rid = hash_strings(ident.to_pylist()).view(np.int64)
         return batch.append_column("row_id", pa.array(rid))
@@ -334,12 +338,34 @@ def cmd_report(args) -> dict:
     return {"groups": out.count()}
 
 
+def cmd_tiers(args) -> dict:
+    """Tiered dedup attribution (exact → norm → near over survivors):
+    writes the total (doc_id → tier, canonical dup_of) mapping plus a
+    per-tier row-count summary."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.tiers import tiered_dedup
+    from europa_ray.sources.files import read_files
+
+    cfg = _config_from_args(args)
+    out = tiered_dedup(
+        _with_row_id(read_files(args.input)), cfg, id_col="row_id"
+    ).materialize()
+    out.write_parquet(args.output + "/tiers")
+    counts = {
+        row["tier"]: int(row["count()"])
+        for row in out.groupby("tier").count().take_all()
+    }
+    return {"rows": out.count(), "tiers": counts}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="europa_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "neardup", "exact", "textstats", "sample", "decontam",
-        "forks", "crossdup", "semdedup", "report",
+        "forks", "crossdup", "semdedup", "report", "tiers",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True)
@@ -391,6 +417,7 @@ def main(argv=None) -> int:
         "crossdup": cmd_crossdup,
         "semdedup": cmd_semdedup,
         "report": cmd_report,
+        "tiers": cmd_tiers,
     }[args.cmd](args)
     result["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(result))

@@ -163,7 +163,9 @@ def tiered_dedup(
     driver_max_keys: int = 100_000_000,
 ) -> ray.data.Dataset:
     """Per-document tier attribution table ``(doc_id, tier, dup_of)``,
-    sorted by id. See the module docstring for semantics."""
+    sorted by id. The output id column is always named ``doc_id``
+    regardless of ``id_col`` (the CLI feeds a derived ``row_id``). See the
+    module docstring for semantics."""
     from europa_ray.pipelines.normdedup import _add_both_digests
 
     nparts = num_partitions or default_num_partitions()

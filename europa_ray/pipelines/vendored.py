@@ -175,8 +175,11 @@ def vendored_dir_groups(
     from europa_ray.util import hash_strings
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        # "\x1f" separator: pandas' string hash truncates at NUL, which
+        # would bucket every dir of a repo together (skew, not wrongness —
+        # reduce_bucket re-groups by (repo, dir) inside the bucket)
         key = [
-            f"{r}\x00{d}"
+            f"{r}\x1f{d}"
             for r, d in zip(batch["repo"].to_pylist(), batch["dir"].to_pylist())
         ]
         bk = (hash_strings(key) % np.uint64(nparts * 8)).astype(np.int64)

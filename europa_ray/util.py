@@ -51,6 +51,11 @@ def hash_strings(strings, *, seed_key: str = HASH_KEY) -> np.ndarray:
 
     ``pd.util.hash_array`` is C-speed and stable across processes for a fixed
     ``hash_key`` (unlike builtin ``hash``, which is salted per process).
+
+    PITFALL: pandas hashes the UTF-8 encoding as a C string, so the hash
+    TRUNCATES at the first NUL byte — ``"a\\x00b"`` and ``"a\\x00c"``
+    collide. Never join multi-field keys with ``"\\x00"`` before hashing;
+    use ``"\\x1f"`` (unit separator) like ``manifest.fingerprint_of``.
     """
     arr = np.asarray(strings, dtype=object)
     if arr.size == 0:

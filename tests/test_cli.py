@@ -153,3 +153,45 @@ def test_cli_round4_subcommands(ray_session, tiny_corpus, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["pairs"] >= 40  # every planted copy found (same argmax cell)
     assert res["kept"] == 40
+
+
+def test_cli_tiers_subcommand(ray_session, tiny_corpus, tmp_path, capsys):
+    """tiers runs end-to-end, writes the attribution parquet, and the
+    mapping is TOTAL (one row per input file)."""
+    import ray.data
+
+    from europa_ray.cli import main
+
+    out = str(tmp_path / "tiers")
+    assert main(["tiers", "--input", tiny_corpus, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_in = ray.data.read_parquet(tiny_corpus).count()
+    assert res["rows"] == n_in
+    assert sum(res["tiers"].values()) == n_in
+    # the tiny corpus plants exact + near dup classes
+    assert res["tiers"].get("exact", 0) > 0
+    assert res["tiers"].get("near", 0) > 0
+    tbl = pq.read_table(glob.glob(out + "/tiers/*.parquet"))
+    assert set(tbl.column_names) == {"doc_id", "tier", "dup_of"}
+
+
+def test_row_id_unique_per_identity(ray_session, tiny_corpus):
+    """Regression: pandas' string hash truncates at the first NUL byte, so
+    the old "\\x00"-joined row_id collapsed every (path, commit) under one
+    repo to a single id (~50 distinct ids on a 6000-row corpus). row_id
+    must be unique per distinct (repo, path, commit)."""
+    import numpy as np
+    import ray.data
+
+    from europa_ray.cli import _with_row_id
+
+    files = _with_row_id(ray.data.read_parquet(tiny_corpus))
+    ids = np.concatenate(
+        [
+            b["row_id"].to_numpy()
+            for b in files.select_columns(["row_id"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        ]
+    )
+    assert np.unique(ids).shape[0] == ids.shape[0]
