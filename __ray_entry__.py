@@ -108,6 +108,23 @@ def _q_tiered_dedup(sf_dir: str):
     )
 
 
+def _q_tiered_dedup_longest(sf_dir: str):
+    """Tiered dedup under the keep-LONGEST representative rule (The
+    Stack-style: norm/near tiers keep the member with the most content
+    bytes, ties → min id; the exact tier is length-invariant) — same
+    corpus and oracle construction as ``tiered_dedup`` with windowed
+    arg-max-length representative picks."""
+    from europa_ray.pipelines.tiers import tiered_dedup
+    from europa_ray.sources.augment import with_all_dup_tiers
+
+    return tiered_dedup(
+        with_all_dup_tiers(_docs(sf_dir)),
+        _oracle_cfg(),
+        id_col="doc_id",
+        rep_rule="longest",
+    )
+
+
 def _q_exact_group_sizes(sf_dir: str):
     from europa_ray.sources.augment import with_exact_dups
 
@@ -739,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_exact_dup_members": wrap(_q_norm_exact_dup_members),
         "dedup_tiers": wrap(_q_dedup_tiers),
         "tiered_dedup": wrap(_q_tiered_dedup),
+        "tiered_dedup_longest": wrap(_q_tiered_dedup_longest),
         "dedup_representatives": wrap(_q_dedup_representatives),
         "exact_group_sizes": wrap(_q_exact_group_sizes),
         "filter_size_range": wrap(_q_filter_size_range),
@@ -2051,9 +2069,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM alldocs_out
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """
-    # The hyperplane-LSH ANN variant's driver config uses n_bits=0 — one
-    # global bucket, every query scans every row exactly once — so the
-    # result equals brute force by construction and shares the exact top-k
     # Tiered dedup attribution (pipelines/tiers.py): exact → norm → near
     # over survivors. Corpus = with_all_dup_tiers (base ∪ near mutants ∪
     # exact copies ∪ format mutants, each derived from BASE rows only).
@@ -2063,7 +2078,29 @@ def oracle_sql() -> dict[str, str]:
     # directly) + the recursive-CTE CC construction. Engine equality holds
     # by construction at the oracle config (complete candidates + exact
     # verify), the minhash_near_dup_clusters move applied tier-wise.
-    sql["tiered_dedup"] = f"""
+    # rule-dependent fragments: min_id minimizes the id; longest picks the
+    # most content BYTES (strlen = octet length, matching the engine's
+    # pc.binary_length), ties by min id — The Stack-style keep-longest
+    _tg2_min = "tg2 AS (SELECT nsha, min(rep1) AS rep2 FROM tg1 GROUP BY nsha)"
+    _tg2_longest = """tg2 AS (
+          SELECT nsha, rep1 AS rep2 FROM (
+            SELECT nsha, rep1, row_number() OVER (
+                PARTITION BY nsha ORDER BY len1 DESC, rep1) AS rn
+            FROM tg1
+          ) WHERE rn = 1
+        )"""
+    _trep_min = "trep AS (SELECT cluster, min(node) AS rep FROM tlabels GROUP BY cluster)"
+    _trep_longest = """trep AS (
+          SELECT cluster, node AS rep FROM (
+            SELECT l.cluster, l.node, row_number() OVER (
+                PARTITION BY l.cluster
+                ORDER BY strlen(s.text) DESC, l.node) AS rn
+            FROM tlabels l JOIN surv s ON s.doc_id = l.node
+          ) WHERE rn = 1
+        )"""
+
+    def _tiered_sql(tg2: str, trep: str) -> str:
+        return f"""
         WITH RECURSIVE {_gen_cte},
         {_newdocs_cte},
         tierdocs AS (
@@ -2092,9 +2129,10 @@ def oracle_sql() -> dict[str, str]:
             FROM tierdocs WHERE length(text) > 0
           )
         ),
-        tg1 AS (SELECT sha, min(doc_id) AS rep1, min(nsha) AS nsha
+        tg1 AS (SELECT sha, min(doc_id) AS rep1, min(nsha) AS nsha,
+                       min(strlen(text)) AS len1
                 FROM d GROUP BY sha),
-        tg2 AS (SELECT nsha, min(rep1) AS rep2 FROM tg1 GROUP BY nsha),
+        {tg2},
         attr AS (
           SELECT d.doc_id, d.text, g.rep1, g2.rep2
           FROM d JOIN tg1 g ON d.sha = g.sha JOIN tg2 g2 ON g.nsha = g2.nsha
@@ -2133,7 +2171,7 @@ def oracle_sql() -> dict[str, str]:
           FROM treach JOIN tedges e ON e.u = treach.node
         ),
         tlabels AS (SELECT node, min(r) AS cluster FROM treach GROUP BY node),
-        trep AS (SELECT cluster, min(node) AS rep FROM tlabels GROUP BY cluster),
+        {trep},
         alldrops AS (
           SELECT doc_id, 'exact' AS tier, rep1 AS dup_of FROM attr
           WHERE doc_id <> rep1
@@ -2163,6 +2201,12 @@ def oracle_sql() -> dict[str, str]:
                coalesce(dr.dup_of, i.doc_id) AS dup_of
         FROM allids i LEFT JOIN alldrops dr ON dr.doc_id = i.doc_id
     """
+
+    sql["tiered_dedup"] = _tiered_sql(_tg2_min, _trep_min)
+    sql["tiered_dedup_longest"] = _tiered_sql(_tg2_longest, _trep_longest)
+    # The hyperplane-LSH ANN variant's driver config uses n_bits=0 — one
+    # global bucket, every query scans every row exactly once — so the
+    # result equals brute force by construction and shares the exact top-k
     # oracle (same move as ann_topk_ivf below); bucket-pruned recall is
     # covered by tests/test_ann_media.py on planted pairs.
     sql["ann_topk_lsh"] = sql["ann_topk"]

@@ -350,7 +350,8 @@ def cmd_tiers(args) -> dict:
 
     cfg = _config_from_args(args)
     out = tiered_dedup(
-        _with_row_id(read_files(args.input)), cfg, id_col="row_id"
+        _with_row_id(read_files(args.input)), cfg, id_col="row_id",
+        rep_rule=args.rep_rule,
     ).materialize()
     out.write_parquet(args.output + "/tiers")
     counts = {
@@ -403,6 +404,10 @@ def main(argv=None) -> int:
         if name == "semdedup":
             sp.add_argument("--threshold", type=float, default=0.9)
             sp.add_argument("--nlist", type=int, default=64)
+        if name == "tiers":
+            sp.add_argument("--rep-rule", default="min_id",
+                            choices=["min_id", "longest"],
+                            help="group representative: minimum id or most content bytes")
     args = p.parse_args(argv)
 
     owned = _init_ray()

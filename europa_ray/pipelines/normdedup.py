@@ -85,9 +85,13 @@ def norm_dup_members(
     )
 
 
-def _add_both_digests(batch: pa.Table, *, id_col: str) -> pa.Table:
-    """One content pass → (id, sha256, norm_sha256); content dropped before
-    any shuffle. Empty raw content is dropped (both tiers' predicate)."""
+def _add_both_digests(
+    batch: pa.Table, *, id_col: str, with_len: bool = False
+) -> pa.Table:
+    """One content pass → (id, sha256, norm_sha256[, nbytes]); content
+    dropped before any shuffle. Empty raw content is dropped (both tiers'
+    predicate). ``with_len`` adds the raw content byte length (the
+    keep-longest representative rule's ordering key)."""
     mask = pc.greater(pc.utf8_length(batch["content"]), 0)
     batch = batch.filter(mask)
     raw_sha = pa.array(sha256_hex_arrow(batch["content"]), pa.string())
@@ -100,13 +104,14 @@ def _add_both_digests(batch: pa.Table, *, id_col: str) -> pa.Table:
         pa.array(sha256_hex_arrow(norm), pa.string()),
         raw_sha,
     )
-    return pa.table(
-        {
-            id_col: batch[id_col],
-            "sha256": raw_sha,
-            "norm_sha256": norm_sha,
-        }
-    )
+    cols = {
+        id_col: batch[id_col],
+        "sha256": raw_sha,
+        "norm_sha256": norm_sha,
+    }
+    if with_len:
+        cols["nbytes"] = pc.cast(pc.binary_length(batch["content"]), pa.int64())
+    return pa.table(cols)
 
 
 def dedup_tiers(

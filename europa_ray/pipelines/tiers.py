@@ -31,9 +31,17 @@ Output: one row per input document — ``(id, tier, dup_of)`` where
   table is a TOTAL doc → canonical-representative mapping). Empty/null
   content never dedups (``HashGenerator.cs:18-19``) and is always kept.
 
-Representative rule: minimum id at every tier — deterministic, and
-transitively safe (``dup_of`` always names a doc that itself survives its
-own tier's grouping).
+Representative rule (``rep_rule``): which member of a group survives.
+
+* ``"min_id"`` (default): minimum id at every tier.
+* ``"longest"``: the member with the most content BYTES (ties → min id) —
+  The Stack-style "keep the most complete variant" policy. The exact tier
+  is unaffected (byte-identical members have equal length, so the tie
+  rule = min id applies); the norm and near tiers pick the longest
+  survivor of their group.
+
+Both rules are deterministic and transitively safe (``dup_of`` always
+names a doc that itself survives its own tier's grouping).
 
 Scale shape: content is read once (the digest pass) plus once more for the
 near tier's signature stage over survivors only; every shuffle is
@@ -88,22 +96,52 @@ def scrub_empty_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Data
     return ray.data.from_arrow_refs(refs)
 
 
-def _group_min(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-group minimum over an UNSORTED (key, val) stream.
+def _group_first(
+    keys: np.ndarray, tiebreaks: tuple[np.ndarray, ...], take: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-group representative over an UNSORTED stream: sort rows by
+    ``(keys, *tiebreaks)`` and take the first row of each key group.
 
-    Returns ``(order, group_index_per_sorted_row, min_val_per_group)`` where
-    ``order`` sorts by key and ``group_index`` maps each sorted row to its
-    group id. One argsort + one ``np.minimum.reduceat`` — works on any
-    comparable dtype including the structured U256 digest key.
+    ``keys`` is the structured U256 digest array; ``tiebreaks`` order rows
+    within a group (e.g. ``(ids,)`` for min-id, ``(-lens, ids)`` for
+    keep-longest). Returns ``(order, group_index_per_sorted_row,
+    take[first_of_group])`` — one ``np.lexsort``, no Python loops.
     """
-    order = np.argsort(keys, kind="stable")
+    order = np.lexsort(
+        (*reversed(tiebreaks), keys["q3"], keys["q2"], keys["q1"], keys["q0"])
+    )
     ks = keys[order]
     starts_mask = np.ones(ks.shape[0], dtype=bool)
     starts_mask[1:] = ks[1:] != ks[:-1]
     starts = np.flatnonzero(starts_mask)
     gidx = np.cumsum(starts_mask) - 1
-    mins = np.minimum.reduceat(vals[order], starts)
-    return order, gidx, mins
+    reps = take[order][starts]
+    return order, gidx, reps
+
+
+# the composite string repkey: lexicographic min == (most bytes, then min
+# id); 16 digits bound nbytes < 10^15 (a petabyte-scale single doc) and 20
+# digits bound int64 ids. Shared by the distributed norm/near rep joins.
+_LEN_CEIL = 10**15
+
+
+def _repkey_longest(nbytes, ids):
+    """Vectorized Arrow composite key: zero-padded (10^15 − nbytes) ++
+    zero-padded id. min(key) = longest content, ties by min id; the id is
+    recoverable from the last 20 characters."""
+    import pyarrow.compute as pc
+
+    inv = pc.subtract(pa.scalar(_LEN_CEIL, pa.int64()), pc.cast(nbytes, pa.int64()))
+    a = pc.utf8_lpad(pc.cast(inv, pa.string()), 16, "0")
+    b = pc.utf8_lpad(pc.cast(ids, pa.string()), 20, "0")
+    return pc.binary_join_element_wise(a, b, "")
+
+
+def _repkey_id(key_col) -> "pa.Array":
+    """Recover the int64 id from a ``_repkey_longest`` composite key."""
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.utf8_slice_codeunits(key_col, 16, 36), pa.int64())
 
 
 def _near_tier_drops(
@@ -111,15 +149,20 @@ def _near_tier_drops(
     cfg: EngineConfig,
     id_col: str,
     nparts: int,
+    rep_rule: str = "min_id",
 ) -> ray.data.Dataset:
     """Near-dup tier over the exact/norm survivors: flagship clusters →
-    per-cluster minimum-id representative → ``(id, 'near', dup_of)`` rows
-    for every non-representative member.
+    per-cluster representative → ``(id, 'near', dup_of)`` rows for every
+    non-representative member.
 
     The cluster table holds duplicate members only (≪ corpus), so the
     representative choice is one aggregate-sized ``groupby(cluster_id)``
-    min + an inner join back — both metadata-only.
+    min + an inner join back — both metadata-only. ``rep_rule="longest"``
+    adds one (id, nbytes)-metadata join to attach content lengths and
+    minimizes the composite ``_repkey_longest`` key instead of the raw id.
     """
+    import pyarrow.compute as pc
+
     from europa_ray.pipelines.neardup import near_dup_pipeline
 
     clusters = near_dup_pipeline(surv_files, cfg, id_cols=(id_col,))[
@@ -127,24 +170,74 @@ def _near_tier_drops(
     ].materialize()
     if clusters.count() == 0:
         return ray.data.from_arrow(TIERS_SCHEMA.empty_table())
-    reps = (
-        clusters.groupby("cluster_id")
-        .min(id_col)
-        .rename_columns({f"min({id_col})": "__rep"})
-        .materialize()
-    )
 
-    def to_drops(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    if rep_rule == "longest":
+        def id_len(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "__nb": pc.cast(pc.binary_length(batch["content"]), pa.int64()),
+                }
+            )
 
-        keep = batch.filter(pc.not_equal(batch[id_col], batch["__rep"]))
-        return pa.table(
-            {
-                "doc_id": pc.cast(keep[id_col], pa.int64()),
-                "tier": pa.array(["near"] * keep.num_rows, pa.string()),
-                "dup_of": pc.cast(keep["__rep"], pa.int64()),
-            }
+        lens_ds = surv_files.map_batches(id_len, batch_format="pyarrow")
+        clusters = scrub_empty_blocks(
+            clusters.join(
+                lens_ds, join_type="inner", num_partitions=nparts, on=(id_col,)
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        id_col: b[id_col],
+                        "cluster_id": b["cluster_id"],
+                        "__repkey": _repkey_longest(b["__nb"], b[id_col]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize(),
+            pa.schema(
+                [
+                    pa.field(id_col, pa.int64()),
+                    pa.field("cluster_id", pa.string()),
+                    pa.field("__repkey", pa.string()),
+                ]
+            ),
         )
+        reps = (
+            clusters.groupby("cluster_id")
+            .min("__repkey")
+            .rename_columns({"min(__repkey)": "__repmin"})
+            .materialize()
+        )
+
+        def to_drops(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.not_equal(batch["__repkey"], batch["__repmin"]))
+            return pa.table(
+                {
+                    "doc_id": pc.cast(keep[id_col], pa.int64()),
+                    "tier": pa.array(["near"] * keep.num_rows, pa.string()),
+                    "dup_of": _repkey_id(keep["__repmin"]),
+                }
+            )
+
+    else:
+        reps = (
+            clusters.groupby("cluster_id")
+            .min(id_col)
+            .rename_columns({f"min({id_col})": "__rep"})
+            .materialize()
+        )
+
+        def to_drops(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.not_equal(batch[id_col], batch["__rep"]))
+            return pa.table(
+                {
+                    "doc_id": pc.cast(keep[id_col], pa.int64()),
+                    "tier": pa.array(["near"] * keep.num_rows, pa.string()),
+                    "dup_of": pc.cast(keep["__rep"], pa.int64()),
+                }
+            )
 
     drops = (
         clusters.join(reps, join_type="inner", num_partitions=nparts, on=("cluster_id",))
@@ -161,22 +254,36 @@ def tiered_dedup(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     driver_max_keys: int = 100_000_000,
+    rep_rule: str = "min_id",
 ) -> ray.data.Dataset:
     """Per-document tier attribution table ``(doc_id, tier, dup_of)``,
     sorted by id. The output id column is always named ``doc_id``
     regardless of ``id_col`` (the CLI feeds a derived ``row_id``). See the
-    module docstring for semantics."""
-    from europa_ray.pipelines.normdedup import _add_both_digests
+    module docstring for semantics.
 
+    Config filters (lang include/exclude, size range) are applied ONCE up
+    front so every tier sees the same universe; rows a filter excludes do
+    not appear in the output at all (the near tier's internal
+    ``apply_filters`` is then a no-op)."""
+    from europa_ray.pipelines.normdedup import _add_both_digests
+    from europa_ray.stages.filters import apply_filters
+
+    if rep_rule not in ("min_id", "longest"):
+        raise ValueError(f"rep_rule must be 'min_id' or 'longest', got {rep_rule!r}")
+    longest = rep_rule == "longest"
+    files = apply_filters(files, cfg)
     nparts = num_partitions or default_num_partitions()
     digests = files.map_batches(
-        _add_both_digests, fn_kwargs={"id_col": id_col}, batch_format="pyarrow"
+        _add_both_digests,
+        fn_kwargs={"id_col": id_col, "with_len": longest},
+        batch_format="pyarrow",
     ).materialize()
 
     # ---- budget check: stream ids + both digests to the driver if small
     ids_p: list[np.ndarray] = []
     sha_p: list[np.ndarray] = []
     nsha_p: list[np.ndarray] = []
+    len_p: list[np.ndarray] = []
     total, over = 0, False
     for b in digests.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
         total += b.num_rows
@@ -186,9 +293,13 @@ def tiered_dedup(
         ids_p.append(b[id_col].to_numpy())
         sha_p.append(hex_to_u256_arrow(b["sha256"]))
         nsha_p.append(hex_to_u256_arrow(b["norm_sha256"]))
+        if longest:
+            len_p.append(b["nbytes"].to_numpy())
 
     if over:
-        return _tiered_dedup_distributed(files, digests, cfg, id_col, nparts)
+        return _tiered_dedup_distributed(
+            files, digests, cfg, id_col, nparts, rep_rule
+        )
 
     if not ids_p:
         # no hashable content at all: every input row is kept
@@ -198,15 +309,22 @@ def tiered_dedup(
     sha = np.concatenate(sha_p)
     nsha = np.concatenate(nsha_p)
 
-    # tier 1 — exact: rep1 = min id per raw digest
-    order, gidx, rep1_g = _group_min(sha, ids)
+    # tier 1 — exact: rep1 = min id per raw digest (byte-identical members
+    # have equal length, so BOTH rep rules reduce to the min-id tiebreak)
+    order, gidx, rep1_g = _group_first(sha, (ids,), ids)
     ids_s = ids[order]
     rep1 = rep1_g[gidx]
     # tier 2 — norm, over DISTINCT raw digests only (norm digest is a
     # function of content, so it is constant within each sha group)
     starts = np.flatnonzero(np.r_[True, gidx[1:] != gidx[:-1]])
     nsha_g = nsha[order][starts]
-    o2, g2idx, rep2_n = _group_min(nsha_g, rep1_g)
+    if longest:
+        lens_g = np.concatenate(len_p)[order][starts]
+        o2, g2idx, rep2_n = _group_first(
+            nsha_g, (np.negative(lens_g), rep1_g), rep1_g
+        )
+    else:
+        o2, g2idx, rep2_n = _group_first(nsha_g, (rep1_g,), rep1_g)
     rep2_g = np.empty_like(rep1_g)
     rep2_g[o2] = rep2_n[g2idx]
     rep2 = rep2_g[gidx]
@@ -218,7 +336,7 @@ def tiered_dedup(
     from europa_ray.stages.lsh import filter_by_key_array
 
     surv_files = filter_by_key_array(files, surv_ids, id_col)
-    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts)
+    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts, rep_rule)
 
     nd_id_p, nd_rep_p = [], []
     for b in near_drops.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
@@ -287,6 +405,7 @@ def _tiered_dedup_distributed(
     cfg: EngineConfig,
     id_col: str,
     nparts: int,
+    rep_rule: str = "min_id",
 ) -> ray.data.Dataset:
     """Shuffle-based path for corpora beyond the driver budget: two
     digest-keyed Min-aggregates + joins attribute the exact/norm tiers, a
@@ -301,18 +420,46 @@ def _tiered_dedup_distributed(
     if digests.count() == 0:
         return _all_kept(files, id_col)
 
+    longest = rep_rule == "longest"
+    aggs = [Min(id_col), Min("norm_sha256")]
+    renames = {f"min({id_col})": "__rep1", "min(norm_sha256)": "__nsha"}
+    if longest:
+        # nbytes is constant within a digest group; Min just selects it
+        aggs.append(Min("nbytes"))
+        renames["min(nbytes)"] = "__nb"
     g1 = (
         digests.groupby("sha256")
-        .aggregate(Min(id_col), Min("norm_sha256"))
-        .rename_columns({f"min({id_col})": "__rep1", "min(norm_sha256)": "__nsha"})
+        .aggregate(*aggs)
+        .rename_columns(renames)
         .materialize()
     )
-    g2 = (
-        g1.groupby("__nsha")
-        .min("__rep1")
-        .rename_columns({"min(__rep1)": "__rep2"})
-        .materialize()
-    )
+    if longest:
+        # norm rep = the LONGEST exact-survivor of the group (ties → min
+        # id): minimize the composite repkey, then recover the id
+        rk = g1.map_batches(
+            lambda b: pa.table(
+                {"__nsha": b["__nsha"], "__rk": _repkey_longest(b["__nb"], b["__rep1"])}
+            ),
+            batch_format="pyarrow",
+        )
+        g2 = (
+            rk.groupby("__nsha")
+            .min("__rk")
+            .map_batches(
+                lambda b: pa.table(
+                    {"__nsha": b["__nsha"], "__rep2": _repkey_id(b["min(__rk)"])}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    else:
+        g2 = (
+            g1.groupby("__nsha")
+            .min("__rep1")
+            .rename_columns({"min(__rep1)": "__rep2"})
+            .materialize()
+        )
     # The exact tier joins the corpus digests against the materialized
     # GROUPBY output only (the exact.py-proven pattern) — never against a
     # join output: Ray 2.49's hash-shuffle planner silently drops a
@@ -362,7 +509,7 @@ def _tiered_dedup_distributed(
         pa.schema([pa.field(id_col, pa.int64())]),
     )
     surv_files = semi_join_keys(files, surv_ids, id_col, num_partitions=nparts)
-    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts)
+    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts, rep_rule)
 
     drops = scrub_empty_blocks(drops_en.union(near_drops).materialize(), TIERS_SCHEMA)
     all_ids = files.select_columns([id_col]).map_batches(

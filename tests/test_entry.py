@@ -106,6 +106,7 @@ def test_all_queries_have_callables(entry_mod):
         "norm_exact_dup_members",
         "dedup_tiers",
         "tiered_dedup",
+        "tiered_dedup_longest",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):

@@ -158,3 +158,54 @@ def test_near_tier_chain_through_survivors(ray_session, budget):
     out = _run(ray.data.from_arrow(t), **kw)
     got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
     assert got == {10: ("kept", 10), 11: ("exact", 10), 12: ("near", 10)}
+
+
+LONG = BASE + " lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+
+@pytest.mark.parametrize("budget", [None, 0])
+def test_rep_rule_longest(ray_session, budget):
+    """keep-longest: the norm and near tiers keep the member with the most
+    content bytes (ties → min id); the exact tier still keeps min id
+    (byte-identical members have equal length)."""
+    import ray.data
+
+    from europa_ray.pipelines.tiers import tiered_dedup
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "lang": ["py"] * 6,
+            "content": [
+                BASE,                      # 1: near dup of 2, SHORTER
+                BASE + " extra",           # 2: longest of the near family
+                "# h\n" + LONG.upper(),    # 3: norm dup of 4, LONGER raw bytes
+                LONG,                      # 4: norm family (norm-identical to 3)
+                "xyz " * 30,               # 5: exact family
+                "xyz " * 30,               # 6: exact dup of 5 (same length → min id)
+            ],
+        }
+    )
+    kw = {} if budget is None else {"driver_max_keys": budget}
+    out = tiered_dedup(
+        ray.data.from_arrow(t), _cfg(), id_col="doc_id", rep_rule="longest", **kw
+    ).to_pandas()
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == {
+        1: ("near", 2),   # 2 is longer → 2 survives, 1 dropped
+        2: ("kept", 2),
+        3: ("kept", 3),   # 3 has more raw bytes than 4 → 3 survives
+        4: ("norm", 3),
+        5: ("kept", 5),   # equal lengths → min id
+        6: ("exact", 5),
+    }
+
+
+def test_rep_rule_validation(ray_session):
+    import ray.data
+
+    from europa_ray.pipelines.tiers import tiered_dedup
+
+    t = pa.table({"doc_id": [1], "lang": ["py"], "content": ["x"]})
+    with pytest.raises(ValueError, match="rep_rule"):
+        tiered_dedup(ray.data.from_arrow(t), _cfg(), rep_rule="best")
