@@ -125,6 +125,19 @@ def _q_tiered_dedup_longest(sf_dir: str):
     )
 
 
+def _q_tier_savings(sf_dir: str):
+    """Per-tier cost/benefit rollup over the tiered-dedup attribution:
+    (tier, n_docs, total_bytes) — the rows and content bytes each tier
+    removes and the kept corpus size; value-checked as an aggregate over
+    the tiered_dedup oracle joined with per-doc byte lengths."""
+    from europa_ray.pipelines.tiers import tier_savings
+    from europa_ray.sources.augment import with_all_dup_tiers
+
+    return tier_savings(
+        with_all_dup_tiers(_docs(sf_dir)), _oracle_cfg(), id_col="doc_id"
+    )
+
+
 def _q_exact_group_sizes(sf_dir: str):
     from europa_ray.sources.augment import with_exact_dups
 
@@ -757,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_tiers": wrap(_q_dedup_tiers),
         "tiered_dedup": wrap(_q_tiered_dedup),
         "tiered_dedup_longest": wrap(_q_tiered_dedup_longest),
+        "tier_savings": wrap(_q_tier_savings),
         "dedup_representatives": wrap(_q_dedup_representatives),
         "exact_group_sizes": wrap(_q_exact_group_sizes),
         "filter_size_range": wrap(_q_filter_size_range),
@@ -2204,6 +2218,34 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tiered_dedup"] = _tiered_sql(_tg2_min, _trep_min)
     sql["tiered_dedup_longest"] = _tiered_sql(_tg2_longest, _trep_longest)
+    # per-tier rollup: the tiered attribution joined with per-doc byte
+    # lengths (empty/null content = 0 bytes), aggregated per tier
+    sql["tier_savings"] = f"""
+        WITH RECURSIVE t AS ({sql['tiered_dedup']}),
+        {_gen_cte},
+        {_newdocs_cte},
+        alldocs_len AS (
+          SELECT doc_id, text FROM newdocs
+          UNION ALL
+          SELECT doc_id + 40000000, text FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+          UNION ALL
+          SELECT doc_id + 50000000,
+                 '# fmt' || chr(10) || replace(upper(text), ' ', '   ')
+                   || '  ' || chr(10) || chr(9)
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id, text FROM documents
+          WHERE text IS NULL OR length(text) = 0
+        ),
+        lens AS (SELECT doc_id, coalesce(strlen(text), 0) AS nb
+                 FROM alldocs_len)
+        SELECT t.tier, count(*) AS n_docs,
+               CAST(sum(l.nb) AS BIGINT) AS total_bytes
+        FROM t JOIN lens l ON l.doc_id = t.doc_id
+        GROUP BY t.tier
+    """
     # The hyperplane-LSH ANN variant's driver config uses n_bits=0 — one
     # global bucket, every query scans every row exactly once — so the
     # result equals brute force by construction and shares the exact top-k

@@ -532,3 +532,73 @@ def _tiered_dedup_distributed(
         TIERS_SCHEMA,
     )
     return labeled.sort("doc_id")
+
+
+SAVINGS_SCHEMA = pa.schema(
+    [
+        pa.field("tier", pa.string()),
+        pa.field("n_docs", pa.int64()),
+        pa.field("total_bytes", pa.int64()),
+    ]
+)
+
+
+def tier_savings(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    driver_max_keys: int = 100_000_000,
+    rep_rule: str = "min_id",
+) -> pa.Table:
+    """Per-tier cost/benefit rollup: ``(tier, n_docs, total_bytes)`` —
+    how many documents and how many content bytes each dedup tier removes
+    (and the ``kept`` row = the surviving corpus size). The economics of
+    staged dedup: at 100 TB the byte column is the storage/compute saved
+    by running the cheap tiers before MinHash.
+
+    Shape: one extra content-length pass + an id-keyed metadata join
+    against the attribution table, then a 4-row aggregate. Null/empty
+    content counts 0 bytes.
+    """
+    import pyarrow.compute as pc
+
+    nparts = num_partitions or default_num_partitions()
+    out = tiered_dedup(
+        files,
+        cfg,
+        id_col=id_col,
+        num_partitions=nparts,
+        driver_max_keys=driver_max_keys,
+        rep_rule=rep_rule,
+    ).materialize()
+
+    def id_len(batch: pa.Table) -> pa.Table:
+        nb = pc.coalesce(
+            pc.cast(pc.binary_length(batch["content"]), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table({"doc_id": pc.cast(batch[id_col], pa.int64()), "__nb": nb})
+
+    lens = files.map_batches(id_len, batch_format="pyarrow").materialize()
+    joined = scrub_empty_blocks(
+        out.join(lens, join_type="inner", num_partitions=nparts, on=("doc_id",))
+        .map_batches(
+            lambda b: pa.table({"tier": b["tier"], "__nb": b["__nb"]}),
+            batch_format="pyarrow",
+        )
+        .materialize(),
+        pa.schema([pa.field("tier", pa.string()), pa.field("__nb", pa.int64())]),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("tier").aggregate(Count(), Sum("__nb"))
+    rows = sorted(agg.take_all(), key=lambda r: r["tier"])
+    return pa.table(
+        {
+            "tier": pa.array([r["tier"] for r in rows], pa.string()),
+            "n_docs": pa.array([int(r["count()"]) for r in rows], pa.int64()),
+            "total_bytes": pa.array([int(r["sum(__nb)"]) for r in rows], pa.int64()),
+        }
+    )

@@ -107,6 +107,7 @@ def test_all_queries_have_callables(entry_mod):
         "dedup_tiers",
         "tiered_dedup",
         "tiered_dedup_longest",
+        "tier_savings",
     ],
 )
 def test_query_matches_oracle(entry_mod, name):

@@ -209,3 +209,43 @@ def test_rep_rule_validation(ray_session):
     t = pa.table({"doc_id": [1], "lang": ["py"], "content": ["x"]})
     with pytest.raises(ValueError, match="rep_rule"):
         tiered_dedup(ray.data.from_arrow(t), _cfg(), rep_rule="best")
+
+
+def test_idempotence(ray_session):
+    """Running tiered dedup over the KEPT subset yields all-kept: at the
+    complete-candidates config the kept set has no byte/norm/near
+    duplicate pair left (any surviving pair with J ≥ τ would have been an
+    edge of the same component, contradicting one-rep-per-cluster)."""
+    import ray.data
+
+    t = _corpus()
+    out = _run(ray.data.from_arrow(t))
+    kept_ids = set(out[out.tier == "kept"].doc_id)
+    mask = pa.array([int(i) in kept_ids for i in t["doc_id"].to_pylist()])
+    out2 = _run(ray.data.from_arrow(t.filter(mask)))
+    assert (out2.tier == "kept").all()
+    assert (out2.dup_of == out2.doc_id).all()
+
+
+def test_tier_savings(ray_session):
+    """The rollup partitions the corpus: per-tier doc counts match the
+    attribution table and byte totals match a pandas recount."""
+    import ray.data
+
+    from europa_ray.pipelines.tiers import tier_savings
+
+    t = _corpus()
+    out = _run(ray.data.from_arrow(t))
+    sav = tier_savings(ray.data.from_arrow(t), _cfg(), id_col="doc_id").to_pandas()
+    assert sav.n_docs.sum() == len(out)
+    want_counts = out.tier.value_counts().to_dict()
+    got_counts = dict(zip(sav.tier, sav.n_docs))
+    assert got_counts == want_counts
+    lens = {
+        int(d): len(c.encode()) if c else 0
+        for d, c in zip(t["doc_id"].to_pylist(), t["content"].to_pylist())
+    }
+    by_tier = {}
+    for r in out.itertuples():
+        by_tier[r.tier] = by_tier.get(r.tier, 0) + lens[int(r.doc_id)]
+    assert dict(zip(sav.tier, sav.total_bytes)) == by_tier
