@@ -150,6 +150,7 @@ def _near_tier_drops(
     id_col: str,
     nparts: int,
     rep_rule: str = "min_id",
+    lens_ds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Near-dup tier over the exact/norm survivors: flagship clusters →
     per-cluster representative → ``(id, 'near', dup_of)`` rows for every
@@ -172,15 +173,20 @@ def _near_tier_drops(
         return ray.data.from_arrow(TIERS_SCHEMA.empty_table())
 
     if rep_rule == "longest":
-        def id_len(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    "__nb": pc.cast(pc.binary_length(batch["content"]), pa.int64()),
-                }
-            )
+        if lens_ds is None:
+            # fallback only — callers pass the digest-stage lengths so the
+            # corpus content is not re-scanned just to measure it
+            def id_len(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "__nb": pc.cast(
+                            pc.binary_length(batch["content"]), pa.int64()
+                        ),
+                    }
+                )
 
-        lens_ds = surv_files.map_batches(id_len, batch_format="pyarrow")
+            lens_ds = surv_files.map_batches(id_len, batch_format="pyarrow")
         clusters = scrub_empty_blocks(
             clusters.join(
                 lens_ds, join_type="inner", num_partitions=nparts, on=(id_col,)
@@ -336,7 +342,14 @@ def tiered_dedup(
     from europa_ray.stages.lsh import filter_by_key_array
 
     surv_files = filter_by_key_array(files, surv_ids, id_col)
-    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts, rep_rule)
+    lens_ds = (
+        digests.select_columns([id_col, "nbytes"]).rename_columns({"nbytes": "__nb"})
+        if longest
+        else None
+    )
+    near_drops = _near_tier_drops(
+        surv_files, cfg, id_col, nparts, rep_rule, lens_ds
+    )
 
     nd_id_p, nd_rep_p = [], []
     for b in near_drops.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
@@ -509,7 +522,14 @@ def _tiered_dedup_distributed(
         pa.schema([pa.field(id_col, pa.int64())]),
     )
     surv_files = semi_join_keys(files, surv_ids, id_col, num_partitions=nparts)
-    near_drops = _near_tier_drops(surv_files, cfg, id_col, nparts, rep_rule)
+    lens_ds = (
+        digests.select_columns([id_col, "nbytes"]).rename_columns({"nbytes": "__nb"})
+        if longest
+        else None
+    )
+    near_drops = _near_tier_drops(
+        surv_files, cfg, id_col, nparts, rep_rule, lens_ds
+    )
 
     drops = scrub_empty_blocks(drops_en.union(near_drops).materialize(), TIERS_SCHEMA)
     all_ids = files.select_columns([id_col]).map_batches(
