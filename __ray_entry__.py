@@ -338,6 +338,18 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
 
 
+def _q_dedup_spans_rewritten(sf_dir: str):
+    """ExactSubstr span REMOVAL (the rewrite the stats measure): per doc,
+    kept/removed token counts and the sha256 of the whitespace-canonical
+    rewritten text (kept tokens joined by single spaces) — value-checked
+    against a SQL reconstruction via string_agg over uncovered token
+    positions."""
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite
+    from europa_ray.sources.augment import with_mutants
+
+    return dedup_spans_rewrite(with_mutants(_docs(sf_dir)))
+
+
 def _q_cross_corpus_new_docs(sf_dir: str):
     """Cross-corpus exact dedup: mutant-augmented corpus anti-joined by
     content digest against the raw corpus (the training-set-already-has-it
@@ -804,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_sets": wrap(_q_neighbor_sets),
         "jaccard_neighbor_sets": wrap(_q_jaccard_neighbor_sets),
         "dup_span_stats": wrap(_q_dup_span_stats),
+        "dedup_spans_rewritten": wrap(_q_dedup_spans_rewritten),
         "cross_corpus_new_docs": wrap(_q_cross_corpus_new_docs),
         "cross_corpus_new_docs_bloom": wrap(_q_cross_corpus_new_docs_bloom),
         "cross_corpus_near_dups": wrap(_q_cross_corpus_near_dups),
@@ -1617,6 +1630,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN np IS NULL THEN 16
                                  ELSE least(np - p, 16) END) AS BIGINT) AS covered_tokens
             FROM cov GROUP BY doc_id
+        """,
+        # ExactSubstr span REMOVAL: same corpus / gram / first-occurrence
+        # construction as dup_span_stats, then the rewritten text is
+        # reconstructed verbatim — kept (uncovered) tokens joined by single
+        # spaces in position order — and sha256'd. Mirrors
+        # pipelines/dupspans.dedup_spans_rewrite's canonicalization.
+        "dedup_spans_rewritten": r"""
+            WITH gen AS (
+              SELECT doc_id AS d,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'sb' || (((doc_id*1000+1) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS block,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fa' || (((doc_id*1000+2) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fa,
+                array_to_string(list_transform(range(0, 300), i ->
+                  'fb' || (((doc_id*1000+3) % 1000003) * 748193 % 1000003 + i * 40503) % 1000003), ' ') AS fb
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 50 = 0
+            ),
+            alldocs AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 10000000, array_to_string(
+                       list_filter(string_split(text, ' '), (w, i) -> (i - 1) % 11 <> 0), ' ')
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
+              UNION ALL SELECT d + 20000000, fa || ' ' || block FROM gen
+              UNION ALL SELECT d + 30000000, block || ' ' || fb FROM gen
+            ),
+            toks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS tk FROM alldocs),
+            occ AS (
+              SELECT doc_id, i, array_to_string(tk[i:i+15], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 15, 0))) AS t(i)
+            ),
+            stats AS (
+              SELECT gram, count(*) AS c, min(doc_id*4294967296+(i-1)) AS fk
+              FROM occ GROUP BY gram
+            ),
+            dups AS (
+              SELECT o.doc_id, (o.i-1) AS p FROM occ o JOIN stats s USING (gram)
+              WHERE s.c > 1 AND o.doc_id*4294967296+(o.i-1) <> s.fk
+            ),
+            tokpos AS (
+              SELECT doc_id, (i-1) AS tpos, tk[i] AS tok
+              FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+            ),
+            covered AS (
+              SELECT DISTINCT t.doc_id, t.tpos
+              FROM tokpos t JOIN dups d ON d.doc_id = t.doc_id
+               AND t.tpos >= d.p AND t.tpos < d.p + 16
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) FILTER (WHERE c.tpos IS NULL) AS BIGINT)
+                       AS kept_tokens,
+                   CAST(count(*) FILTER (WHERE c.tpos IS NOT NULL) AS BIGINT)
+                       AS removed_tokens,
+                   sha256(coalesce(
+                       string_agg(t.tok, ' ' ORDER BY t.tpos)
+                           FILTER (WHERE c.tpos IS NULL), '')) AS rewritten_sha256
+            FROM tokpos t
+            LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+            GROUP BY t.doc_id
+            UNION ALL
+            SELECT doc_id, 0, 0, sha256('') FROM toks WHERE len(tk) = 0
         """,
         # Line-level dedup oracles. The docs2 CTE mirrors the
         # sources/augment.py with_line_docs fixture token-for-token (header

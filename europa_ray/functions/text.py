@@ -91,6 +91,102 @@ def _byte_token_hash(token_bytes: bytes) -> int:
     )
 
 
+def token_spans(
+    data: np.ndarray, row_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Byte SPANS of every token: ``(starts, ends, token_offsets,
+    passthrough_rows)`` — global positions into ``data``, token counts per
+    row as offsets. Boundaries match ``tokenize_bytes`` / ``TOKEN_RE``
+    exactly for ASCII rows (same LUT/run logic) and for valid-UTF-8
+    non-ASCII rows (regex with a char→byte offset map). Rows that do NOT
+    decode as UTF-8 are flagged in ``passthrough_rows`` and contribute no
+    tokens — a span-rewrite consumer must copy them through unchanged
+    (binary payloads are not text; mirrors the content-error routing
+    policy in stages/errors.py)."""
+    n_rows = row_offsets.shape[0] - 1
+    n = data.shape[0]
+    passthrough = np.zeros(n_rows, dtype=bool)
+    if n == 0:
+        z = np.zeros(n_rows + 1, dtype=np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64), z, passthrough
+
+    if n_rows:
+        nonempty = np.diff(row_offsets) > 0
+        ascii_rows = np.ones(n_rows, dtype=bool)
+        if nonempty.any():
+            seg_starts = row_offsets[:-1][nonempty].astype(np.int64)
+            ascii_rows[nonempty] = np.maximum.reduceat(data, seg_starts) < 128
+    else:
+        ascii_rows = np.zeros(0, dtype=bool)
+
+    cls = _BYTE_CLASS[data]
+    word = cls == 1
+    punct = cls == 2
+    prev_word = np.zeros(n, dtype=bool)
+    prev_word[1:] = word[:-1]
+    row_starts = row_offsets[:-1]
+    row_starts = row_starts[row_starts < n]
+    prev_word[row_starts] = False
+    run_start = word & ~prev_word
+    starts = np.nonzero(run_start | punct)[0]
+    nonword_pos = np.nonzero(~word)[0]
+    ends = np.full(starts.shape[0], n, dtype=np.int64)
+    if nonword_pos.shape[0]:
+        run_end_idx = np.searchsorted(nonword_pos, starts)
+        has_end = run_end_idx < nonword_pos.shape[0]
+        ends[has_end] = nonword_pos[run_end_idx[has_end]]
+    is_punct_tok = punct[starts]
+    ends[is_punct_tok] = starts[is_punct_tok] + 1
+    row_of_start = np.searchsorted(row_offsets, starts, side="right") - 1
+    ends = np.minimum(ends, row_offsets[row_of_start + 1])
+
+    keep = ascii_rows[row_of_start]
+    s_f, e_f, r_f = starts[keep], ends[keep], row_of_start[keep]
+    counts = np.bincount(r_f, minlength=n_rows).astype(np.int64)
+
+    fb_rows = np.nonzero(~ascii_rows & (np.diff(row_offsets) > 0))[0]
+    fb_spans: dict[int, list[tuple[int, int]]] = {}
+    for r in fb_rows:
+        base = int(row_offsets[r])
+        seg = data[base : row_offsets[r + 1]].tobytes()
+        try:
+            text = seg.decode("utf-8")
+        except UnicodeDecodeError:
+            passthrough[r] = True
+            continue
+        blens = np.fromiter(
+            (len(c.encode("utf-8")) for c in text), dtype=np.int64, count=len(text)
+        )
+        boff = np.zeros(len(text) + 1, dtype=np.int64)
+        np.cumsum(blens, out=boff[1:])
+        spans = [
+            (base + int(boff[m.start()]), base + int(boff[m.end()]))
+            for m in TOKEN_RE.finditer(text)
+        ]
+        fb_spans[int(r)] = spans
+        counts[r] = len(spans)
+
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    out_s = np.empty(offsets[-1], dtype=np.int64)
+    out_e = np.empty(offsets[-1], dtype=np.int64)
+    if s_f.shape[0]:
+        idx = np.arange(s_f.shape[0])
+        change = np.ones(s_f.shape[0], dtype=bool)
+        change[1:] = r_f[1:] != r_f[:-1]
+        first_idx = np.nonzero(change)[0]
+        row_first = np.repeat(first_idx, np.diff(np.append(first_idx, s_f.shape[0])))
+        dst = offsets[r_f] + (idx - row_first)
+        out_s[dst] = s_f
+        out_e[dst] = e_f
+    for r, spans in fb_spans.items():
+        if spans:
+            arr = np.asarray(spans, dtype=np.int64)
+            out_s[offsets[r] : offsets[r] + len(spans)] = arr[:, 0]
+            out_e[offsets[r] : offsets[r] + len(spans)] = arr[:, 1]
+    return out_s, out_e, offsets, passthrough
+
+
 def tokenize_bytes(
     data: np.ndarray, row_offsets: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

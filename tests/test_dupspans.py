@@ -82,3 +82,145 @@ def test_forced_join_path_equivalent(ray_session):
     )
     assert key(a) == key(b)
     assert 21 in set(a.doc_id)
+
+
+# ---- ExactSubstr span REMOVAL (dedup_spans_rewrite) ----
+
+
+def _rewrite_corpus():
+    import pyarrow as pa
+
+    block = " ".join(f"b{i}" for i in range(20))
+    return pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en"] * 4,
+            "content": [
+                "u1 u2 u3 " + block + " u4 u5",  # first occurrence → intact
+                "v1 v2 " + block + " v3",        # block removed
+                "w1 w2 w3",                       # short, untouched
+                "",                               # empty → excluded
+            ],
+        }
+    )
+
+
+def test_rewrite_planted_truth(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite
+
+    t = _rewrite_corpus()
+    out = (
+        dedup_spans_rewrite(ray.data.from_arrow(t), w=16)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()
+    assert out.loc[1].removed_tokens == 0
+    assert out.loc[1].rewritten_sha256 == sha(t["content"][0].as_py())
+    assert out.loc[2].removed_tokens == 20
+    assert out.loc[2].rewritten_sha256 == sha("v1 v2 v3")
+    assert out.loc[3].removed_tokens == 0
+    assert 4 not in out.index  # empty content excluded
+
+
+def test_rewrite_distributed_path_equivalence(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite
+
+    t = _rewrite_corpus()
+    a = (
+        dedup_spans_rewrite(ray.data.from_arrow(t), w=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup_spans_rewrite(ray.data.from_arrow(t), w=16, broadcast_max_grams=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rewrite_removed_equals_stats_coverage(ray_session):
+    """removed_tokens must equal dup_span_stats' covered_tokens for every
+    doc the stats op reports (same grams, same first-wins rule, same
+    interval union)."""
+    import ray.data
+
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite, dup_span_stats
+
+    t = _rewrite_corpus()
+    stats = dup_span_stats(ray.data.from_arrow(t), w=16).to_pandas().set_index("doc_id")
+    rew = (
+        dedup_spans_rewrite(ray.data.from_arrow(t), w=16)
+        .to_pandas().set_index("doc_id")
+    )
+    for d, row in stats.iterrows():
+        assert rew.loc[d].removed_tokens == row.covered_tokens
+    for d, row in rew.iterrows():
+        if d not in stats.index:
+            assert row.removed_tokens == 0
+
+
+def test_rewrite_fully_duplicated_doc(ray_session):
+    """An exact copy of an earlier doc rewrites to the empty string (every
+    position covered), hashed as sha256('')."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite
+
+    text = " ".join(f"t{i}" for i in range(30))
+    t = pa.table(
+        {"doc_id": [1, 2], "lang": ["en"] * 2, "content": [text, text]}
+    )
+    out = (
+        dedup_spans_rewrite(ray.data.from_arrow(t), w=16)
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1].removed_tokens == 0
+    assert out.loc[2].kept_tokens == 0
+    assert out.loc[2].rewritten_sha256 == hashlib.sha256(b"").hexdigest()
+
+
+def test_rewrite_canonicalizes_whitespace(ray_session):
+    """Docs without any duplicated span still come out whitespace-canonical
+    (tokens joined by single spaces) — the documented normalization."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite
+
+    t = pa.table(
+        {"doc_id": [1], "lang": ["en"], "content": ["a   b\t\tc\nd, e!"]}
+    )
+    out = dedup_spans_rewrite(ray.data.from_arrow(t), w=16).to_pandas()
+    want = "a b c d , e !"  # punct are single tokens under \w+|[^\w\s]
+    assert out.iloc[0].rewritten_sha256 == hashlib.sha256(want.encode()).hexdigest()
+
+
+def test_token_spans_invalid_utf8_passthrough():
+    """Raw byte rows that do not decode as UTF-8 are flagged passthrough
+    with zero tokens (Arrow string columns are always valid UTF-8, so this
+    guards future binary-content adapters, not the Dataset path)."""
+    import numpy as np
+
+    from europa_ray.functions.text import token_spans
+
+    good = b"ok tokens here"
+    bad = b"ok \xff\xfe raw"
+    data = np.frombuffer(good + bad, dtype=np.uint8)
+    roff = np.array([0, len(good), len(good) + len(bad)], dtype=np.int64)
+    s, e, off, pt = token_spans(data, roff)
+    assert not pt[0] and pt[1]
+    assert off[1] - off[0] == 3  # ok / tokens / here
+    assert off[2] == off[1]      # passthrough row contributes no tokens

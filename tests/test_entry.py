@@ -90,6 +90,7 @@ def test_all_queries_have_callables(entry_mod):
         "jaccard_neighbor_sets",
         "quality_filter",
         "dup_span_stats",
+        "dedup_spans_rewritten",
         "lang_id",
         "doc_fingerprints",
         "minhash_near_dup_clusters",
