@@ -349,15 +349,22 @@ def cmd_tiers(args) -> dict:
     from europa_ray.sources.files import read_files
 
     cfg = _config_from_args(args)
+    progress = None
+    if getattr(args, "progress", False):
+        from europa_ray.state.progress import Progress
+
+        progress = Progress().watch()
     out = tiered_dedup(
         _with_row_id(read_files(args.input)), cfg, id_col="row_id",
-        rep_rule=args.rep_rule,
+        rep_rule=args.rep_rule, progress=progress,
     ).materialize()
     out.write_parquet(args.output + "/tiers")
     counts = {
         row["tier"]: int(row["count()"])
         for row in out.groupby("tier").count().take_all()
     }
+    if progress is not None:
+        progress.close()
     return {"rows": out.count(), "tiers": counts}
 
 
@@ -405,6 +412,8 @@ def main(argv=None) -> int:
             sp.add_argument("--threshold", type=float, default=0.9)
             sp.add_argument("--nlist", type=int, default=64)
         if name == "tiers":
+            sp.add_argument("--progress", action="store_true",
+                            help="stream live near-tier row counts to stderr")
             sp.add_argument("--rep-rule", default="min_id",
                             choices=["min_id", "longest"],
                             help="group representative: minimum id or most content bytes")

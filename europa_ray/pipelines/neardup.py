@@ -547,7 +547,16 @@ def near_dup_representatives(
     # distributed: composite sortable key (sha hex + zero-padded id) —
     # lexicographic string order equals (sha256, id) order
     def with_key(batch: pa.Table) -> pa.Table:
-        idstr = pc.utf8_lpad(pc.cast(batch[id_col], pa.string()), 20, "0")
+        idcol = batch[id_col]
+        idcol = idcol.combine_chunks() if isinstance(idcol, pa.ChunkedArray) else idcol
+        if pa.types.is_integer(idcol.type):
+            # order-preserving key even for NEGATIVE ids (hash-derived
+            # row_ids) — a raw signed lpad breaks lexicographic = numeric
+            from europa_ray.util import int64_lexkey_arrow
+
+            idstr = int64_lexkey_arrow(pc.cast(idcol, pa.int64()))
+        else:
+            idstr = pc.utf8_lpad(pc.cast(idcol, pa.string()), 20, "0")
         key = pc.binary_join_element_wise(batch["sha256"], idstr, ":")
         return pa.table(
             {"cluster_id": batch["cluster_id"], id_col: batch[id_col], "repkey": key}

@@ -127,13 +127,18 @@ _LEN_CEIL = 10**15
 
 def _repkey_longest(nbytes, ids):
     """Vectorized Arrow composite key: zero-padded (10^15 − nbytes) ++
-    zero-padded id. min(key) = longest content, ties by min id; the id is
-    recoverable from the last 20 characters."""
+    order-preserving 20-digit id key (``util.int64_lexkey_arrow`` — a raw
+    signed lpad breaks on negative ids, which the CLI's hash-derived
+    row_ids produce). min(key) = longest content, ties by min id; the id
+    is recoverable from the last 20 characters."""
     import pyarrow.compute as pc
+
+    from europa_ray.util import int64_lexkey_arrow
 
     inv = pc.subtract(pa.scalar(_LEN_CEIL, pa.int64()), pc.cast(nbytes, pa.int64()))
     a = pc.utf8_lpad(pc.cast(inv, pa.string()), 16, "0")
-    b = pc.utf8_lpad(pc.cast(ids, pa.string()), 20, "0")
+    ids_arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    b = int64_lexkey_arrow(pc.cast(ids_arr, pa.int64()))
     return pc.binary_join_element_wise(a, b, "")
 
 
@@ -141,7 +146,9 @@ def _repkey_id(key_col) -> "pa.Array":
     """Recover the int64 id from a ``_repkey_longest`` composite key."""
     import pyarrow.compute as pc
 
-    return pc.cast(pc.utf8_slice_codeunits(key_col, 16, 36), pa.int64())
+    from europa_ray.util import int64_from_lexkey
+
+    return int64_from_lexkey(pc.utf8_slice_codeunits(key_col, 16, 36))
 
 
 def _near_tier_drops(
@@ -151,6 +158,7 @@ def _near_tier_drops(
     nparts: int,
     rep_rule: str = "min_id",
     lens_ds: ray.data.Dataset | None = None,
+    progress=None,
 ) -> ray.data.Dataset:
     """Near-dup tier over the exact/norm survivors: flagship clusters →
     per-cluster representative → ``(id, 'near', dup_of)`` rows for every
@@ -166,9 +174,9 @@ def _near_tier_drops(
 
     from europa_ray.pipelines.neardup import near_dup_pipeline
 
-    clusters = near_dup_pipeline(surv_files, cfg, id_cols=(id_col,))[
-        "clusters"
-    ].materialize()
+    clusters = near_dup_pipeline(
+        surv_files, cfg, id_cols=(id_col,), progress=progress
+    )["clusters"].materialize()
     if clusters.count() == 0:
         return ray.data.from_arrow(TIERS_SCHEMA.empty_table())
 
@@ -210,11 +218,14 @@ def _near_tier_drops(
                 ]
             ),
         )
-        reps = (
+        reps = scrub_empty_blocks(
             clusters.groupby("cluster_id")
             .min("__repkey")
             .rename_columns({"min(__repkey)": "__repmin"})
-            .materialize()
+            .materialize(),
+            pa.schema(
+                [pa.field("cluster_id", pa.string()), pa.field("__repmin", pa.string())]
+            ),
         )
 
         def to_drops(batch: pa.Table) -> pa.Table:
@@ -261,6 +272,7 @@ def tiered_dedup(
     num_partitions: int | None = None,
     driver_max_keys: int = 100_000_000,
     rep_rule: str = "min_id",
+    progress=None,
 ) -> ray.data.Dataset:
     """Per-document tier attribution table ``(doc_id, tier, dup_of)``,
     sorted by id. The output id column is always named ``doc_id``
@@ -304,7 +316,7 @@ def tiered_dedup(
 
     if over:
         return _tiered_dedup_distributed(
-            files, digests, cfg, id_col, nparts, rep_rule
+            files, digests, cfg, id_col, nparts, rep_rule, progress
         )
 
     if not ids_p:
@@ -348,7 +360,7 @@ def tiered_dedup(
         else None
     )
     near_drops = _near_tier_drops(
-        surv_files, cfg, id_col, nparts, rep_rule, lens_ds
+        surv_files, cfg, id_col, nparts, rep_rule, lens_ds, progress
     )
 
     nd_id_p, nd_rep_p = [], []
@@ -419,6 +431,7 @@ def _tiered_dedup_distributed(
     id_col: str,
     nparts: int,
     rep_rule: str = "min_id",
+    progress=None,
 ) -> ray.data.Dataset:
     """Shuffle-based path for corpora beyond the driver budget: two
     digest-keyed Min-aggregates + joins attribute the exact/norm tiers, a
@@ -455,7 +468,9 @@ def _tiered_dedup_distributed(
             ),
             batch_format="pyarrow",
         )
-        g2 = (
+        # scrubbed: empty aggregator blocks skip the projection UDF and
+        # would otherwise enter the next join with the pre-projection schema
+        g2 = scrub_empty_blocks(
             rk.groupby("__nsha")
             .min("__rk")
             .map_batches(
@@ -464,7 +479,10 @@ def _tiered_dedup_distributed(
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
+            .materialize(),
+            pa.schema(
+                [pa.field("__nsha", pa.string()), pa.field("__rep2", pa.int64())]
+            ),
         )
     else:
         g2 = (
@@ -528,7 +546,7 @@ def _tiered_dedup_distributed(
         else None
     )
     near_drops = _near_tier_drops(
-        surv_files, cfg, id_col, nparts, rep_rule, lens_ds
+        surv_files, cfg, id_col, nparts, rep_rule, lens_ds, progress
     )
 
     drops = scrub_empty_blocks(drops_en.union(near_drops).materialize(), TIERS_SCHEMA)

@@ -261,3 +261,28 @@ def hex_to_u64_arrow(col) -> np.ndarray:
     nib = (lead & 0x0F) + 9 * (lead >> 6)
     shifts = (np.uint64(4) * np.arange(15, -1, -1, dtype=np.uint64))[None, :]
     return (nib.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def int64_lexkey_arrow(col):
+    """Zero-padded 20-digit decimal whose LEXICOGRAPHIC order equals the
+    int64 NUMERIC order: ids biased by +2^63 into uint64 space before
+    rendering. A raw lpad of a signed id breaks on negatives twice over —
+    '-9…' sorts before '0…' regardless of magnitude, and the '-' makes the
+    width 20 without padding, corrupting fixed-width composite-key slices.
+    Decode with :func:`int64_from_lexkey`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    v = col.to_numpy().astype(np.int64, copy=False).view(np.uint64) + np.uint64(
+        1 << 63
+    )
+    return pc.utf8_lpad(pc.cast(pa.array(v, pa.uint64()), pa.string()), 20, "0")
+
+
+def int64_from_lexkey(col):
+    """Inverse of :func:`int64_lexkey_arrow` over a 20-digit string column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    u = pc.cast(col, pa.uint64()).to_numpy().astype(np.uint64)
+    return pa.array((u + np.uint64(1 << 63)).view(np.int64), pa.int64())

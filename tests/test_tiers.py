@@ -249,3 +249,42 @@ def test_tier_savings(ray_session):
     for r in out.itertuples():
         by_tier[r.tier] = by_tier.get(r.tier, 0) + lens[int(r.doc_id)]
     assert dict(zip(sav.tier, sav.total_bytes)) == by_tier
+
+
+@pytest.mark.parametrize("rule", ["min_id", "longest"])
+@pytest.mark.parametrize("budget", [None, 0])
+def test_negative_ids(ray_session, rule, budget):
+    """Regression: hash-derived row_ids are NEGATIVE int64 half the time;
+    the composite repkeys must stay order-preserving (a raw signed lpad
+    broke both ordering and the fixed-width id slice)."""
+    import ray.data
+
+    from europa_ray.pipelines.tiers import tiered_dedup
+
+    t = pa.table(
+        {
+            "doc_id": [-9_000_000_000_000_000_000, -5, 7],
+            "lang": ["py"] * 3,
+            "content": [BASE, BASE + " extra", BASE],
+        }
+    )
+    kw = {} if budget is None else {"driver_max_keys": budget}
+    out = tiered_dedup(
+        ray.data.from_arrow(t), _cfg(), id_col="doc_id", rep_rule=rule, **kw
+    ).to_pandas()
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    big_neg = -9_000_000_000_000_000_000
+    if rule == "min_id":
+        # exact family {big_neg, 7}: rep = big_neg; -5 is near-dup of it
+        assert got == {
+            big_neg: ("kept", big_neg),
+            -5: ("near", big_neg),
+            7: ("exact", big_neg),
+        }
+    else:
+        # longest: -5's content is longer → it survives the near tier
+        assert got == {
+            big_neg: ("near", -5),
+            -5: ("kept", -5),
+            7: ("exact", big_neg),
+        }
