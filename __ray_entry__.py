@@ -676,6 +676,26 @@ def _q_windowed_event_counts(sf_dir: str):
     return windowed_event_counts(_load_events(sf_dir))
 
 
+def _q_sliding_window_counts(sf_dir: str):
+    """Sliding (hopping) window aggregate — 1-hour windows every 15 min:
+    per (user, window) count + integer-micro value sum. Combiner-first
+    shape: per-batch (user, slide-bucket) partials exploded ×4 into the
+    windows they feed, one multi-key groupby — exchange independent of
+    per-bucket event count."""
+    from europa_ray.pipelines.events import sliding_window_counts
+
+    return sliding_window_counts(_load_events(sf_dir))
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Per-language top-5 documents by token count (ties → min doc_id) —
+    the K1 candidate-cap semantics as a first-class query; combiner-first
+    partial top-k per batch."""
+    from europa_ray.pipelines.topk import top_docs_per_group
+
+    return top_docs_per_group(_docs(sf_dir), k=5)
+
+
 def _q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user co-located
     vectorized map_groups; value-checked against the SQL lag+running-sum
@@ -829,6 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redacted": wrap(_q_pii_redacted),
         "near_dup_representatives": wrap(_q_near_dup_representatives),
         "windowed_event_counts": wrap(_q_windowed_event_counts),
+        "sliding_window_counts": wrap(_q_sliding_window_counts),
+        "top_docs_per_lang": wrap(_q_top_docs_per_lang),
         "event_sessions": wrap(_q_event_sessions),
         "hash_sample": wrap(_q_hash_sample),
         "token_budget_sample": wrap(_q_token_budget_sample),
@@ -1909,6 +1931,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
                        AS sum_value_micros
             FROM events GROUP BY user_id, hour_idx
+        """,
+        # sliding/hopping window: window = 4 slides of 15 min; an event at
+        # t feeds windows (t//slide − 3 … t//slide); mirrors
+        # pipelines/events.sliding_window_counts (combiner-then-explode)
+        "sliding_window_counts": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 900000000 AS b,
+                     CAST(floor(value * 1000000) AS BIGINT) AS vm
+              FROM events
+            )
+            SELECT user_id, (b - i) AS window_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(vm) AS BIGINT) AS sum_value_micros
+            FROM ev, unnest(generate_series(0, 3)) AS t(i)
+            GROUP BY user_id, window_idx
+        """,
+        # per-group top-k: row_number over (tokens DESC, id) per language,
+        # k=5; same tokenizer as the token_counts oracle
+        "top_docs_per_lang": r"""
+            WITH c AS (
+              SELECT lang, doc_id,
+                     len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            )
+            SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM c
+            ) WHERE rn <= 5
         """,
         # gap-based sessionization: lag + running-sum window construction,
         # 30-minute inactivity gap, (t, event_id) tie order on both sides

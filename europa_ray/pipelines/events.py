@@ -120,3 +120,76 @@ def sessionize_events(
     return events.select_columns(["event_id", "ts", "user_id"]).groupby(
         "user_id"
     ).map_groups(sessions, batch_format="pyarrow")
+
+
+SLIDE_US = 15 * 60 * 1_000_000  # 15-minute hop
+
+
+def sliding_window_counts(
+    events: ray.data.Dataset,
+    *,
+    window_us: int = HOUR_US,
+    slide_us: int = SLIDE_US,
+) -> ray.data.Dataset:
+    """Sliding (hopping) window aggregate: per (user, window) event count +
+    integer-micro value sum, where window ``w`` covers
+    ``[w·slide, w·slide + window)`` and ``window = k·slide`` (``k`` must be
+    integral — validated). An event at time ``t`` therefore belongs to the
+    ``k`` windows ``t//slide − (k−1) … t//slide``.
+
+    Scale shape — explode AFTER combining, not before: events are first
+    pre-aggregated per (user, base slide bucket) INSIDE each batch (pure
+    numpy lexsort+reduceat, no shuffle), then each bucket row is exploded
+    into the k windows it feeds, then one multi-key ``groupby().sum``
+    shuffles k × distinct-(user, bucket) rows per block — independent of
+    the per-bucket event count, k× the tumbling operator's exchange rather
+    than k× the event count.
+    """
+    if window_us % slide_us:
+        raise ValueError("window_us must be an integer multiple of slide_us")
+    k = window_us // slide_us
+
+    def bucket_explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _epoch_us(batch["ts"])
+        col = batch["value"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False)
+        if col.null_count:
+            v = np.where(pc.is_valid(col).to_numpy(zero_copy_only=False), v, 0.0)
+        vm = np.floor(v * 1e6).astype(np.int64)
+        uid = batch["user_id"].to_numpy()
+        b = t // slide_us
+        # per-batch combine: one (user, bucket) partial per distinct pair
+        order = np.lexsort((b, uid))
+        us, bs, vs = uid[order], b[order], vm[order]
+        new = np.ones(us.shape[0], dtype=bool)
+        new[1:] = (us[1:] != us[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, us.shape[0]))
+        vsum = np.add.reduceat(vs, starts) if us.shape[0] else np.empty(0, np.int64)
+        # explode each partial into the k windows its bucket feeds
+        gu = np.repeat(us[starts], k)
+        gw = np.repeat(bs[starts], k) - np.tile(np.arange(k, dtype=np.int64), starts.shape[0])
+        gc = np.repeat(cnt.astype(np.int64), k)
+        gv = np.repeat(vsum, k)
+        return pa.table(
+            {
+                "user_id": pa.array(gu),
+                "window_idx": pa.array(gw),
+                "one": pa.array(gc),
+                "value_micros": pa.array(gv),
+            }
+        )
+
+    agg = (
+        events.select_columns(["user_id", "ts", "value"])
+        .map_batches(bucket_explode, batch_format="pyarrow")
+        .groupby(["user_id", "window_idx"])
+        .sum(["one", "value_micros"])
+    )
+    return agg.rename_columns(
+        {"sum(one)": "n_events", "sum(value_micros)": "sum_value_micros"}
+    )

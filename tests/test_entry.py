@@ -86,6 +86,8 @@ def test_all_queries_have_callables(entry_mod):
         "semantic_dup_pairs",
         "semdedup_kept_ids",
         "windowed_event_counts",
+        "sliding_window_counts",
+        "top_docs_per_lang",
         "event_sessions",
         "jaccard_neighbor_sets",
         "quality_filter",

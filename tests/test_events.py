@@ -136,3 +136,62 @@ def test_windowed_counts_null_values(ray_session):
         (2, 0): (1, 9_990_000),
         (2, 1): (1, 10_000),
     }
+
+
+def test_sliding_window_planted(ray_session):
+    """An event at t belongs to exactly window/slide hopping windows; sums
+    and counts verified against a hand model."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.events import sliding_window_counts
+
+    us = 1_000_000
+    t0 = 10_000 * 900 * us  # aligned to a slide boundary
+    rows = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "ts": pa.array(
+                np.array([t0, t0 + 900 * us, t0], dtype="datetime64[us]")
+            ),
+            "value": pa.array([1.5, 2.25, 0.5], pa.float64()),
+        }
+    )
+    out = (
+        sliding_window_counts(
+            ray.data.from_arrow(rows),
+            window_us=3600 * us,
+            slide_us=900 * us,
+        )
+        .to_pandas()
+        .set_index(["user_id", "window_idx"])
+        .sort_index()
+    )
+    b = t0 // (900 * us)
+    # user 7: event A in windows b-3..b, event B in b-2..b+1
+    for w in range(b - 3, b + 2):
+        n = (1 if b - 3 <= w <= b else 0) + (1 if b - 2 <= w <= b + 1 else 0)
+        got = out.loc[(7, w)]
+        assert got.n_events == n
+        want_sum = (1_500_000 if b - 3 <= w <= b else 0) + (
+            2_250_000 if b - 2 <= w <= b + 1 else 0
+        )
+        assert got.sum_value_micros == want_sum
+    assert out.loc[(8, b)].n_events == 1
+    assert len(out.loc[8]) == 4
+
+
+def test_sliding_window_validates_slide(ray_session):
+    import pytest
+    import ray.data
+    import pyarrow as pa
+
+    from europa_ray.pipelines.events import sliding_window_counts
+
+    t = pa.table({"event_id": [1], "user_id": [1], "ts": [0], "value": [0.0]})
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_window_counts(
+            ray.data.from_arrow(t), window_us=100, slide_us=33
+        )
