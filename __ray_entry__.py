@@ -696,6 +696,33 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_group(_docs(sf_dir), k=5)
 
 
+def _q_asof_prev_event(sf_dir: str):
+    """AS-OF join (trades⟕quotes shape): odd-id events (left) joined to
+    the latest even-id event time ≤ their own per user; -1 when none —
+    value-checked against DuckDB's native ASOF LEFT JOIN."""
+    import ray.data
+
+    from europa_ray.pipelines.events import asof_prev_ts
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def parity(want: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch["event_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(want, pa.int64()),
+            )
+            return batch.filter(keep)
+
+        return fn
+
+    ev = _load_events(sf_dir)
+    left = ev.map_batches(parity(1), batch_format="pyarrow")
+    right = ev.map_batches(parity(0), batch_format="pyarrow")
+    return asof_prev_ts(left, right)
+
+
 def _q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user co-located
     vectorized map_groups; value-checked against the SQL lag+running-sum
@@ -850,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_representatives": wrap(_q_near_dup_representatives),
         "windowed_event_counts": wrap(_q_windowed_event_counts),
         "sliding_window_counts": wrap(_q_sliding_window_counts),
+        "asof_prev_event": wrap(_q_asof_prev_event),
         "top_docs_per_lang": wrap(_q_top_docs_per_lang),
         "event_sessions": wrap(_q_event_sessions),
         "hash_sample": wrap(_q_hash_sample),
@@ -1962,6 +1990,20 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rn
               FROM c
             ) WHERE rn <= 5
+        """,
+        # AS-OF join: DuckDB's native ASOF LEFT JOIN picks the greatest
+        # right time ≤ the left time per key — exactly the engine's
+        # searchsorted semantics; unmatched rows coalesce to the -1
+        # sentinel (non-null column keeps the value-hash compare exact)
+        "asof_prev_event": """
+            WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+                       FROM events WHERE event_id % 2 = 1),
+            r AS (SELECT user_id, epoch_us(ts) AS rt
+                  FROM events WHERE event_id % 2 = 0)
+            SELECT l.event_id, l.user_id, l.t_us,
+                   coalesce(r.rt, -1) AS prev_ts_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.t_us >= r.rt
         """,
         # gap-based sessionization: lag + running-sum window construction,
         # 30-minute inactivity gap, (t, event_id) tie order on both sides

@@ -193,3 +193,79 @@ def sliding_window_counts(
     return agg.rename_columns(
         {"sum(one)": "n_events", "sum(value_micros)": "sum_value_micros"}
     )
+
+
+def asof_prev_ts(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """AS-OF join (the trades⟕quotes shape, SURVEY custom-operator class):
+    for every LEFT event, the latest RIGHT event time ≤ its own time within
+    the same key — ``(event_id, user_id, t_us, prev_ts_us)`` with
+    ``prev_ts_us = -1`` when no earlier right event exists (a sentinel,
+    not null: epoch timestamps are non-negative, and a non-null column
+    keeps the driver's value-hash comparison exact — NaN ≠ NaN).
+
+    The match value is the timestamp itself (unique by construction as a
+    max), not a right row id — identical right timestamps per key would
+    make a row-id choice nondeterministic on both engines.
+
+    Shape: both sides are projected to (key, id, t, side) metadata rows,
+    unioned, and co-located by ONE ``groupby(key)`` shuffle; the per-key
+    body is a vectorized sort + ``np.searchsorted`` (no per-event Python).
+    Partitioning assumption: matches never cross keys, so hash-partitioning
+    by ``key_col`` is a complete exchange — the same contract as
+    :func:`sessionize_events`.
+    """
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    id_col: batch[id_col],
+                    "t_us": pa.array(_epoch_us(batch["ts"])),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = left.map_batches(project(0), batch_format="pyarrow").union(
+        right.map_batches(project(1), batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        key = group[key_col][0].as_py()
+        t = group["t_us"].to_numpy()
+        side = group["side"].to_numpy()
+        ids = group[id_col].to_numpy()
+        lt, lid = t[side == 0], ids[side == 0]
+        rt = np.sort(t[side == 1])
+        if lt.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "t_us": pa.array([], pa.int64()),
+                    "prev_ts_us": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        matched = idx >= 0
+        prev = np.where(matched, rt[np.maximum(idx, 0)], -1)
+        return pa.table(
+            {
+                id_col: pa.array(lid.astype(np.int64)),
+                key_col: pa.array(np.full(lt.shape[0], key, dtype=np.int64)),
+                "t_us": pa.array(lt),
+                "prev_ts_us": pa.array(prev, pa.int64()),
+            }
+        )
+
+    return tagged.groupby(key_col).map_groups(merge, batch_format="pyarrow")

@@ -88,6 +88,7 @@ def test_all_queries_have_callables(entry_mod):
         "windowed_event_counts",
         "sliding_window_counts",
         "top_docs_per_lang",
+        "asof_prev_event",
         "event_sessions",
         "jaccard_neighbor_sets",
         "quality_filter",

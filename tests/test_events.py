@@ -195,3 +195,38 @@ def test_sliding_window_validates_slide(ray_session):
         sliding_window_counts(
             ray.data.from_arrow(t), window_us=100, slide_us=33
         )
+
+
+def test_asof_prev_ts_planted(ray_session):
+    """Hand-modeled as-of join: ties (right at exactly left's time) match;
+    no earlier right event → -1 sentinel; keys never cross."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.events import asof_prev_ts
+
+    def ev(ids, users, ts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+                }
+            )
+        )
+
+    left = ev([1, 3, 5, 7], [10, 10, 10, 20], [100, 205, 300, 50])
+    right = ev([2, 4, 6], [10, 10, 20], [100, 200, 60])
+    out = (
+        asof_prev_ts(left, right)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[1].prev_ts_us == 100   # tie: rt == lt matches
+    assert out.loc[3].prev_ts_us == 200
+    assert out.loc[5].prev_ts_us == 200
+    assert out.loc[7].prev_ts_us == -1    # user 20's right event is later
+    assert len(out) == 4
