@@ -723,6 +723,32 @@ def _q_asof_prev_event(sf_dir: str):
     return asof_prev_ts(left, right)
 
 
+def _q_range_join_counts(sf_dir: str):
+    """RANGE join, count-aggregated: per odd-id event, how many even-id
+    events of the same user lie within ±5 min — linear output (counts, not
+    pairs); value-checked against the SQL BETWEEN join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from europa_ray.pipelines.events import range_join_counts
+
+    def parity(want: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch["event_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(want, pa.int64()),
+            )
+            return batch.filter(keep)
+
+        return fn
+
+    ev = _load_events(sf_dir)
+    return range_join_counts(
+        ev.map_batches(parity(1), batch_format="pyarrow"),
+        ev.map_batches(parity(0), batch_format="pyarrow"),
+    )
+
+
 def _q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user co-located
     vectorized map_groups; value-checked against the SQL lag+running-sum
@@ -878,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_event_counts": wrap(_q_windowed_event_counts),
         "sliding_window_counts": wrap(_q_sliding_window_counts),
         "asof_prev_event": wrap(_q_asof_prev_event),
+        "range_join_counts": wrap(_q_range_join_counts),
         "top_docs_per_lang": wrap(_q_top_docs_per_lang),
         "event_sessions": wrap(_q_event_sessions),
         "hash_sample": wrap(_q_hash_sample),
@@ -2004,6 +2031,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.rt, -1) AS prev_ts_us
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.t_us >= r.rt
+        """,
+        # range join (count form): left join keeps zero-neighbor left rows
+        "range_join_counts": """
+            WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us
+                       FROM events WHERE event_id % 2 = 1),
+            r AS (SELECT user_id, epoch_us(ts) AS rt
+                  FROM events WHERE event_id % 2 = 0)
+            SELECT l.event_id, l.user_id, l.t_us,
+                   CAST(count(r.rt) AS BIGINT) AS n_within
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+             AND r.rt BETWEEN l.t_us - 300000000 AND l.t_us + 300000000
+            GROUP BY l.event_id, l.user_id, l.t_us
         """,
         # gap-based sessionization: lag + running-sum window construction,
         # 30-minute inactivity gap, (t, event_id) tie order on both sides

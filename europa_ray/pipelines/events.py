@@ -269,3 +269,72 @@ def asof_prev_ts(
         )
 
     return tagged.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+RANGE_DELTA_US = 5 * 60 * 1_000_000  # ±5 min
+
+
+def range_join_counts(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    delta_us: int = RANGE_DELTA_US,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """RANGE join, count-aggregated (the burst-detection shape): for every
+    LEFT event, how many RIGHT events of the same key lie within
+    ``±delta_us`` of it — ``(event_id, user_id, t_us, n_within)``.
+
+    Emitting the COUNT rather than the pair list keeps the output linear
+    in the left side (a raw range join is quadratic inside dense bursts);
+    the per-key body is two ``np.searchsorted`` probes over the sorted
+    right timestamps. Same co-location contract as :func:`asof_prev_ts`:
+    one ``groupby(key)`` shuffle, matches never cross keys.
+    """
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    id_col: batch[id_col],
+                    "t_us": pa.array(_epoch_us(batch["ts"])),
+                    "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    tagged = left.map_batches(project(0), batch_format="pyarrow").union(
+        right.map_batches(project(1), batch_format="pyarrow")
+    )
+
+    def count_within(group: pa.Table) -> pa.Table:
+        key = group[key_col][0].as_py()
+        t = group["t_us"].to_numpy()
+        side = group["side"].to_numpy()
+        ids = group[id_col].to_numpy()
+        lt, lid = t[side == 0], ids[side == 0]
+        rt = np.sort(t[side == 1])
+        if lt.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    "t_us": pa.array([], pa.int64()),
+                    "n_within": pa.array([], pa.int64()),
+                }
+            )
+        lo = np.searchsorted(rt, lt - delta_us, side="left")
+        hi = np.searchsorted(rt, lt + delta_us, side="right")
+        return pa.table(
+            {
+                id_col: pa.array(lid.astype(np.int64)),
+                key_col: pa.array(np.full(lt.shape[0], key, dtype=np.int64)),
+                "t_us": pa.array(lt),
+                "n_within": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby(key_col).map_groups(count_within, batch_format="pyarrow")

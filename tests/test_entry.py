@@ -89,6 +89,7 @@ def test_all_queries_have_callables(entry_mod):
         "sliding_window_counts",
         "top_docs_per_lang",
         "asof_prev_event",
+        "range_join_counts",
         "event_sessions",
         "jaccard_neighbor_sets",
         "quality_filter",

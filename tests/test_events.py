@@ -230,3 +230,33 @@ def test_asof_prev_ts_planted(ray_session):
     assert out.loc[5].prev_ts_us == 200
     assert out.loc[7].prev_ts_us == -1    # user 20's right event is later
     assert len(out) == 4
+
+
+def test_range_join_counts_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.events import range_join_counts
+
+    def ev(ids, users, ts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+                }
+            )
+        )
+
+    left = ev([1, 3, 5], [10, 10, 20], [1000, 5000, 1000])
+    right = ev([2, 4, 6], [10, 10, 20], [900, 1100, 9000])
+    out = (
+        range_join_counts(left, right, delta_us=150)
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    assert out.loc[1].n_within == 2   # 900 and 1100 within ±150 of 1000
+    assert out.loc[3].n_within == 0   # zero-neighbor left row KEPT
+    assert out.loc[5].n_within == 0   # user isolation: 9000 is user 20's but too far
+    assert len(out) == 3
