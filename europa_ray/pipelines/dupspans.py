@@ -5,7 +5,9 @@ first occurrence wins). Realized over w-token grams:
 
 - a position p of document d is DUPLICATED when its w-gram occurs at more
   than one (doc, pos) in the corpus and (d, p) is not the globally first
-  occurrence (minimum packed ``doc·2^32 + pos`` key — deterministic);
+  occurrence (minimum packed (doc, pos) key — a 12-byte big-endian
+  binary whose lexicographic order is numeric (id, pos) order for every
+  int64 id; deterministic);
 - a document's ``covered_tokens`` is the length of the union of the
   intervals [p, p+w) over its duplicated positions — exactly the token
   mass ExactSubstr dedup would delete from it.
@@ -43,7 +45,75 @@ import ray.data
 
 from europa_ray.functions.text import shingles, tokenize_arrow
 
-POS_BASE = np.int64(1) << np.int64(32)  # packed key = doc_id * 2^32 + pos
+# The (doc, pos) occurrence key is a 12-byte big-endian binary string:
+# 8 bytes of the id biased by +2^63 into uint64 space, then 4 bytes of the
+# position. Lexicographic order == (id, pos) NUMERIC order for EVERY int64
+# id — the previous ``doc_id * 2^32 + pos`` int64 packing silently
+# overflowed for ids ≥ 2^31 (and hash-derived row_ids are arbitrary
+# int64), after which the distributed path's floor-div/mod decode
+# scattered duplicated positions onto the wrong documents (caught by a
+# 6k-row broadcast-vs-distributed equivalence drive). pyarrow min() and
+# joins handle binary columns; both dispatch paths share the encoding.
+_ID_BIAS = np.uint64(1) << np.uint64(63)
+# numpy domain: a structured (big-endian u64, big-endian u32) key — same
+# 12-byte memory layout as the Arrow fixed_size_binary(12), field-wise
+# lexicographic comparisons/argsort/searchsorted (the U256_DTYPE pattern).
+# NOT numpy 'S12': the S dtype strips trailing NUL bytes on element
+# access, silently corrupting keys whose position ends in zero bytes.
+KEY_DTYPE = np.dtype([("u", ">u8"), ("p", ">u4")])
+assert KEY_DTYPE.itemsize == 12
+
+
+def _pack_np(ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """(int64 ids, int64 positions < 2^32) → structured KEY_DTYPE array."""
+    out = np.empty(ids.shape[0], dtype=KEY_DTYPE)
+    out["u"] = ids.astype(np.int64, copy=False).view(np.uint64) + _ID_BIAS
+    out["p"] = pos
+    return out
+
+
+def _pack_keys(ids: np.ndarray, pos: np.ndarray) -> pa.Array:
+    """Arrow fixed_size_binary(12) view of the packed keys (zero-copy of
+    the structured buffer — identical byte layout)."""
+    keys = _pack_np(ids, pos)
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(12), keys.shape[0], [None, pa.py_buffer(keys.tobytes())]
+    )
+
+
+def _decode_raw(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """KEY_DTYPE array → (int64 ids, int64 positions)."""
+    ids = (keys["u"].astype(np.uint64) - _ID_BIAS).view(np.int64)
+    return ids, keys["p"].astype(np.int64)
+
+
+def _keys_np(col) -> np.ndarray:
+    """Arrow 12-byte binary key column → structured KEY_DTYPE array."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=KEY_DTYPE)
+    if pa.types.is_fixed_size_binary(arr.type):
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+            arr.offset * 12 : (arr.offset + n) * 12
+        ]
+        return np.ascontiguousarray(raw).view(KEY_DTYPE)
+    # binary/large_binary (aggregate outputs may widen the type); every
+    # value must be exactly 12 bytes — validated loudly, a silent
+    # truncation here would scatter coverage onto wrong documents
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    if not (np.diff(offs) == 12).all():
+        raise ValueError("corrupt span key: value width != 12 bytes")
+    vals = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    raw = vals[int(offs[0]) : int(offs[-1])]
+    return np.ascontiguousarray(raw).view(KEY_DTYPE)
+
+
+def _unpack_keys(col) -> tuple[np.ndarray, np.ndarray]:
+    return _decode_raw(_keys_np(col))
 
 
 def _gram_stream(batch: pa.Table, *, id_col: str, w: int) -> pa.Table:
@@ -56,7 +126,7 @@ def _gram_stream(batch: pa.Table, *, id_col: str, w: int) -> pa.Table:
     return pa.table(
         {
             "gram": pa.array(gh.view(np.int64)),
-            "key": pa.array(doc_rep * POS_BASE + pos),
+            "key": _pack_keys(doc_rep, pos),
         }
     )
 
@@ -120,7 +190,7 @@ def dup_span_stats(
         g_parts, k_parts = [], []
         for b in stats.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
             g_parts.append(b["gram"].to_numpy())
-            k_parts.append(b["first_key"].to_numpy())
+            k_parts.append(_keys_np(b["first_key"]))
         grams = np.concatenate(g_parts)
         order = np.argsort(grams)
         grams, firsts = grams[order], np.concatenate(k_parts)[order]
@@ -130,16 +200,12 @@ def dup_span_stats(
             gs, fs = ray.get(ref)
             t = _gram_stream(batch, **stream_kwargs)
             gv = t["gram"].to_numpy()
-            kv = t["key"].to_numpy()
+            kv = _keys_np(t["key"])
             idx = np.searchsorted(gs, gv)
             idx_c = np.minimum(idx, gs.shape[0] - 1)
             hit = (gs[idx_c] == gv) & (kv != fs[idx_c])
-            return pa.table(
-                {
-                    "doc_id": pa.array(kv[hit] // POS_BASE),
-                    "pos": pa.array(kv[hit] % POS_BASE),
-                }
-            )
+            docs, poss = _decode_raw(kv[hit])
+            return pa.table({"doc_id": pa.array(docs), "pos": pa.array(poss)})
 
         dups = files.map_batches(dup_positions, batch_format="pyarrow")
     else:
@@ -148,16 +214,18 @@ def dup_span_stats(
         )
         joined = stream.join(
             stats, join_type="inner", num_partitions=nparts, on=("gram",)
-        ).filter(expr="key != first_key")
+        )
 
         def unpack(batch: pa.Table) -> pa.Table:
-            kv = batch["key"].to_numpy()
-            return pa.table(
-                {
-                    "doc_id": pa.array(kv // POS_BASE),
-                    "pos": pa.array(kv % POS_BASE),
-                }
+            import pyarrow.compute as pc
+
+            # binary != binary is unsupported in Ray's filter-expr parser;
+            # filter vectorized here instead
+            batch = batch.filter(
+                pc.not_equal(batch["key"], batch["first_key"])
             )
+            docs, poss = _unpack_keys(batch["key"])
+            return pa.table({"doc_id": pa.array(docs), "pos": pa.array(poss)})
 
         dups = joined.map_batches(unpack, batch_format="pyarrow")
 
@@ -372,12 +440,12 @@ def dedup_spans_rewrite(
     if n_dup_grams == 0 or n_dup_grams <= broadcast_max_grams:
         if n_dup_grams == 0:
             grams = np.empty(0, dtype=np.int64)
-            firsts = np.empty(0, dtype=np.int64)
+            firsts = np.empty(0, dtype=KEY_DTYPE)
         else:
             g_parts, k_parts = [], []
             for b in stats.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
                 g_parts.append(b["gram"].to_numpy())
-                k_parts.append(b["first_key"].to_numpy())
+                k_parts.append(_keys_np(b["first_key"]))
             grams = np.concatenate(g_parts)
             order = np.argsort(grams)
             grams, firsts = grams[order], np.concatenate(k_parts)[order]
@@ -394,7 +462,7 @@ def dedup_spans_rewrite(
             ids = batch[id_col].to_numpy()
             n_per = np.diff(goff)
             pos = np.arange(gh.shape[0], dtype=np.int64) - np.repeat(goff[:-1], n_per)
-            key = np.repeat(ids, n_per) * POS_BASE + pos
+            key = _pack_np(np.repeat(ids, n_per), pos)
             gv = gh.view(np.int64)
             idx = np.minimum(np.searchsorted(gs, gv), gs.shape[0] - 1)
             hit = (gs[idx] == gv) & (key != fs[idx])
@@ -416,13 +484,14 @@ def dedup_spans_rewrite(
     )
     joined = stream.join(
         stats, join_type="inner", num_partitions=nparts, on=("gram",)
-    ).filter(expr="key != first_key")
+    )
 
     def unpack(batch: pa.Table) -> pa.Table:
-        kv = batch["key"].to_numpy()
-        return pa.table(
-            {"doc_id": pa.array(kv // POS_BASE), "pos": pa.array(kv % POS_BASE)}
-        )
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.not_equal(batch["key"], batch["first_key"]))
+        docs, poss = _unpack_keys(batch["key"])
+        return pa.table({"doc_id": pa.array(docs), "pos": pa.array(poss)})
 
     def collect_positions(group: pa.Table) -> pa.Table:
         # positions packed as little-endian int64 bytes: pyarrow's hash
