@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from europa_ray.pipelines.dupspans import dup_span_stats
 
@@ -224,3 +225,43 @@ def test_token_spans_invalid_utf8_passthrough():
     assert not pt[0] and pt[1]
     assert off[1] - off[0] == 3  # ok / tokens / here
     assert off[2] == off[1]      # passthrough row contributes no tokens
+
+
+@pytest.mark.parametrize("budget", [5_000_000, 0])
+def test_span_key_safe_for_arbitrary_int64_ids(ray_session, budget):
+    """Regression: the old doc_id·2^32+pos int64 packing overflowed for
+    ids ≥ 2^31 (hash row_ids are arbitrary int64) and the distributed
+    decode then scattered coverage onto wrong docs. Both paths must
+    agree — and match the planted truth — for extreme ids."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite, dup_span_stats
+
+    block = " ".join(f"b{i}" for i in range(20))
+    big = 9_000_000_000_000_000_000
+    t = pa.table(
+        {
+            "doc_id": [-big, big, 3],
+            "lang": ["en"] * 3,
+            "content": [
+                "u1 u2 " + block,          # min key (most negative id) wins
+                "v1 v2 " + block + " v3",  # block removed
+                "w1 w2 w3",
+            ],
+        }
+    )
+    stats = (
+        dup_span_stats(ray.data.from_arrow(t), w=16, broadcast_max_grams=budget)
+        .to_pandas().set_index("doc_id")
+    )
+    assert list(stats.index) == [big]
+    assert stats.loc[big].covered_tokens == 20
+    rew = (
+        dedup_spans_rewrite(
+            ray.data.from_arrow(t), w=16, broadcast_max_grams=budget
+        ).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert rew.loc[-big].removed_tokens == 0
+    assert rew.loc[big].removed_tokens == 20
+    assert rew.loc[3].removed_tokens == 0
