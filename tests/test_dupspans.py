@@ -265,3 +265,37 @@ def test_span_key_safe_for_arbitrary_int64_ids(ray_session, budget):
     assert rew.loc[-big].removed_tokens == 0
     assert rew.loc[big].removed_tokens == 20
     assert rew.loc[3].removed_tokens == 0
+
+
+def test_rewrite_permutation_invariance(ray_session):
+    """First-occurrence-wins is keyed on (id, pos), not input order:
+    shuffling the input rows must leave the rewrite byte-identical."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.dupspans import dedup_spans_rewrite
+
+    block = " ".join(f"b{i}" for i in range(20))
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en"] * 4,
+            "content": [
+                "u1 u2 " + block,
+                "v1 " + block + " v2",
+                block + " w1",
+                "x1 x2 x3",
+            ],
+        }
+    )
+    perm = pa.table({c: t[c].take(pa.array([3, 1, 0, 2])) for c in t.column_names})
+    a = (
+        dedup_spans_rewrite(ray.data.from_arrow(t), w=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup_spans_rewrite(ray.data.from_arrow(perm), w=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

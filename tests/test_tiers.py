@@ -288,3 +288,15 @@ def test_negative_ids(ray_session, rule, budget):
             -5: ("kept", -5),
             7: ("exact", big_neg),
         }
+
+
+def test_permutation_invariance(ray_session):
+    """Tier attribution is a function of (content, id), not input order."""
+    import ray.data
+
+    t = _corpus()
+    idx = pa.array([4, 8, 0, 6, 2, 7, 1, 5, 3])
+    perm = pa.table({c: t[c].take(idx) for c in t.column_names})
+    a = _run(ray.data.from_arrow(t)).sort_values("doc_id").reset_index(drop=True)
+    b = _run(ray.data.from_arrow(perm)).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
