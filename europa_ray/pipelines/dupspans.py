@@ -336,6 +336,11 @@ def _rebuild_rows(
             gdst = np.repeat(dst - pre, seg_len) + base
             buf[gdst] = data[gsrc]
 
+    if new_off[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            "rewrite batch exceeds 2 GiB of output text — lower the read "
+            "block size (DataContext.target_max_block_size) for this corpus"
+        )
     arr = pa.StringArray.from_buffers(
         length=n_rows,
         value_offsets=pa.py_buffer(new_off.astype(np.int32).tobytes()),

@@ -46,8 +46,8 @@ names a doc that itself survives its own tier's grouping).
 Scale shape: content is read once (the digest pass) plus once more for the
 near tier's signature stage over survivors only; every shuffle is
 digest/id-only (~100 B/row). Both the exact/norm attribution and the final
-assembly are budget-dispatched: a driver path (one structured-key argsort +
-``np.minimum.reduceat`` per tier — no shuffle at all) below
+assembly are budget-dispatched: a driver path (one structured-key lexsort
++ first-of-group pick per tier — no shuffle at all) below
 ``driver_max_keys`` rows, and a fully distributed path (two digest-keyed
 ``groupby().aggregate(Min)`` + hash joins, broadcast-or-join survivor
 semi-join, left-outer kept-marker join) above it, equivalence-tested by
