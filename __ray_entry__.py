@@ -696,30 +696,34 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_group(_docs(sf_dir), k=5)
 
 
+def _event_parity_filter(want: int):
+    """Vectorized odd/even event split shared by the join-shaped event
+    queries (Ray's filter-expr parser cannot parse %). NOTE: uses the low
+    BIT, which equals ``% 2`` only for non-negative ids — the synthetic
+    event_ids are non-negative, and the oracles' ``% 2 = 1`` predicate
+    matches under that invariant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(batch["event_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(want, pa.int64()),
+        )
+        return batch.filter(keep)
+
+    return fn
+
+
 def _q_asof_prev_event(sf_dir: str):
     """AS-OF join (trades⟕quotes shape): odd-id events (left) joined to
     the latest even-id event time ≤ their own per user; -1 when none —
     value-checked against DuckDB's native ASOF LEFT JOIN."""
-    import ray.data
-
     from europa_ray.pipelines.events import asof_prev_ts
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def parity(want: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            keep = pc.equal(
-                pc.bit_wise_and(batch["event_id"], pa.scalar(1, pa.int64())),
-                pa.scalar(want, pa.int64()),
-            )
-            return batch.filter(keep)
-
-        return fn
-
     ev = _load_events(sf_dir)
-    left = ev.map_batches(parity(1), batch_format="pyarrow")
-    right = ev.map_batches(parity(0), batch_format="pyarrow")
+    left = ev.map_batches(_event_parity_filter(1), batch_format="pyarrow")
+    right = ev.map_batches(_event_parity_filter(0), batch_format="pyarrow")
     return asof_prev_ts(left, right)
 
 
@@ -727,25 +731,12 @@ def _q_range_join_counts(sf_dir: str):
     """RANGE join, count-aggregated: per odd-id event, how many even-id
     events of the same user lie within ±5 min — linear output (counts, not
     pairs); value-checked against the SQL BETWEEN join."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from europa_ray.pipelines.events import range_join_counts
-
-    def parity(want: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            keep = pc.equal(
-                pc.bit_wise_and(batch["event_id"], pa.scalar(1, pa.int64())),
-                pa.scalar(want, pa.int64()),
-            )
-            return batch.filter(keep)
-
-        return fn
 
     ev = _load_events(sf_dir)
     return range_join_counts(
-        ev.map_batches(parity(1), batch_format="pyarrow"),
-        ev.map_batches(parity(0), batch_format="pyarrow"),
+        ev.map_batches(_event_parity_filter(1), batch_format="pyarrow"),
+        ev.map_batches(_event_parity_filter(0), batch_format="pyarrow"),
     )
 
 

@@ -91,6 +91,58 @@ def _byte_token_hash(token_bytes: bytes) -> int:
     )
 
 
+def _token_boundaries(
+    data: np.ndarray, row_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared boundary machinery for ``tokenize_bytes`` and ``token_spans``
+    (ONE implementation — the rewrite's span↔hash alignment depends on the
+    two agreeing byte-for-byte): returns ``(ascii_rows, starts, ends,
+    row_of_start)`` over the flat byte buffer. ``data`` must be non-empty.
+
+    ascii-row detection: reduceat runs over NON-EMPTY rows' start offsets
+    only (strictly increasing, all < n), so no index clipping is needed and
+    every row's final byte is inspected — a clipped trailing offset would
+    silently exclude the last byte of the preceding row from the check.
+    Word runs reset at row boundaries so runs never span adjacent rows in
+    the contiguous buffer.
+    """
+    n_rows = row_offsets.shape[0] - 1
+    n = data.shape[0]
+    if n_rows:
+        nonempty = np.diff(row_offsets) > 0
+        ascii_rows = np.ones(n_rows, dtype=bool)  # empty rows: trivially ASCII
+        if nonempty.any():
+            seg_starts = row_offsets[:-1][nonempty].astype(np.int64)
+            ascii_rows[nonempty] = np.maximum.reduceat(data, seg_starts) < 128
+    else:
+        ascii_rows = np.zeros(0, dtype=bool)
+
+    cls = _BYTE_CLASS[data]
+    word = cls == 1
+    punct = cls == 2
+    prev_word = np.zeros(n, dtype=bool)
+    prev_word[1:] = word[:-1]
+    row_starts = row_offsets[:-1]
+    row_starts = row_starts[row_starts < n]
+    prev_word[row_starts] = False
+    run_start = word & ~prev_word
+
+    starts = np.nonzero(run_start | punct)[0]
+    # word-run end = next non-word position after the start (or n)
+    nonword_pos = np.nonzero(~word)[0]
+    ends = np.full(starts.shape[0], n, dtype=np.int64)
+    if nonword_pos.shape[0]:
+        run_end_idx = np.searchsorted(nonword_pos, starts)
+        has_end = run_end_idx < nonword_pos.shape[0]
+        ends[has_end] = nonword_pos[run_end_idx[has_end]]
+    is_punct_tok = punct[starts]
+    ends[is_punct_tok] = starts[is_punct_tok] + 1
+    # clamp to the row boundary
+    row_of_start = np.searchsorted(row_offsets, starts, side="right") - 1
+    ends = np.minimum(ends, row_offsets[row_of_start + 1])
+    return ascii_rows, starts, ends, row_of_start
+
+
 def token_spans(
     data: np.ndarray, row_offsets: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -110,35 +162,7 @@ def token_spans(
         z = np.zeros(n_rows + 1, dtype=np.int64)
         return np.empty(0, np.int64), np.empty(0, np.int64), z, passthrough
 
-    if n_rows:
-        nonempty = np.diff(row_offsets) > 0
-        ascii_rows = np.ones(n_rows, dtype=bool)
-        if nonempty.any():
-            seg_starts = row_offsets[:-1][nonempty].astype(np.int64)
-            ascii_rows[nonempty] = np.maximum.reduceat(data, seg_starts) < 128
-    else:
-        ascii_rows = np.zeros(0, dtype=bool)
-
-    cls = _BYTE_CLASS[data]
-    word = cls == 1
-    punct = cls == 2
-    prev_word = np.zeros(n, dtype=bool)
-    prev_word[1:] = word[:-1]
-    row_starts = row_offsets[:-1]
-    row_starts = row_starts[row_starts < n]
-    prev_word[row_starts] = False
-    run_start = word & ~prev_word
-    starts = np.nonzero(run_start | punct)[0]
-    nonword_pos = np.nonzero(~word)[0]
-    ends = np.full(starts.shape[0], n, dtype=np.int64)
-    if nonword_pos.shape[0]:
-        run_end_idx = np.searchsorted(nonword_pos, starts)
-        has_end = run_end_idx < nonword_pos.shape[0]
-        ends[has_end] = nonword_pos[run_end_idx[has_end]]
-    is_punct_tok = punct[starts]
-    ends[is_punct_tok] = starts[is_punct_tok] + 1
-    row_of_start = np.searchsorted(row_offsets, starts, side="right") - 1
-    ends = np.minimum(ends, row_offsets[row_of_start + 1])
+    ascii_rows, starts, ends, row_of_start = _token_boundaries(data, row_offsets)
 
     keep = ascii_rows[row_of_start]
     s_f, e_f, r_f = starts[keep], ends[keep], row_of_start[keep]
@@ -204,46 +228,7 @@ def tokenize_bytes(
     if n == 0:
         return np.empty(0, _U64), np.zeros(n_rows + 1, dtype=np.int64)
 
-    # rows needing the fallback: any non-ASCII byte. reduceat runs over
-    # NON-EMPTY rows' start offsets only (strictly increasing, all < n), so
-    # no index clipping is needed and every row's final byte is inspected —
-    # a clipped trailing offset would silently exclude the last byte of the
-    # preceding row from the check.
-    if n_rows:
-        nonempty = np.diff(row_offsets) > 0
-        ascii_rows = np.ones(n_rows, dtype=bool)  # empty rows: trivially ASCII
-        if nonempty.any():
-            seg_starts = row_offsets[:-1][nonempty].astype(np.int64)
-            ascii_rows[nonempty] = np.maximum.reduceat(data, seg_starts) < 128
-    else:
-        ascii_rows = np.zeros(0, dtype=bool)
-
-    cls = _BYTE_CLASS[data]
-    word = cls == 1
-    punct = cls == 2
-
-    # word-run starts: word here, not word before (reset at row boundaries so
-    # runs never span adjacent rows in the contiguous buffer)
-    prev_word = np.zeros(n, dtype=bool)
-    prev_word[1:] = word[:-1]
-    row_starts = row_offsets[:-1]
-    row_starts = row_starts[row_starts < n]
-    prev_word[row_starts] = False
-    run_start = word & ~prev_word
-
-    starts = np.nonzero(run_start | punct)[0]
-    # word-run end = next non-word position after the start (or n)
-    nonword_pos = np.nonzero(~word)[0]
-    ends = np.full(starts.shape[0], n, dtype=np.int64)
-    if nonword_pos.shape[0]:
-        run_end_idx = np.searchsorted(nonword_pos, starts)
-        has_end = run_end_idx < nonword_pos.shape[0]
-        ends[has_end] = nonword_pos[run_end_idx[has_end]]
-    is_punct_tok = punct[starts]
-    ends[is_punct_tok] = starts[is_punct_tok] + 1
-    # clamp to the row boundary
-    row_of_start = np.searchsorted(row_offsets, starts, side="right") - 1
-    ends = np.minimum(ends, row_offsets[row_of_start + 1])
+    ascii_rows, starts, ends, row_of_start = _token_boundaries(data, row_offsets)
 
     # token hash from (head8, tail8, length): ONE unaligned little-endian u64
     # load per affix via an overlapping 1-byte-stride view, masked to the

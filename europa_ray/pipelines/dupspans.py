@@ -510,7 +510,7 @@ def dedup_spans_rewrite(
             }
         )
 
-    from europa_ray.pipelines.tiers import scrub_empty_blocks
+    from europa_ray.util import scrub_empty_blocks
 
     poslists = scrub_empty_blocks(
         joined.map_batches(unpack, batch_format="pyarrow")

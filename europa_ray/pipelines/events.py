@@ -195,6 +195,61 @@ def sliding_window_counts(
     )
 
 
+def _tag_and_union(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Shared two-sided co-location scaffolding for the join-shaped event
+    operators: project both sides to (key, id, t_us, side) metadata rows
+    and union them; the caller co-locates with ONE ``groupby(key_col)``.
+    Partitioning assumption (same as :func:`sessionize_events`): matches
+    never cross keys, so hash-partitioning by key is a complete exchange."""
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_col: batch[key_col],
+                    id_col: batch[id_col],
+                    "t_us": pa.array(_epoch_us(batch["ts"])),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return fn
+
+    return left.map_batches(project(0), batch_format="pyarrow").union(
+        right.map_batches(project(1), batch_format="pyarrow")
+    )
+
+
+def _split_sides(
+    group: pa.Table, key_col: str, id_col: str
+) -> tuple[object, np.ndarray, np.ndarray, np.ndarray]:
+    """(key, left times, left ids, SORTED right times) of one co-located
+    group."""
+    key = group[key_col][0].as_py()
+    t = group["t_us"].to_numpy()
+    side = group["side"].to_numpy()
+    ids = group[id_col].to_numpy()
+    return key, t[side == 0], ids[side == 0], np.sort(t[side == 1])
+
+
+def _empty_group(key_col: str, id_col: str, out_col: str) -> pa.Table:
+    return pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "t_us": pa.array([], pa.int64()),
+            out_col: pa.array([], pa.int64()),
+        }
+    )
+
+
 def asof_prev_ts(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -221,44 +276,21 @@ def asof_prev_ts(
     :func:`sessionize_events`.
     """
 
-    def project(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    key_col: batch[key_col],
-                    id_col: batch[id_col],
-                    "t_us": pa.array(_epoch_us(batch["ts"])),
-                    "side": pa.array(
-                        np.full(batch.num_rows, side, dtype=np.int8)
-                    ),
-                }
-            )
-
-        return fn
-
-    tagged = left.map_batches(project(0), batch_format="pyarrow").union(
-        right.map_batches(project(1), batch_format="pyarrow")
-    )
+    tagged = _tag_and_union(left, right, key_col, id_col)
 
     def merge(group: pa.Table) -> pa.Table:
-        key = group[key_col][0].as_py()
-        t = group["t_us"].to_numpy()
-        side = group["side"].to_numpy()
-        ids = group[id_col].to_numpy()
-        lt, lid = t[side == 0], ids[side == 0]
-        rt = np.sort(t[side == 1])
+        key, lt, lid, rt = _split_sides(group, key_col, id_col)
         if lt.shape[0] == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    key_col: pa.array([], pa.int64()),
-                    "t_us": pa.array([], pa.int64()),
-                    "prev_ts_us": pa.array([], pa.int64()),
-                }
-            )
-        idx = np.searchsorted(rt, lt, side="right") - 1
-        matched = idx >= 0
-        prev = np.where(matched, rt[np.maximum(idx, 0)], -1)
+            return _empty_group(key_col, id_col, "prev_ts_us")
+        if rt.shape[0] == 0:
+            # a key with left events but NO right events: every row gets
+            # the -1 sentinel (an eager rt[...] gather here would IndexError
+            # on the empty array — regression-tested)
+            prev = np.full(lt.shape[0], -1, dtype=np.int64)
+        else:
+            idx = np.searchsorted(rt, lt, side="right") - 1
+            matched = idx >= 0
+            prev = np.where(matched, rt[np.maximum(idx, 0)], -1)
         return pa.table(
             {
                 id_col: pa.array(lid.astype(np.int64)),
@@ -293,39 +325,13 @@ def range_join_counts(
     one ``groupby(key)`` shuffle, matches never cross keys.
     """
 
-    def project(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    key_col: batch[key_col],
-                    id_col: batch[id_col],
-                    "t_us": pa.array(_epoch_us(batch["ts"])),
-                    "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
-                }
-            )
-
-        return fn
-
-    tagged = left.map_batches(project(0), batch_format="pyarrow").union(
-        right.map_batches(project(1), batch_format="pyarrow")
-    )
+    tagged = _tag_and_union(left, right, key_col, id_col)
 
     def count_within(group: pa.Table) -> pa.Table:
-        key = group[key_col][0].as_py()
-        t = group["t_us"].to_numpy()
-        side = group["side"].to_numpy()
-        ids = group[id_col].to_numpy()
-        lt, lid = t[side == 0], ids[side == 0]
-        rt = np.sort(t[side == 1])
+        key, lt, lid, rt = _split_sides(group, key_col, id_col)
         if lt.shape[0] == 0:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    key_col: pa.array([], pa.int64()),
-                    "t_us": pa.array([], pa.int64()),
-                    "n_within": pa.array([], pa.int64()),
-                }
-            )
+            return _empty_group(key_col, id_col, "n_within")
+        # searchsorted on an empty rt returns 0 for both probes → count 0
         lo = np.searchsorted(rt, lt - delta_us, side="left")
         hi = np.searchsorted(rt, lt + delta_us, side="right")
         return pa.table(

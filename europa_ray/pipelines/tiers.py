@@ -61,7 +61,11 @@ import pyarrow as pa
 import ray.data
 
 from europa_ray.config import DEFAULT_CONFIG, EngineConfig
-from europa_ray.util import default_num_partitions, hex_to_u256_arrow
+from europa_ray.util import (
+    default_num_partitions,
+    hex_to_u256_arrow,
+    scrub_empty_blocks,
+)
 
 TIERS_SCHEMA = pa.schema(
     [
@@ -70,30 +74,6 @@ TIERS_SCHEMA = pa.schema(
         pa.field("dup_of", pa.int64()),
     ]
 )
-
-
-def scrub_empty_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
-    """Drop zero-row blocks from a MATERIALIZED dataset.
-
-    Ray 2.49's hash-shuffle join emits its empty partitions as ZERO-COLUMN
-    blocks (``pa.table({})`` — no schema), and ``map_batches`` passes them
-    through without invoking the UDF, so any join-descended dataset can
-    carry schema-less blocks that crash the next join with "no match or
-    multiple matches for key field … on right side". Zero-row blocks
-    contribute nothing, so we rebuild the dataset from the surviving block
-    refs — no data movement, blocks stay where they are in the object
-    store. ``schema`` supplies the result when every block is empty.
-    """
-    import ray
-
-    refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
-            if meta.num_rows is None or meta.num_rows > 0:
-                refs.append(block_ref)
-    if not refs:
-        return ray.data.from_arrow(schema.empty_table())
-    return ray.data.from_arrow_refs(refs)
 
 
 def _group_first(
@@ -273,6 +253,7 @@ def tiered_dedup(
     driver_max_keys: int = 100_000_000,
     rep_rule: str = "min_id",
     progress=None,
+    return_lens: bool = False,
 ) -> ray.data.Dataset:
     """Per-document tier attribution table ``(doc_id, tier, dup_of)``,
     sorted by id. The output id column is always named ``doc_id``
@@ -291,11 +272,30 @@ def tiered_dedup(
     longest = rep_rule == "longest"
     files = apply_filters(files, cfg)
     nparts = num_partitions or default_num_partitions()
+    # with_len also when the caller wants the lengths back (tier_savings):
+    # binary_length on the already-decoded digest batches is ~free, and it
+    # saves the caller a third full-corpus content scan
     digests = files.map_batches(
         _add_both_digests,
-        fn_kwargs={"id_col": id_col, "with_len": longest},
+        fn_kwargs={"id_col": id_col, "with_len": longest or return_lens},
         batch_format="pyarrow",
     ).materialize()
+
+    def _ret(out: ray.data.Dataset):
+        if not return_lens:
+            return out
+        import pyarrow.compute as _pc
+
+        lens_ds = digests.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": _pc.cast(b[id_col], pa.int64()),
+                    "__nb": _pc.cast(b["nbytes"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return out, lens_ds
 
     # ---- budget check: stream ids + both digests to the driver if small
     ids_p: list[np.ndarray] = []
@@ -315,13 +315,15 @@ def tiered_dedup(
             len_p.append(b["nbytes"].to_numpy())
 
     if over:
-        return _tiered_dedup_distributed(
-            files, digests, cfg, id_col, nparts, rep_rule, progress
+        return _ret(
+            _tiered_dedup_distributed(
+                files, digests, cfg, id_col, nparts, rep_rule, progress
+            )
         )
 
     if not ids_p:
         # no hashable content at all: every input row is kept
-        return _all_kept(files, id_col)
+        return _ret(_all_kept(files, id_col))
 
     ids = np.concatenate(ids_p)
     sha = np.concatenate(sha_p)
@@ -396,7 +398,7 @@ def tiered_dedup(
             "dup_of": pa.array(out_dup[final], pa.int64()),
         }
     )
-    return ray.data.from_arrow(tbl)
+    return _ret(ray.data.from_arrow(tbl))
 
 
 def _gather_ids(files: ray.data.Dataset, id_col: str) -> np.ndarray:
@@ -596,34 +598,49 @@ def tier_savings(
     staged dedup: at 100 TB the byte column is the storage/compute saved
     by running the cheap tiers before MinHash.
 
-    Shape: one extra content-length pass + an id-keyed metadata join
-    against the attribution table, then a 4-row aggregate. Null/empty
-    content counts 0 bytes.
+    Shape: the byte lengths come FROM the attribution run's own digest
+    pass (``return_lens=True`` — no extra content scan), joined back on id
+    (left-outer: empty/null-content kept rows are absent from the digest
+    table and count 0 bytes), then a 4-row aggregate.
     """
     import pyarrow.compute as pc
 
     nparts = num_partitions or default_num_partitions()
-    out = tiered_dedup(
+    out, lens = tiered_dedup(
         files,
         cfg,
         id_col=id_col,
         num_partitions=nparts,
         driver_max_keys=driver_max_keys,
         rep_rule=rep_rule,
-    ).materialize()
+        return_lens=True,
+    )
+    out = out.materialize()
+    lens = lens.materialize()
 
-    def id_len(batch: pa.Table) -> pa.Table:
-        nb = pc.coalesce(
-            pc.cast(pc.binary_length(batch["content"]), pa.int64()),
-            pa.scalar(0, pa.int64()),
+    if lens.count() == 0:
+        # nothing hashable: every row is kept at 0 bytes (a zero-row join
+        # side would crash Ray 2.49's hash shuffle)
+        n = out.count()
+        if n == 0:
+            return SAVINGS_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "tier": pa.array(["kept"], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "total_bytes": pa.array([0], pa.int64()),
+            }
         )
-        return pa.table({"doc_id": pc.cast(batch[id_col], pa.int64()), "__nb": nb})
 
-    lens = files.map_batches(id_len, batch_format="pyarrow").materialize()
     joined = scrub_empty_blocks(
-        out.join(lens, join_type="inner", num_partitions=nparts, on=("doc_id",))
+        out.join(lens, join_type="left_outer", num_partitions=nparts, on=("doc_id",))
         .map_batches(
-            lambda b: pa.table({"tier": b["tier"], "__nb": b["__nb"]}),
+            lambda b: pa.table(
+                {
+                    "tier": b["tier"],
+                    "__nb": pc.coalesce(b["__nb"], pa.scalar(0, pa.int64())),
+                }
+            ),
             batch_format="pyarrow",
         )
         .materialize(),

@@ -286,3 +286,29 @@ def int64_from_lexkey(col):
 
     u = pc.cast(col, pa.uint64()).to_numpy().astype(np.uint64)
     return pa.array((u + np.uint64(1 << 63)).view(np.int64), pa.int64())
+
+
+def scrub_empty_blocks(ds, schema):
+    """Drop zero-row blocks from a MATERIALIZED dataset.
+
+    Ray 2.49's hash-shuffle join emits its empty partitions as ZERO-COLUMN
+    blocks (``pa.table({})`` — no schema), and ``map_batches`` passes them
+    through without invoking the UDF, so any join-descended dataset can
+    carry schema-less blocks that crash the next join with "no match or
+    multiple matches for key field … on right side". Zero-row blocks
+    contribute nothing, so we rebuild the dataset from the surviving block
+    refs — no data movement, blocks stay where they are in the object
+    store. ``schema`` supplies the result when every block is empty.
+    """
+    import pyarrow as pa  # noqa: F401 (schema.empty_table)
+    import ray
+    import ray.data
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(refs)

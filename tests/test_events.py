@@ -260,3 +260,30 @@ def test_range_join_counts_planted(ray_session):
     assert out.loc[3].n_within == 0   # zero-neighbor left row KEPT
     assert out.loc[5].n_within == 0   # user isolation: 9000 is user 20's but too far
     assert len(out) == 3
+
+
+def test_asof_left_only_key(ray_session):
+    """Regression: a key whose events are ALL on the left side must get
+    the -1 sentinel, not an IndexError from gathering into the empty
+    right-timestamp array."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.events import asof_prev_ts
+
+    def ev(ids, users, ts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+                }
+            )
+        )
+
+    left = ev([1, 3], [30, 30], [100, 200])   # user 30: left-only
+    right = ev([2], [10], [50])               # right events for user 10 only
+    out = asof_prev_ts(left, right).to_pandas().set_index("event_id").sort_index()
+    assert list(out.prev_ts_us) == [-1, -1]
