@@ -81,6 +81,19 @@ def _q_norm_exact_dup_members(sf_dir: str):
     return _collect(out).select(["doc_id", "norm_sha256", "n_members"])
 
 
+def _q_type2_clone_members(sf_dir: str):
+    """Type-2 (consistent-rename) clone groups: parameterized canonical form
+    (Baker'93 P-string — every token replaced by its first-occurrence rank)
+    over the normalization chain, grouped by digest. Planted rename mutants
+    ('scan' → 'zqx') are byte- AND normalization-distinct but value-checked
+    here against a pure-SQL replica of the canonicalizer."""
+    from europa_ray.pipelines.clones import type2_clone_members
+    from europa_ray.sources.augment import with_rename_mutants
+
+    out = type2_clone_members(with_rename_mutants(_docs(sf_dir)), id_cols=("doc_id",))
+    return _collect(out).select(["doc_id", "p_sha256", "n_members"])
+
+
 def _q_dedup_tiers(sf_dir: str):
     """One-row tier report over the exact-dup + format-mutant augmented
     corpus: rows each dedup tier (byte-exact, then normalization) removes."""
@@ -843,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dup_members": wrap(_q_exact_dup_members),
         "norm_exact_dup_members": wrap(_q_norm_exact_dup_members),
+        "type2_clone_members": wrap(_q_type2_clone_members),
         "dedup_tiers": wrap(_q_dedup_tiers),
         "tiered_dedup": wrap(_q_tiered_dedup),
         "tiered_dedup_longest": wrap(_q_tiered_dedup_longest),
@@ -1306,6 +1320,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sha256(n) AS norm_sha256,
                    count(*) OVER (PARTITION BY sha256(n)) AS n_members
             FROM norm WHERE length(n) > 0
+            QUALIFY n_members > 1
+        """,
+        # rdocs mirrors sources/augment.py with_rename_mutants; the canon
+        # chain replicates pipelines/clones.param_canonical_arrow — the norm
+        # expression (shared with norm_exact_dup_members) followed by the
+        # Baker'93 first-occurrence-rank rewrite (zipped unnest for token
+        # positions, dense_rank over first positions, space-joined 't<r>')
+        "type2_clone_members": """
+            WITH rdocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 60000000,
+                       regexp_replace(text, '\\bscan\\b', 'zqx', 'g')
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 1
+            ),
+            norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                                lower(regexp_replace(text,
+                                    '(//|#)[^' || chr(10) || ']*', '', 'g')),
+                                '[ ' || chr(9) || chr(13) || chr(10) || ']+',
+                                ' ', 'g'), ' ') AS n
+                FROM rdocs WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            lists AS (
+                SELECT doc_id, string_split(n, ' ') AS l
+                FROM norm WHERE length(n) > 0
+            ),
+            toks AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       unnest(range(1, len(l) + 1)) AS pos
+                FROM lists
+            ),
+            firsts AS (
+                SELECT doc_id, tok, min(pos) AS fp
+                FROM toks GROUP BY doc_id, tok
+            ),
+            ranked AS (
+                SELECT doc_id, tok,
+                       dense_rank() OVER (PARTITION BY doc_id ORDER BY fp) - 1 AS r
+                FROM firsts
+            ),
+            canon AS (
+                SELECT t.doc_id, string_agg('t' || r.r, ' ' ORDER BY t.pos) AS cform
+                FROM toks t
+                JOIN ranked r ON t.doc_id = r.doc_id AND t.tok = r.tok
+                GROUP BY t.doc_id
+            )
+            SELECT doc_id, sha256(cform) AS p_sha256,
+                   count(*) OVER (PARTITION BY cform) AS n_members
+            FROM canon
             QUALIFY n_members > 1
         """,
         # composition mirrors with_format_mutants(with_exact_dups(docs)):

@@ -287,6 +287,69 @@ def with_format_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.union(muts)
 
 
+RENAME_OFFSET = 60_000_000
+RENAME_EVERY = 5
+RENAME_RESIDUE = 1
+#: RE2 pattern + replacement shared verbatim with the DuckDB oracle — a
+#: bijective token rename ('scan' → the out-of-vocabulary 'zqx'), i.e. a
+#: planted Type-2 clone for :mod:`europa_ray.pipelines.clones`.
+RENAME_RE = r"\bscan\b"
+RENAME_TO = "zqx"
+
+
+def _rename_mutant_rows(batch: pa.Table) -> pa.Table:
+    """Consistent-rename variants of every ``RENAME_EVERY``-th nonempty doc
+    (residue ``RENAME_RESIDUE``) under a shifted doc_id: every standalone
+    ``scan`` token becomes ``zqx``. Byte-distinct AND normalization-distinct
+    whenever the doc contains the token (neither the exact nor the norm tier
+    may pair them) but identical under the parameterized canonical form of
+    :func:`europa_ray.pipelines.clones.param_canonical_arrow`. SQL mirror
+    (oracle_sql): ``regexp_replace(text, '\\bscan\\b', 'zqx', 'g')``."""
+    import pyarrow.compute as pc
+
+    ids_col = batch["doc_id"]
+    ids = (
+        ids_col.combine_chunks() if isinstance(ids_col, pa.ChunkedArray) else ids_col
+    ).to_numpy()
+    mask = pa.array(
+        (ids % RENAME_EVERY == RENAME_RESIDUE)
+        & pc.greater(pc.utf8_length(batch["content"]), 0).to_numpy(
+            zero_copy_only=False
+        )
+    )
+    picked = batch.filter(mask)
+    if picked.num_rows == 0:
+        return picked
+    new_id = pc.add(picked["doc_id"], RENAME_OFFSET)
+    content = pc.replace_substring_regex(
+        picked["content"], pattern=RENAME_RE, replacement=RENAME_TO
+    )
+    cols = {}
+    for c in picked.column_names:
+        if c == "doc_id":
+            cols[c] = new_id
+        elif c == "content":
+            cols[c] = content
+        elif c == "path":
+            cols[c] = pc.binary_join_element_wise(
+                pc.cast(new_id, pa.string()), pa.scalar(".txt"), ""
+            )
+        elif c == "commit":
+            cols[c] = pc.utf8_lpad(pc.cast(new_id, pa.string()), 40, "0")
+        else:
+            cols[c] = picked[c]
+    return pa.table(cols)
+
+
+def with_rename_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset ∪ consistent-rename variants — the fixture for
+    Type-2 clone detection (:mod:`europa_ray.pipelines.clones`): raw AND
+    normalized sha256 differ (when the renamed token occurs), parameterized
+    canonical form matches the source doc's."""
+    muts = files_ds.map_batches(_rename_mutant_rows, batch_format="pyarrow")
+    return files_ds.union(muts)
+
+
 def with_all_dup_tiers(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     """The tiered-dedup fixture: base docs ∪ near-dup/substring mutants
     (``with_mutants``) ∪ byte-exact copies ∪ formatting-only variants —

@@ -109,6 +109,7 @@ def test_all_queries_have_callables(entry_mod):
         "dedup_report",
         "token_quantiles",
         "norm_exact_dup_members",
+        "type2_clone_members",
         "dedup_tiers",
         "tiered_dedup",
         "tiered_dedup_longest",
