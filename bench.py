@@ -253,6 +253,15 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("tiers", tiers)
 
+    def clones():
+        """Type-2 (consistent-rename) clone grouping — parameterized
+        canonical form + digest-only groupby over the sf corpus."""
+        from europa_ray.pipelines.clones import type2_clone_members
+
+        return type2_clone_members(read()).count()
+
+    bench("clones", clones)
+
     def semdedup():
         """SemDeDup at the clustered production config (nlist=16) over the
         sf embeddings table."""

@@ -176,6 +176,19 @@ def cmd_exact(args) -> dict:
     return {"clusters_rows": out.count()}
 
 
+def cmd_clones(args) -> dict:
+    """Type-2 (consistent-rename) clone groups over the parameterized
+    canonical form (:mod:`europa_ray.pipelines.clones`) — the tier between
+    normalization-exact and MinHash near-dup in the clone taxonomy."""
+    from europa_ray.pipelines.clones import type2_clone_members
+    from europa_ray.sources.files import read_files
+
+    cfg = _config_from_args(args)
+    out = type2_clone_members(read_files(args.input), cfg)
+    out.write_parquet(args.output + "/type2_clones")
+    return {"clone_rows": out.count()}
+
+
 def cmd_textstats(args) -> dict:
     from europa_ray.pipelines.textstats import (
         lang_id_batch,
@@ -373,7 +386,7 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in (
         "neardup", "exact", "textstats", "sample", "decontam",
-        "forks", "crossdup", "semdedup", "report", "tiers",
+        "forks", "crossdup", "semdedup", "report", "tiers", "clones",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True)
@@ -432,6 +445,7 @@ def main(argv=None) -> int:
         "semdedup": cmd_semdedup,
         "report": cmd_report,
         "tiers": cmd_tiers,
+        "clones": cmd_clones,
     }[args.cmd](args)
     result["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(result))

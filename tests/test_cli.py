@@ -175,6 +175,20 @@ def test_cli_tiers_subcommand(ray_session, tiny_corpus, tmp_path, capsys):
     assert set(tbl.column_names) == {"doc_id", "tier", "dup_of"}
 
 
+def test_cli_clones_subcommand(ray_session, tiny_corpus, tmp_path, capsys):
+    """clones runs end-to-end and finds at least the planted exact-dup
+    classes (Type-2 groups superset exact groups by construction)."""
+    from europa_ray.cli import main
+
+    out = str(tmp_path / "clones")
+    assert main(["clones", "--input", tiny_corpus, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["clone_rows"] > 0
+    tbl = pq.read_table(glob.glob(out + "/type2_clones/*.parquet"))
+    assert {"p_sha256", "n_members"} <= set(tbl.column_names)
+    assert min(tbl["n_members"].to_pylist()) >= 2
+
+
 def test_row_id_unique_per_identity(ray_session, tiny_corpus):
     """Regression: pandas' string hash truncates at the first NUL byte, so
     the old "\\x00"-joined row_id collapsed every (path, commit) under one
