@@ -587,6 +587,25 @@ def _q_embedding_dup_pairs_lsh(sf_dir: str):
     )
 
 
+def _q_embedding_dup_pairs_lsh_probe(sf_dir: str):
+    """Multi-probe LSH (probe_bits=1) at the documented reduced-shuffle
+    config (5 tables × 8 bits ≈ 0.42× the exploded rows of the 12 × 6
+    exact-mode default). Planted exact copies collide in every bucket, so
+    the verified pair set equals the exact-LSH variant's and shares the
+    embedding_dup_pairs oracle; borderline-similarity recall is covered by
+    tests/test_embed_neardup.py's planted clusters."""
+    from europa_ray.sources.augment import with_embedding_dups
+    from europa_ray.stages.ann import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        with_embedding_dups(_load_embeddings(sf_dir)),
+        threshold=0.9,
+        n_bits=8,
+        n_tables=5,
+        probe_bits=1,
+    )
+
+
 def _q_semantic_dup_pairs(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) within-cell cosine pairs at the ORACLE
     config: nlist=1 puts every row in one cell, so the pair set equals the
@@ -884,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": wrap(_q_ann_topk_ivf),
         "embedding_dup_pairs": wrap(_q_embedding_dup_pairs),
         "embedding_dup_pairs_lsh": wrap(_q_embedding_dup_pairs_lsh),
+        "embedding_dup_pairs_lsh_probe": wrap(_q_embedding_dup_pairs_lsh_probe),
         "semantic_dup_pairs": wrap(_q_semantic_dup_pairs),
         "semdedup_kept_ids": wrap(_q_semdedup_kept_ids),
         "multimodal_features": wrap(_q_multimodal_features),
@@ -2193,6 +2213,7 @@ def oracle_sql() -> dict[str, str]:
     # sub-1.0 similarity is covered by tests/test_embed_neardup.py
     # (recall >= 0.99 vs the exact pass on perturbed planted pairs).
     sql["embedding_dup_pairs_lsh"] = sql["embedding_dup_pairs"]
+    sql["embedding_dup_pairs_lsh_probe"] = sql["embedding_dup_pairs"]
     # bloom prefilter never changes the answer (no false negatives; false
     # positives only enlarge the exact-verify join's input) — the scale
     # path shares the exact operator's oracle verbatim.

@@ -456,6 +456,38 @@ def _emb_table_keys(
     return splitmix64(raw ^ salts[None, :]).view(np.int64)
 
 
+def _emb_raw_keys(
+    m_normed: np.ndarray, planes: np.ndarray, n_tables: int, n_bits: int
+) -> np.ndarray:
+    """Normalized vectors → (n, n_tables) STRUCTURED uint64 composite keys
+    ``(table_index << n_bits) | bucket_bits`` — the multi-probe
+    representation: the raw bucket bits survive so 1-bit neighbor buckets
+    can be linked by masking, and the table prefix keeps tables disjoint
+    without salting. Mix with :func:`europa_ray.util.splitmix64` before any
+    hash partitioning (raw composites are NOT uniform in their low bits)."""
+    bits = (m_normed @ planes.T) >= 0  # (n, T*nb)
+    bits = bits.reshape(m_normed.shape[0], n_tables, n_bits)
+    pow2 = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))[None, None, :]
+    raw = (bits.astype(np.uint64) * pow2).sum(axis=2, dtype=np.uint64)  # (n, T)
+    return raw | (np.arange(n_tables, dtype=np.uint64) << np.uint64(n_bits))[None, :]
+
+
+def _probe_masks(n_bits: int, probe_bits: int) -> list[np.ndarray]:
+    """The masked-key passes realizing Hamming-radius-``probe_bits`` probing
+    (radius 1 supported): pass ``i`` groups vectors by the composite key
+    with bucket bit ``i`` zeroed, so two vectors whose buckets differ ONLY
+    in bit ``i`` land in one group. Equal buckets are equal under every
+    mask, so the exact-collision pass is subsumed — ``n_bits`` passes total,
+    ZERO extra shuffle rows (the same gathered (key, node) arrays are
+    re-masked per pass)."""
+    if probe_bits == 0:
+        return [np.uint64(0xFFFFFFFFFFFFFFFF)]
+    return [
+        np.uint64(0xFFFFFFFFFFFFFFFF) ^ (np.uint64(1) << np.uint64(i))
+        for i in range(n_bits)
+    ]
+
+
 def _emb_payload(sub: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """``list<float>`` column → (flat float64-as-uint64 values, offsets) for
     the pairverify payload contract."""
@@ -489,6 +521,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     num_partitions: int = 8,
+    probe_bits: int = 0,
     driver_max_kn_rows: int = 100_000_000,
     driver_max_cand_rows: int = 20_000_000,
     driver_max_payload_bytes: int = 512 << 20,
@@ -511,18 +544,22 @@ def embedding_near_dup_pairs(
     (6 bits × 12 tables, t = 0.9) union recall ≈ 0.998, higher above the
     threshold. Raise ``n_tables`` for tighter thresholds.
 
-    Multi-probe variant (considered; numbers for t = 0.9): 5 tables × 8
-    bits pairing buckets that differ in ≤ 1 bit gives union recall ≈
-    0.9965 at ~0.42× the shuffle rows and ~equal candidate volume
-    (16% vs 17% of random pairs). The 1-bit cross-bucket link is
-    implementable in the plasma-partitioned pairer by re-masking the
-    in-plasma key array per flip bit (partition on ``key & ~e_i``, pair
-    only across the bit split) — no extra shuffle rows — but costs 6
-    extra partition passes and an equivalent 6 extra groupbys in the
-    distributed fallback. At the current single-node operating points the
-    explode is not the bottleneck, so the simpler exact-key design wins;
-    flip to multi-probe when per-row shuffle volume dominates (≳10⁹ rows
-    per node) — the recall bar (≥ 0.99) still holds.
+    Multi-probe mode (``probe_bits=1``, Lv et al. VLDB'07 multi-probe LSH
+    adapted to all-pairs): vectors also pair across buckets that differ in
+    exactly one bit. Implementation: the explode carries RAW structured
+    composites (``_emb_raw_keys``) instead of mixed keys, and the SAME
+    gathered (key, node) arrays are re-masked + splitmix-mixed once per
+    bucket bit (``_probe_masks``) — ``n_bits`` plasma-partitioned pairing
+    passes, ZERO extra shuffle rows (equal buckets are equal under every
+    mask, so the exact-collision pass is subsumed). The payoff is config:
+    5 tables × 8 bits probed gives union recall ≈ 0.9965 at t = 0.9 —
+    ~0.42× the shuffle rows of the exact-mode default (12 × 6) at ~equal
+    candidate volume. Use it when per-row shuffle volume dominates (≳10⁹
+    rows per node); the exact-mode default stays optimal when the explode
+    is not the bottleneck. At EQUAL (n_tables, n_bits) config, probe mode's
+    candidate set is a deterministic superset of exact mode's
+    (property-tested). The distributed fallback runs the equivalent
+    ``n_bits`` masked groupbys (one shuffle per probe pass).
 
     Reference parity: ANN range search + score-threshold verify,
     ``/root/reference/Api/Client/QdrantRepository.cs:184-206``.
@@ -531,6 +568,8 @@ def embedding_near_dup_pairs(
     from europa_ray.stages.lsh import _pair_partitioned
     from europa_ray.stages.pairverify import verify_pairs
 
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits supports Hamming radius 0 or 1 only")
     cfg = DEFAULT_CONFIG
     first = embeddings.take_batch(1, batch_format="pyarrow")
     dim = _embedding_matrix(first).shape[1]
@@ -541,7 +580,13 @@ def embedding_near_dup_pairs(
     def explode_keys(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         m = _normalize(_embedding_matrix(batch))
-        keys = _emb_table_keys(m, pl, n_tables, n_bits, salts)  # (n, T)
+        if probe_bits:
+            # raw structured composites — masked + splitmix-mixed per probe
+            # pass on the driver (the bucket-bit structure must survive the
+            # gather; mixing here would destroy 1-bit adjacency)
+            keys = _emb_raw_keys(m, pl, n_tables, n_bits).view(np.int64)
+        else:
+            keys = _emb_table_keys(m, pl, n_tables, n_bits, salts)  # (n, T)
         ids = batch[id_col].to_numpy().astype(np.int64)
         return pa.table(
             {
@@ -565,18 +610,41 @@ def embedding_near_dup_pairs(
         nd_parts.append(b["node"].to_numpy())
     if over:
         return _emb_inline_pairs(
-            embeddings, planes, salts, threshold, n_tables, n_bits, id_col, cfg
+            embeddings, planes, salts, threshold, n_tables, n_bits, id_col, cfg,
+            probe_bits=probe_bits,
         )
     if not bk_parts:
         return ray.data.from_arrow(EMB_PAIRS_SCHEMA.empty_table())
     bk = np.concatenate(bk_parts)
     nd = np.concatenate(nd_parts)
-    paired = _pair_partitioned(bk, nd, cfg, driver_max_cand_rows)
-    if paired is None:
-        return _emb_inline_pairs(
-            embeddings, planes, salts, threshold, n_tables, n_bits, id_col, cfg
-        )
-    ca, cb = paired
+    if probe_bits:
+        from europa_ray.util import splitmix64
+
+        bk_u = bk.view(np.uint64)
+        ca_parts: list[np.ndarray] = []
+        cb_parts: list[np.ndarray] = []
+        n_cand = 0
+        for mask in _probe_masks(n_bits, probe_bits):
+            mixed = splitmix64(bk_u & mask).view(np.int64)
+            paired = _pair_partitioned(mixed, nd, cfg, driver_max_cand_rows)
+            if paired is not None:
+                n_cand += paired[0].shape[0]
+            if paired is None or n_cand > driver_max_cand_rows:
+                return _emb_inline_pairs(
+                    embeddings, planes, salts, threshold, n_tables, n_bits,
+                    id_col, cfg, probe_bits=probe_bits,
+                )
+            ca_parts.append(paired[0])
+            cb_parts.append(paired[1])
+        ca = np.concatenate(ca_parts) if ca_parts else np.empty(0, np.int64)
+        cb = np.concatenate(cb_parts) if cb_parts else np.empty(0, np.int64)
+    else:
+        paired = _pair_partitioned(bk, nd, cfg, driver_max_cand_rows)
+        if paired is None:
+            return _emb_inline_pairs(
+                embeddings, planes, salts, threshold, n_tables, n_bits, id_col, cfg
+            )
+        ca, cb = paired
     if ca.shape[0] == 0:
         return ray.data.from_arrow(EMB_PAIRS_SCHEMA.empty_table())
     lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
@@ -608,29 +676,47 @@ def _emb_inline_pairs(
     n_bits: int,
     id_col: str,
     cfg,
+    *,
+    probe_bits: int = 0,
 ) -> ray.data.Dataset:
     """Fully distributed fallback: embeddings carried through the bucket
     explode (×``n_tables`` replication — the price of zero driver state),
     capped in-bucket pairing + exact-cosine verify inside ``map_groups``,
-    cross-table dedup via the exact composite-key machinery."""
+    cross-table dedup via the exact composite-key machinery. With
+    ``probe_bits=1`` the groupby runs once per bucket bit on the masked
+    composite key (one shuffle per probe pass — the documented distributed
+    cost of multi-probe) and the per-pass pair tables are unioned before
+    the cross-table dedup."""
     planes_ref = ray.put(planes)
 
-    def explode_full(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
-        m = _normalize(_embedding_matrix(batch))
-        keys = _emb_table_keys(m, pl, n_tables, n_bits, salts)
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        emb = batch["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        rep_idx = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_tables))
-        return pa.table(
-            {
-                "band_key": pa.array(keys.ravel()),
-                "node": pa.array(np.repeat(ids, n_tables)),
-                "embedding": emb.take(rep_idx),
-            }
-        )
+    def make_explode(mask):
+        def explode_full(batch: pa.Table) -> pa.Table:
+            pl = ray.get(planes_ref)
+            m = _normalize(_embedding_matrix(batch))
+            if mask is None:
+                keys = _emb_table_keys(m, pl, n_tables, n_bits, salts)
+            else:
+                from europa_ray.util import splitmix64
+
+                keys = splitmix64(
+                    _emb_raw_keys(m, pl, n_tables, n_bits) & mask
+                ).view(np.int64)
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            emb = batch["embedding"]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            rep_idx = pa.array(
+                np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_tables)
+            )
+            return pa.table(
+                {
+                    "band_key": pa.array(keys.ravel()),
+                    "node": pa.array(np.repeat(ids, n_tables)),
+                    "embedding": emb.take(rep_idx),
+                }
+            )
+
+        return explode_full
 
     def pair_bucket(group: pa.Table) -> pa.Table:
         nodes = group["node"].to_numpy()
@@ -664,12 +750,16 @@ def _emb_inline_pairs(
             }
         )
 
-    pairs = (
-        embeddings.map_batches(explode_full, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(pair_bucket, batch_format="pyarrow")
-        .materialize()
-    )
+    masks = [None] if not probe_bits else _probe_masks(n_bits, probe_bits)
+    pairs = None
+    for mk in masks:
+        part = (
+            embeddings.map_batches(make_explode(mk), batch_format="pyarrow")
+            .groupby("band_key")
+            .map_groups(pair_bucket, batch_format="pyarrow")
+        )
+        pairs = part if pairs is None else pairs.union(part)
+    pairs = pairs.materialize()
     n = pairs.count()
     if n == 0:
         return ray.data.from_arrow(EMB_PAIRS_SCHEMA.empty_table())

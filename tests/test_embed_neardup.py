@@ -130,3 +130,76 @@ def test_embedding_near_dup_empty_and_distant(ray_session):
     got = entry._collect(embedding_near_dup_pairs(_emb_ds(m, ids), threshold=0.9))
     assert got.num_rows == 0
     assert set(got.schema.names) == {"a", "b", "score"}
+
+
+# ---------------------------------------------------------------------------
+# multi-probe mode (probe_bits=1)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def planted_borderline(ray_session):
+    """Clusters at cos ≈ 0.92 — just above the 0.9 threshold, where exact
+    5-table × 8-bit LSH recall is ~0.87 but 1-bit probing lifts it ≥ 0.99
+    (the regime multi-probe exists for)."""
+    m, ids = _planted_embeddings(seed=13, noise=0.29, n_clusters=40)
+    return m, ids, _emb_ds(m, ids)
+
+
+def test_probe_mode_superset_at_equal_config(planted):
+    """At EQUAL (n_tables, n_bits), probe mode's verified pair set is a
+    deterministic superset of exact mode's: equal buckets are equal under
+    every mask, so every exact collision survives probing."""
+    from europa_ray.stages.ann import embedding_near_dup_pairs
+
+    m, ids, ds = planted
+    kw = dict(threshold=0.9, n_bits=8, n_tables=5)
+    exact = embedding_near_dup_pairs(ds, **kw).to_pandas()
+    probe = embedding_near_dup_pairs(ds, probe_bits=1, **kw).to_pandas()
+    eset = {(int(a), int(b)) for a, b in zip(exact.a, exact.b)}
+    pset = {(int(a), int(b)) for a, b in zip(probe.a, probe.b)}
+    assert eset <= pset
+    truth = _exact_pairs(m.astype(np.float32).astype(np.float64), ids, 0.9)
+    assert pset <= truth  # precision 1.0 — every pair exact-cosine-verified
+
+
+def test_probe_mode_lifts_recall_at_reduced_shuffle_config(planted_borderline):
+    """The headline claim: 5 tables × 8 bits PROBED (0.42× the shuffle rows
+    of the 12 × 6 exact default) meets the ≥ 0.99 recall bar on borderline
+    (cos ≈ 0.92) pairs where the same config unprobed falls short."""
+    from europa_ray.stages.ann import embedding_near_dup_pairs
+
+    m, ids, ds = planted_borderline
+    truth = _exact_pairs(m.astype(np.float32).astype(np.float64), ids, 0.9)
+    assert len(truth) >= 30
+    kw = dict(threshold=0.9, n_bits=8, n_tables=5)
+    exact = embedding_near_dup_pairs(ds, **kw).to_pandas()
+    probe = embedding_near_dup_pairs(ds, probe_bits=1, **kw).to_pandas()
+    eset = {(int(a), int(b)) for a, b in zip(exact.a, exact.b)}
+    pset = {(int(a), int(b)) for a, b in zip(probe.a, probe.b)}
+    e_recall = len(eset & truth) / len(truth)
+    p_recall = len(pset & truth) / len(truth)
+    assert p_recall >= 0.99, f"probe recall {p_recall:.4f}"
+    assert p_recall > e_recall, (p_recall, e_recall)
+
+
+def test_probe_mode_inline_path_equivalent(planted_borderline):
+    """Forcing the kn-gather budget to 0 exercises the probe variant of the
+    fully distributed fallback (one masked groupby per bucket bit); the
+    pair set must match the driver masked-pass path."""
+    from europa_ray.stages.ann import embedding_near_dup_pairs
+
+    m, ids, ds = planted_borderline
+    kw = dict(threshold=0.9, n_bits=8, n_tables=5, probe_bits=1)
+    default = embedding_near_dup_pairs(ds, **kw).to_pandas()
+    inline = embedding_near_dup_pairs(ds, driver_max_kn_rows=0, **kw).to_pandas()
+    dset = {(int(a), int(b)) for a, b in zip(default.a, default.b)}
+    iset = {(int(a), int(b)) for a, b in zip(inline.a, inline.b)}
+    assert dset == iset
+
+
+def test_probe_bits_validated(planted):
+    from europa_ray.stages.ann import embedding_near_dup_pairs
+
+    _, _, ds = planted
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(ds, probe_bits=2)

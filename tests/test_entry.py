@@ -83,6 +83,7 @@ def test_all_queries_have_callables(entry_mod):
         "vendored_dir_groups",
         "substr_pairs",
         "embedding_dup_pairs_lsh",
+        "embedding_dup_pairs_lsh_probe",
         "semantic_dup_pairs",
         "semdedup_kept_ids",
         "windowed_event_counts",
