@@ -253,6 +253,19 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("tiers", tiers)
 
+    def tiers_t2():
+        """Four-tier attribution (exact → norm → Type-2 consistent-rename →
+        near): the tiers pipeline plus one fused canonical-form digest in
+        the same content pass and one extra digest-keyed group level."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.tiers import tiered_dedup
+
+        return tiered_dedup(
+            _with_row_id(read()), id_col="row_id", with_type2=True
+        ).count()
+
+    bench("tiers_t2", tiers_t2)
+
     def clones():
         """Type-2 (consistent-rename) clone grouping — parameterized
         canonical form + digest-only groupby over the sf corpus."""

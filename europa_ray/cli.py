@@ -369,7 +369,8 @@ def cmd_tiers(args) -> dict:
         progress = Progress().watch()
     out = tiered_dedup(
         _with_row_id(read_files(args.input)), cfg, id_col="row_id",
-        rep_rule=args.rep_rule, progress=progress,
+        rep_rule=args.rep_rule, with_type2=getattr(args, "type2", False),
+        progress=progress,
     ).materialize()
     out.write_parquet(args.output + "/tiers")
     counts = {
@@ -430,6 +431,9 @@ def main(argv=None) -> int:
             sp.add_argument("--rep-rule", default="min_id",
                             choices=["min_id", "longest"],
                             help="group representative: minimum id or most content bytes")
+            sp.add_argument("--type2", action="store_true",
+                            help="insert the Type-2 (consistent-rename) tier "
+                                 "between norm and near")
     args = p.parse_args(argv)
 
     owned = _init_ray()

@@ -55,7 +55,13 @@ def param_canonical_arrow(col) -> pa.Array:
     largest per-document rank (≤ max distinct tokens in one doc) to build
     the ``t<r>`` lookup table.
     """
-    norm = normalize_code_arrow(col)
+    return param_canonical_from_norm(normalize_code_arrow(col))
+
+
+def param_canonical_from_norm(norm) -> pa.Array:
+    """The first-occurrence-rank rewrite over an ALREADY-normalized column
+    (``normalize_code_arrow`` output) — lets a fused digest stage share one
+    normalization pass between the norm and Type-2 tiers."""
     if isinstance(norm, pa.ChunkedArray):
         norm = norm.combine_chunks()
     # large_string → large_list offsets (int64): immune to the int32 offset

@@ -86,12 +86,14 @@ def norm_dup_members(
 
 
 def _add_both_digests(
-    batch: pa.Table, *, id_col: str, with_len: bool = False
+    batch: pa.Table, *, id_col: str, with_len: bool = False, with_param: bool = False
 ) -> pa.Table:
-    """One content pass → (id, sha256, norm_sha256[, nbytes]); content
-    dropped before any shuffle. Empty raw content is dropped (both tiers'
-    predicate). ``with_len`` adds the raw content byte length (the
-    keep-longest representative rule's ordering key)."""
+    """One content pass → (id, sha256, norm_sha256[, p_sha256][, nbytes]);
+    content dropped before any shuffle. Empty raw content is dropped (every
+    tier's predicate). ``with_len`` adds the raw content byte length (the
+    keep-longest representative rule's ordering key); ``with_param`` adds
+    the Type-2 parameterized-canonical digest
+    (:func:`europa_ray.pipelines.clones.param_canonical_arrow`)."""
     mask = pc.greater(pc.utf8_length(batch["content"]), 0)
     batch = batch.filter(mask)
     raw_sha = pa.array(sha256_hex_arrow(batch["content"]), pa.string())
@@ -109,6 +111,18 @@ def _add_both_digests(
         "sha256": raw_sha,
         "norm_sha256": norm_sha,
     }
+    if with_param:
+        from europa_ray.pipelines.clones import param_canonical_from_norm
+
+        canon = pc.cast(param_canonical_from_norm(norm), pa.string())
+        # same empty-fallback chain: a doc whose canonical form is empty
+        # keeps its NORM identity in the Type-2 tier (never merges
+        # contentless docs; mirrored by the oracle's CASE/COALESCE)
+        cols["p_sha256"] = pc.if_else(
+            pc.greater(pc.utf8_length(canon), 0),
+            pa.array(sha256_hex_arrow(canon), pa.string()),
+            norm_sha,
+        )
     if with_len:
         cols["nbytes"] = pc.cast(pc.binary_length(batch["content"]), pa.int64())
     return pa.table(cols)

@@ -252,6 +252,7 @@ def tiered_dedup(
     num_partitions: int | None = None,
     driver_max_keys: int = 100_000_000,
     rep_rule: str = "min_id",
+    with_type2: bool = False,
     progress=None,
     return_lens: bool = False,
 ) -> ray.data.Dataset:
@@ -259,6 +260,15 @@ def tiered_dedup(
     sorted by id. The output id column is always named ``doc_id``
     regardless of ``id_col`` (the CLI feeds a derived ``row_id``). See the
     module docstring for semantics.
+
+    ``with_type2=True`` inserts the Type-2 (consistent-rename) tier between
+    norm and near: survivors of both exact tiers whose parameterized
+    canonical form (:mod:`europa_ray.pipelines.clones`) matches a surviving
+    smaller/longer doc's are dropped with ``tier='t2'``. The P-digest is a
+    function of the normalized content, so the tier attributes over
+    DISTINCT norm digests exactly as norm attributes over distinct raw
+    digests — the chain exact ⊆ norm ⊆ t2 stays one lexsort per tier on the
+    driver path and one extra digest-keyed Min-groupby + join distributed.
 
     Config filters (lang include/exclude, size range) are applied ONCE up
     front so every tier sees the same universe; rows a filter excludes do
@@ -277,7 +287,11 @@ def tiered_dedup(
     # saves the caller a third full-corpus content scan
     digests = files.map_batches(
         _add_both_digests,
-        fn_kwargs={"id_col": id_col, "with_len": longest or return_lens},
+        fn_kwargs={
+            "id_col": id_col,
+            "with_len": longest or return_lens,
+            "with_param": with_type2,
+        },
         batch_format="pyarrow",
     ).materialize()
 
@@ -297,10 +311,11 @@ def tiered_dedup(
         )
         return out, lens_ds
 
-    # ---- budget check: stream ids + both digests to the driver if small
+    # ---- budget check: stream ids + digests to the driver if small
     ids_p: list[np.ndarray] = []
     sha_p: list[np.ndarray] = []
     nsha_p: list[np.ndarray] = []
+    psha_p: list[np.ndarray] = []
     len_p: list[np.ndarray] = []
     total, over = 0, False
     for b in digests.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
@@ -311,13 +326,16 @@ def tiered_dedup(
         ids_p.append(b[id_col].to_numpy())
         sha_p.append(hex_to_u256_arrow(b["sha256"]))
         nsha_p.append(hex_to_u256_arrow(b["norm_sha256"]))
+        if with_type2:
+            psha_p.append(hex_to_u256_arrow(b["p_sha256"]))
         if longest:
             len_p.append(b["nbytes"].to_numpy())
 
     if over:
         return _ret(
             _tiered_dedup_distributed(
-                files, digests, cfg, id_col, nparts, rep_rule, progress
+                files, digests, cfg, id_col, nparts, rep_rule, progress,
+                with_type2=with_type2,
             )
         )
 
@@ -338,8 +356,8 @@ def tiered_dedup(
     # function of content, so it is constant within each sha group)
     starts = np.flatnonzero(np.r_[True, gidx[1:] != gidx[:-1]])
     nsha_g = nsha[order][starts]
+    lens_g = np.concatenate(len_p)[order][starts] if longest else None
     if longest:
-        lens_g = np.concatenate(len_p)[order][starts]
         o2, g2idx, rep2_n = _group_first(
             nsha_g, (np.negative(lens_g), rep1_g), rep1_g
         )
@@ -349,9 +367,36 @@ def tiered_dedup(
     rep2_g[o2] = rep2_n[g2idx]
     rep2 = rep2_g[gidx]
 
+    # tier 2.5 — Type-2 (parameterized), over DISTINCT norm digests only
+    # (the P-digest is a function of the normalized content, so it is
+    # constant within each norm group — same reduction norm applies to sha)
+    rep3 = None
+    if with_type2:
+        psha_g = np.concatenate(psha_p)[order][starts]  # per distinct sha
+        starts2 = np.flatnonzero(np.r_[True, g2idx[1:] != g2idx[:-1]])
+        psha_ng = psha_g[o2][starts2]  # per distinct norm group
+        if longest:
+            # first row of each norm group under the (-len, id) tiebreak IS
+            # the group rep, so its length rides along at starts2
+            replen_ng = lens_g[o2][starts2]
+            o3, g3idx, rep3_n = _group_first(
+                psha_ng, (np.negative(replen_ng), rep2_n), rep2_n
+            )
+        else:
+            o3, g3idx, rep3_n = _group_first(psha_ng, (rep2_n,), rep2_n)
+        rep3_ng = np.empty_like(rep2_n)
+        rep3_ng[o3] = rep3_n[g3idx]
+        rep3_g = np.empty_like(rep1_g)
+        rep3_g[o2] = rep3_ng[g2idx]
+        rep3 = rep3_g[gidx]
+
     exact_mask = ids_s != rep1
     norm_mask = (~exact_mask) & (rep1 != rep2)
-    surv_ids = np.sort(ids_s[(~exact_mask) & (~norm_mask)])
+    if with_type2:
+        t2_mask = (~exact_mask) & (~norm_mask) & (rep2 != rep3)
+    else:
+        t2_mask = np.zeros_like(exact_mask)
+    surv_ids = np.sort(ids_s[(~exact_mask) & (~norm_mask) & (~t2_mask)])
 
     from europa_ray.stages.lsh import filter_by_key_array
 
@@ -375,21 +420,27 @@ def tiered_dedup(
     # kept = every input id (including empty/null-content rows absent from
     # the digest table) minus all dropped ids
     all_ids = _gather_ids(files, id_col)
-    drop_ids = np.concatenate([ids_s[exact_mask], ids_s[norm_mask], nd_ids])
+    t2_dups = rep3[t2_mask] if with_type2 else np.empty(0, np.int64)
+    drop_ids = np.concatenate(
+        [ids_s[exact_mask], ids_s[norm_mask], ids_s[t2_mask], nd_ids]
+    )
     kept_ids = np.setdiff1d(all_ids, drop_ids)
 
     out_ids = np.concatenate(
-        [ids_s[exact_mask], ids_s[norm_mask], nd_ids, kept_ids]
+        [ids_s[exact_mask], ids_s[norm_mask], ids_s[t2_mask], nd_ids, kept_ids]
     )
     out_tier = np.concatenate(
         [
             np.full(int(exact_mask.sum()), "exact", dtype="U5"),
             np.full(int(norm_mask.sum()), "norm", dtype="U5"),
+            np.full(int(t2_mask.sum()), "t2", dtype="U5"),
             np.full(nd_ids.shape[0], "near", dtype="U5"),
             np.full(kept_ids.shape[0], "kept", dtype="U5"),
         ]
     )
-    out_dup = np.concatenate([rep1[exact_mask], rep2[norm_mask], nd_reps, kept_ids])
+    out_dup = np.concatenate(
+        [rep1[exact_mask], rep2[norm_mask], t2_dups, nd_reps, kept_ids]
+    )
     final = np.argsort(out_ids, kind="stable")
     tbl = pa.table(
         {
@@ -434,12 +485,15 @@ def _tiered_dedup_distributed(
     nparts: int,
     rep_rule: str = "min_id",
     progress=None,
+    *,
+    with_type2: bool = False,
 ) -> ray.data.Dataset:
     """Shuffle-based path for corpora beyond the driver budget: two
     digest-keyed Min-aggregates + joins attribute the exact/norm tiers, a
     broadcast-or-join semi-join feeds the near tier, and a left-outer
-    marker join labels the kept rows. Every shuffled table is digest/id
-    metadata only."""
+    marker join labels the kept rows. ``with_type2`` adds one more
+    digest-keyed Min-groupby + join level (over the P-digest of the
+    distinct-norm reps). Every shuffled table is digest/id metadata only."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
@@ -451,6 +505,10 @@ def _tiered_dedup_distributed(
     longest = rep_rule == "longest"
     aggs = [Min(id_col), Min("norm_sha256")]
     renames = {f"min({id_col})": "__rep1", "min(norm_sha256)": "__nsha"}
+    if with_type2:
+        # p_sha256 is constant within a raw-digest group; Min selects it
+        aggs.append(Min("p_sha256"))
+        renames["min(p_sha256)"] = "__psha"
     if longest:
         # nbytes is constant within a digest group; Min just selects it
         aggs.append(Min("nbytes"))
@@ -464,35 +522,88 @@ def _tiered_dedup_distributed(
     if longest:
         # norm rep = the LONGEST exact-survivor of the group (ties → min
         # id): minimize the composite repkey, then recover the id
-        rk = g1.map_batches(
-            lambda b: pa.table(
-                {"__nsha": b["__nsha"], "__rk": _repkey_longest(b["__nb"], b["__rep1"])}
-            ),
-            batch_format="pyarrow",
-        )
+        def rk_fn(b: pa.Table) -> pa.Table:
+            cols = {
+                "__nsha": b["__nsha"],
+                "__rk": _repkey_longest(b["__nb"], b["__rep1"]),
+            }
+            if with_type2:
+                cols["__psha"] = b["__psha"]
+            return pa.table(cols)
+
+        rk = g1.map_batches(rk_fn, batch_format="pyarrow")
+        g2_aggs = [Min("__rk")] + ([Min("__psha")] if with_type2 else [])
+
+        def g2_fn(b: pa.Table) -> pa.Table:
+            cols = {"__nsha": b["__nsha"], "__rep2": _repkey_id(b["min(__rk)"])}
+            if with_type2:
+                # the group-min composite key rides along: the T2 level
+                # minimizes the SAME key over the norm-group reps
+                cols["__rk2"] = b["min(__rk)"]
+                cols["__psha"] = b["min(__psha)"]
+            return pa.table(cols)
+
+        g2_schema = [pa.field("__nsha", pa.string()), pa.field("__rep2", pa.int64())]
+        if with_type2:
+            g2_schema += [pa.field("__rk2", pa.string()), pa.field("__psha", pa.string())]
         # scrubbed: empty aggregator blocks skip the projection UDF and
         # would otherwise enter the next join with the pre-projection schema
         g2 = scrub_empty_blocks(
             rk.groupby("__nsha")
-            .min("__rk")
-            .map_batches(
-                lambda b: pa.table(
-                    {"__nsha": b["__nsha"], "__rep2": _repkey_id(b["min(__rk)"])}
-                ),
-                batch_format="pyarrow",
-            )
+            .aggregate(*g2_aggs)
+            .map_batches(g2_fn, batch_format="pyarrow")
             .materialize(),
-            pa.schema(
-                [pa.field("__nsha", pa.string()), pa.field("__rep2", pa.int64())]
-            ),
+            pa.schema(g2_schema),
         )
     else:
-        g2 = (
-            g1.groupby("__nsha")
-            .min("__rep1")
-            .rename_columns({"min(__rep1)": "__rep2"})
-            .materialize()
-        )
+        if with_type2:
+            g2 = (
+                g1.groupby("__nsha")
+                .aggregate(Min("__rep1"), Min("__psha"))
+                .rename_columns(
+                    {"min(__rep1)": "__rep2", "min(__psha)": "__psha"}
+                )
+                .materialize()
+            )
+        else:
+            g2 = (
+                g1.groupby("__nsha")
+                .min("__rep1")
+                .rename_columns({"min(__rep1)": "__rep2"})
+                .materialize()
+            )
+
+    # ---- Type-2 level: group the norm-group reps by P-digest
+    h2 = None
+    if with_type2:
+        if longest:
+            g3 = scrub_empty_blocks(
+                g2.groupby("__psha")
+                .min("__rk2")
+                .map_batches(
+                    lambda b: pa.table(
+                        {"__psha": b["__psha"], "__rep3": _repkey_id(b["min(__rk2)"])}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize(),
+                pa.schema(
+                    [pa.field("__psha", pa.string()), pa.field("__rep3", pa.int64())]
+                ),
+            )
+        else:
+            g3 = (
+                g2.groupby("__psha")
+                .min("__rep2")
+                .rename_columns({"min(__rep2)": "__rep3"})
+                .materialize()
+            )
+        h2 = g2.join(
+            g3, join_type="inner", num_partitions=nparts, on=("__psha",)
+        ).materialize()
+        # g1 and g2 both carry __psha — project it off g1 so the exact- and
+        # norm-attribution joins below have no non-key column collision
+        g1 = g1.select_columns(["sha256", "__rep1", "__nsha"]).materialize()
     # The exact tier joins the corpus digests against the materialized
     # GROUPBY output only (the exact.py-proven pattern) — never against a
     # join output: Ray 2.49's hash-shuffle planner silently drops a
@@ -534,11 +645,34 @@ def _tiered_dedup_distributed(
 
     h = h.materialize()
     drops_norm = h.map_batches(norm_drops_fn, batch_format="pyarrow")
-    drops_en = scrub_empty_blocks(
-        drops_exact.union(drops_norm).materialize(), TIERS_SCHEMA
-    )
+    drops_pre = drops_exact.union(drops_norm)
+    if with_type2:
+        # norm-tier survivors are exactly the __rep2 values (one per
+        # distinct norm digest = one h2 row), so the T2 attribution and the
+        # surviving set both live on h2 — no further corpus-wide join
+        def t2_drops_fn(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.not_equal(batch["__rep2"], batch["__rep3"]))
+            return pa.table(
+                {
+                    "doc_id": pc.cast(keep["__rep2"], pa.int64()),
+                    "tier": pa.array(["t2"] * keep.num_rows, pa.string()),
+                    "dup_of": pc.cast(keep["__rep3"], pa.int64()),
+                }
+            )
+
+        def surv_fn_t2(batch: pa.Table) -> pa.Table:
+            keep = batch.filter(pc.equal(batch["__rep2"], batch["__rep3"]))
+            return pa.table({id_col: pc.cast(keep["__rep2"], pa.int64())})
+
+        drops_pre = drops_pre.union(
+            h2.map_batches(t2_drops_fn, batch_format="pyarrow")
+        )
+        surv_src = h2.map_batches(surv_fn_t2, batch_format="pyarrow")
+    else:
+        surv_src = h.map_batches(surv_fn, batch_format="pyarrow")
+    drops_en = scrub_empty_blocks(drops_pre.materialize(), TIERS_SCHEMA)
     surv_ids = scrub_empty_blocks(
-        h.map_batches(surv_fn, batch_format="pyarrow").materialize(),
+        surv_src.materialize(),
         pa.schema([pa.field(id_col, pa.int64())]),
     )
     surv_files = semi_join_keys(files, surv_ids, id_col, num_partitions=nparts)

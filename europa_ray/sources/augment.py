@@ -350,7 +350,9 @@ def with_rename_mutants(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.union(muts)
 
 
-def with_all_dup_tiers(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+def with_all_dup_tiers(
+    files_ds: ray.data.Dataset, *, include_rename: bool = False
+) -> ray.data.Dataset:
     """The tiered-dedup fixture: base docs ∪ near-dup/substring mutants
     (``with_mutants``) ∪ byte-exact copies ∪ formatting-only variants —
     every augmentation derived from the BASE rows only (NOT nested), so the
@@ -359,10 +361,17 @@ def with_all_dup_tiers(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     with_mutants(...)))`` would emit id ``d+50M`` twice for ``d ≡ 0 (mod
     40) ∧ d ≡ 3 (mod 7)``, e.g. d=80: exact copy of the +10M mutant and
     format mutant of the base doc). Plants at least one duplicate for each
-    tier of :func:`europa_ray.pipelines.tiers.tiered_dedup`."""
+    tier of :func:`europa_ray.pipelines.tiers.tiered_dedup`;
+    ``include_rename=True`` adds the consistent-rename variants (+60 M,
+    ``_rename_mutant_rows``) for the ``with_type2`` tier."""
     exact = files_ds.map_batches(_exact_dup_rows, batch_format="pyarrow")
     fmt = files_ds.map_batches(_format_mutant_rows, batch_format="pyarrow")
-    return with_mutants(files_ds).union(exact).union(fmt)
+    out = with_mutants(files_ds).union(exact).union(fmt)
+    if include_rename:
+        out = out.union(
+            files_ds.map_batches(_rename_mutant_rows, batch_format="pyarrow")
+        )
+    return out
 
 
 ERR_EMPTY_EVERY = 53

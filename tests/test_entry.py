@@ -114,6 +114,7 @@ def test_all_queries_have_callables(entry_mod):
         "dedup_tiers",
         "tiered_dedup",
         "tiered_dedup_longest",
+        "tiered_dedup_t2",
         "tier_savings",
     ],
 )

@@ -300,3 +300,123 @@ def test_permutation_invariance(ray_session):
     a = _run(ray.data.from_arrow(t)).sort_values("doc_id").reset_index(drop=True)
     b = _run(ray.data.from_arrow(perm)).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------- Type-2 tier
+
+def _t2_corpus():
+    """Planted four-tier family + a rename-clone pair the near tier CANNOT
+    catch (zero shared tokens → Jaccard 0), only the parameterized
+    canonical form can."""
+    return pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "lang": ["py"] * 7,
+            "content": [
+                "alpha beta alpha gamma beta",        # 1: canon t0 t1 t0 t2 t1
+                "zip zap zip zop zap",                # 2: t2 clone of 1
+                "alpha beta alpha gamma beta",        # 3: exact dup of 1
+                "# c\nALPHA  BETA ALPHA GAMMA BETA",  # 4: norm dup of 1
+                "one two three four five",            # 5: all-distinct canon
+                "uno dos tres cuatro cinco",          # 6: t2 clone of 5
+                "alpha beta alpha gamma beta extra",  # 7: near dup of 1
+            ],
+        }
+    )
+
+
+T2_EXPECT = {
+    1: ("kept", 1),
+    2: ("t2", 1),
+    3: ("exact", 1),
+    4: ("norm", 1),
+    5: ("kept", 5),
+    6: ("t2", 5),
+    7: ("near", 1),
+}
+
+
+@pytest.mark.parametrize("budget", [None, 0])
+def test_type2_tier_planted(ray_session, budget):
+    """with_type2=True inserts the consistent-rename tier between norm and
+    near; each doc lands in the cheapest tier that catches it."""
+    import ray.data
+
+    kw = {} if budget is None else {"driver_max_keys": budget}
+    out = _run(ray.data.from_arrow(_t2_corpus()), with_type2=True, **kw)
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == T2_EXPECT
+
+
+def test_type2_off_keeps_rename_clones(ray_session):
+    """Contrast: with the tier off, the rename clones survive (they share
+    no tokens, so near dedup can't see them)."""
+    import ray.data
+
+    out = _run(ray.data.from_arrow(_t2_corpus()))
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got[2] == ("kept", 2)
+    assert got[6] == ("kept", 6)
+    for d in (1, 3, 4, 5, 7):
+        assert got[d] == T2_EXPECT[d]
+
+
+@pytest.mark.parametrize("budget", [None, 0])
+def test_type2_rep_rule_longest(ray_session, budget):
+    """keep-longest at the t2 level: the canon group keeps the member with
+    the most content bytes; dup_of chains stay transitively safe."""
+    import ray.data
+
+    from europa_ray.pipelines.tiers import tiered_dedup
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["py"] * 3,
+            "content": [
+                "aa bb aa",          # canon t0 t1 t0, 8 bytes
+                "cccc dddd cccc",    # canon t0 t1 t0, 14 bytes → survives
+                "unrelated words here",
+            ],
+        }
+    )
+    kw = {} if budget is None else {"driver_max_keys": budget}
+    out = tiered_dedup(
+        ray.data.from_arrow(t),
+        _cfg(),
+        id_col="doc_id",
+        rep_rule="longest",
+        with_type2=True,
+        **kw,
+    ).to_pandas()
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == {1: ("t2", 2), 2: ("kept", 2), 3: ("kept", 3)}
+
+
+def test_type2_idempotence(ray_session):
+    """Re-running over the kept subset is all-kept (no canon pair left)."""
+    import ray.data
+
+    t = _t2_corpus()
+    out = _run(ray.data.from_arrow(t), with_type2=True)
+    kept_ids = set(out[out.tier == "kept"].doc_id)
+    mask = pa.array([int(i) in kept_ids for i in t["doc_id"].to_pylist()])
+    out2 = _run(ray.data.from_arrow(t.filter(mask)), with_type2=True)
+    assert (out2.tier == "kept").all()
+
+
+def test_type2_norm_empty_docs_never_merge(ray_session):
+    """Docs whose canonical form is empty keep their NORM identity: two
+    different all-comment files must both be kept under with_type2."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["py"] * 3,
+            "content": ["# aaa", "# bbb", "# aaa"],
+        }
+    )
+    out = _run(ray.data.from_arrow(t), with_type2=True)
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got == {1: ("kept", 1), 2: ("kept", 2), 3: ("exact", 1)}
