@@ -2424,7 +2424,62 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rn = 1
         )"""
 
-    def _tiered_sql(tg2: str, trep: str) -> str:
+    def _tiered_sql(tg2: str, trep: str, t2: bool = False) -> str:
+        # Optional Type-2 fragments (with_type2=True, default guard
+        # t2_min_tokens=5 + require-a-repeated-token): the canon chain from
+        # type2_clone_members applied to the exact+norm survivors, one
+        # extra min-per-P-digest level, corpus/allids extended with the
+        # +60M consistent-rename clones. Canon-ineligible docs keep their
+        # norm identity (clists predicate + LEFT JOIN/COALESCE fallback,
+        # mirroring the engine's p_sha256 guard).
+        rename_docs = """
+          UNION ALL
+          SELECT doc_id + 60000000,
+                 regexp_replace(text, '\\bscan\\b', 'zqx', 'g')
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 1""" if t2 else ""
+        rename_ids = """
+          UNION ALL
+          SELECT doc_id + 60000000 FROM documents
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 1""" if t2 else ""
+        t2_ctes = """
+        surv0 AS (SELECT doc_id, text, n, nsha FROM attr
+                  WHERE doc_id = rep1 AND rep1 = rep2),
+        clists AS (
+          SELECT doc_id, l FROM (
+            SELECT doc_id, string_split(n, ' ') AS l
+            FROM surv0 WHERE length(n) > 0
+          ) WHERE len(l) >= 5 AND len(list_distinct(l)) < len(l)
+        ),
+        ctoks AS (SELECT doc_id, unnest(l) AS tok,
+                         unnest(range(1, len(l) + 1)) AS pos
+                  FROM clists),
+        cfirsts AS (SELECT doc_id, tok, min(pos) AS fp
+                    FROM ctoks GROUP BY doc_id, tok),
+        cranked AS (SELECT doc_id, tok,
+                           dense_rank() OVER (
+                               PARTITION BY doc_id ORDER BY fp) - 1 AS r
+                    FROM cfirsts),
+        canon AS (
+          SELECT t.doc_id, string_agg('t' || r.r, ' ' ORDER BY t.pos) AS cform
+          FROM ctoks t
+          JOIN cranked r ON t.doc_id = r.doc_id AND t.tok = r.tok
+          GROUP BY t.doc_id
+        ),
+        spsha AS (
+          SELECT s.doc_id, s.text,
+                 coalesce(sha256(c.cform), s.nsha) AS psha
+          FROM surv0 s LEFT JOIN canon c ON c.doc_id = s.doc_id
+        ),
+        tg3 AS (SELECT psha, min(doc_id) AS rep3 FROM spsha GROUP BY psha),
+        sp AS (SELECT s.doc_id, s.text, g3.rep3
+               FROM spsha s JOIN tg3 g3 USING (psha)),
+        surv AS (SELECT doc_id, text FROM sp WHERE doc_id = rep3),""" if t2 else """
+        surv AS (SELECT doc_id, text FROM attr
+                 WHERE doc_id = rep1 AND rep1 = rep2),"""
+        t2_drops = """
+          UNION ALL
+          SELECT doc_id, 't2', rep3 FROM sp WHERE doc_id <> rep3""" if t2 else ""
         return f"""
         WITH RECURSIVE {_gen_cte},
         {_newdocs_cte},
@@ -2438,10 +2493,10 @@ def oracle_sql() -> dict[str, str]:
                  '# fmt' || chr(10) || replace(upper(text), ' ', '   ')
                    || '  ' || chr(10) || chr(9)
           FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3{rename_docs}
         ),
         d AS (
-          SELECT doc_id, text, sha256(text) AS sha,
+          SELECT doc_id, text, n, sha256(text) AS sha,
                  CASE WHEN length(n) = 0 THEN sha256(text)
                       ELSE sha256(n) END AS nsha
           FROM (
@@ -2459,11 +2514,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM d GROUP BY sha),
         {tg2},
         attr AS (
-          SELECT d.doc_id, d.text, g.rep1, g2.rep2
+          SELECT d.doc_id, d.text, d.n, d.nsha, g.rep1, g2.rep2
           FROM d JOIN tg1 g ON d.sha = g.sha JOIN tg2 g2 ON g.nsha = g2.nsha
-        ),
-        surv AS (SELECT doc_id, text FROM attr
-                 WHERE doc_id = rep1 AND rep1 = rep2),
+        ),{t2_ctes}
         stoks AS (SELECT doc_id,
                          regexp_extract_all(text, '\\w+|[^\\w\\s]') AS tk
                   FROM surv),
@@ -2502,7 +2555,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE doc_id <> rep1
           UNION ALL
           SELECT doc_id, 'norm', rep2 FROM attr
-          WHERE doc_id = rep1 AND rep1 <> rep2
+          WHERE doc_id = rep1 AND rep1 <> rep2{t2_drops}
           UNION ALL
           SELECT l.node, 'near', r.rep
           FROM tlabels l JOIN trep r ON r.cluster = l.cluster
@@ -2520,7 +2573,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
           UNION ALL
           SELECT doc_id + 50000000 FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3{rename_ids}
         )
         SELECT i.doc_id, coalesce(dr.tier, 'kept') AS tier,
                coalesce(dr.dup_of, i.doc_id) AS dup_of
@@ -2529,151 +2582,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["tiered_dedup"] = _tiered_sql(_tg2_min, _trep_min)
     sql["tiered_dedup_longest"] = _tiered_sql(_tg2_longest, _trep_longest)
-    # Four-tier variant (pipelines/tiers.py with_type2=True): the Type-2
-    # level groups the norm-tier survivors (one per distinct norm digest)
-    # by the sha of their parameterized canonical form — the clone
-    # canonicalization chain from type2_clone_members (zipped unnest +
-    # dense_rank first-occurrence ranks) applied between tg2 and the near
-    # tier; canon-empty docs keep their norm identity (LEFT JOIN +
-    # coalesce to nsha, mirroring the engine's p_sha256 fallback). Corpus
-    # adds the +60M consistent-rename clones (byte- and norm-distinct,
-    # canon-identical — only this tier can catch them).
-    sql["tiered_dedup_t2"] = f"""
-        WITH RECURSIVE {_gen_cte},
-        {_newdocs_cte},
-        tierdocs AS (
-          SELECT doc_id, text FROM newdocs
-          UNION ALL
-          SELECT doc_id + 40000000, text FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
-          UNION ALL
-          SELECT doc_id + 50000000,
-                 '# fmt' || chr(10) || replace(upper(text), ' ', '   ')
-                   || '  ' || chr(10) || chr(9)
-          FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
-          UNION ALL
-          SELECT doc_id + 60000000,
-                 regexp_replace(text, '\\bscan\\b', 'zqx', 'g')
-          FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 1
-        ),
-        d AS (
-          SELECT doc_id, text, n, sha256(text) AS sha,
-                 CASE WHEN length(n) = 0 THEN sha256(text)
-                      ELSE sha256(n) END AS nsha
-          FROM (
-            SELECT doc_id, text,
-                   trim(regexp_replace(
-                            lower(regexp_replace(text,
-                                '(//|#)[^' || chr(10) || ']*', '', 'g')),
-                            '[ ' || chr(9) || chr(13) || chr(10) || ']+',
-                            ' ', 'g'), ' ') AS n
-            FROM tierdocs WHERE length(text) > 0
-          )
-        ),
-        tg1 AS (SELECT sha, min(doc_id) AS rep1, min(nsha) AS nsha
-                FROM d GROUP BY sha),
-        {_tg2_min},
-        attr AS (
-          SELECT d.doc_id, d.text, d.n, d.nsha, g.rep1, g2.rep2
-          FROM d JOIN tg1 g ON d.sha = g.sha JOIN tg2 g2 ON g.nsha = g2.nsha
-        ),
-        surv0 AS (SELECT doc_id, text, n, nsha FROM attr
-                  WHERE doc_id = rep1 AND rep1 = rep2),
-        clists AS (SELECT doc_id, string_split(n, ' ') AS l
-                   FROM surv0 WHERE length(n) > 0),
-        ctoks AS (SELECT doc_id, unnest(l) AS tok,
-                         unnest(range(1, len(l) + 1)) AS pos
-                  FROM clists),
-        cfirsts AS (SELECT doc_id, tok, min(pos) AS fp
-                    FROM ctoks GROUP BY doc_id, tok),
-        cranked AS (SELECT doc_id, tok,
-                           dense_rank() OVER (
-                               PARTITION BY doc_id ORDER BY fp) - 1 AS r
-                    FROM cfirsts),
-        canon AS (
-          SELECT t.doc_id, string_agg('t' || r.r, ' ' ORDER BY t.pos) AS cform
-          FROM ctoks t
-          JOIN cranked r ON t.doc_id = r.doc_id AND t.tok = r.tok
-          GROUP BY t.doc_id
-        ),
-        spsha AS (
-          SELECT s.doc_id, s.text,
-                 coalesce(sha256(c.cform), s.nsha) AS psha
-          FROM surv0 s LEFT JOIN canon c ON c.doc_id = s.doc_id
-        ),
-        tg3 AS (SELECT psha, min(doc_id) AS rep3 FROM spsha GROUP BY psha),
-        sp AS (SELECT s.doc_id, s.text, g3.rep3
-               FROM spsha s JOIN tg3 g3 USING (psha)),
-        surv AS (SELECT doc_id, text FROM sp WHERE doc_id = rep3),
-        stoks AS (SELECT doc_id,
-                         regexp_extract_all(text, '\\w+|[^\\w\\s]') AS tk
-                  FROM surv),
-        sgrams AS (
-          SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
-          FROM stoks,
-               unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
-          UNION
-          SELECT doc_id, array_to_string(tk, ' ') AS gram
-          FROM stoks WHERE len(tk) BETWEEN 1 AND 4
-        ),
-        ssizes AS (SELECT doc_id, count(*) AS n FROM sgrams GROUP BY doc_id),
-        sinter AS (
-          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-          FROM sgrams x JOIN sgrams y USING (gram)
-          WHERE x.doc_id < y.doc_id GROUP BY 1, 2
-        ),
-        sjp AS (
-          SELECT a, b FROM sinter
-          JOIN ssizes sa ON sa.doc_id = sinter.a
-          JOIN ssizes sb ON sb.doc_id = sinter.b
-          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.72
-        ),
-        tedges AS (SELECT a AS u, b AS v FROM sjp
-                   UNION ALL SELECT b, a FROM sjp),
-        treach AS (
-          SELECT DISTINCT u AS node, u AS r FROM tedges
-          UNION
-          SELECT e.v AS node, treach.r AS r
-          FROM treach JOIN tedges e ON e.u = treach.node
-        ),
-        tlabels AS (SELECT node, min(r) AS cluster FROM treach GROUP BY node),
-        {_trep_min},
-        alldrops AS (
-          SELECT doc_id, 'exact' AS tier, rep1 AS dup_of FROM attr
-          WHERE doc_id <> rep1
-          UNION ALL
-          SELECT doc_id, 'norm', rep2 FROM attr
-          WHERE doc_id = rep1 AND rep1 <> rep2
-          UNION ALL
-          SELECT doc_id, 't2', rep3 FROM sp WHERE doc_id <> rep3
-          UNION ALL
-          SELECT l.node, 'near', r.rep
-          FROM tlabels l JOIN trep r ON r.cluster = l.cluster
-          WHERE l.node <> r.rep
-        ),
-        allids AS (
-          SELECT doc_id FROM documents
-          UNION ALL
-          SELECT doc_id + 10000000 FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 0
-          UNION ALL SELECT d + 20000000 FROM gen
-          UNION ALL SELECT d + 30000000 FROM gen
-          UNION ALL
-          SELECT doc_id + 40000000 FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
-          UNION ALL
-          SELECT doc_id + 50000000 FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
-          UNION ALL
-          SELECT doc_id + 60000000 FROM documents
-          WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 5 = 1
-        )
-        SELECT i.doc_id, coalesce(dr.tier, 'kept') AS tier,
-               coalesce(dr.dup_of, i.doc_id) AS dup_of
-        FROM allids i LEFT JOIN alldrops dr ON dr.doc_id = i.doc_id
-    """
+    sql["tiered_dedup_t2"] = _tiered_sql(_tg2_min, _trep_min, t2=True)
     # per-tier rollup: the tiered attribution joined with per-doc byte
     # lengths (empty/null content = 0 bytes), aggregated per tier
     sql["tier_savings"] = f"""

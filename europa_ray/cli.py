@@ -370,6 +370,7 @@ def cmd_tiers(args) -> dict:
     out = tiered_dedup(
         _with_row_id(read_files(args.input)), cfg, id_col="row_id",
         rep_rule=args.rep_rule, with_type2=getattr(args, "type2", False),
+        t2_min_tokens=getattr(args, "t2_min_tokens", 5),
         progress=progress,
     ).materialize()
     out.write_parquet(args.output + "/tiers")
@@ -434,6 +435,10 @@ def main(argv=None) -> int:
             sp.add_argument("--type2", action="store_true",
                             help="insert the Type-2 (consistent-rename) tier "
                                  "between norm and near")
+            sp.add_argument("--t2-min-tokens", type=int, default=5,
+                            help="Type-2 eligibility guard: group only docs "
+                                 "with >= N tokens and a repeated token "
+                                 "(0 disables)")
     args = p.parse_args(argv)
 
     owned = _init_ray()

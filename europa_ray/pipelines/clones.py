@@ -62,6 +62,18 @@ def param_canonical_from_norm(norm) -> pa.Array:
     """The first-occurrence-rank rewrite over an ALREADY-normalized column
     (``normalize_code_arrow`` output) — lets a fused digest stage share one
     normalization pass between the norm and Type-2 tiers."""
+    return param_canonical_stats(norm)[0]
+
+
+def param_canonical_stats(norm) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """``(canon, n_tokens, n_distinct)`` for an already-normalized column —
+    the P-string plus the per-doc token and distinct-token counts, computed
+    in the same vectorized pass. The counts feed the tiered-dedup
+    eligibility guard: an all-distinct-token document's P-string is
+    ``t0 t1 … tn-1`` — a pure token-count class, not structural evidence —
+    so the DESTRUCTIVE ``with_type2`` tier only groups docs with at least
+    one repeated token and enough tokens (``n_distinct < n_tokens``);
+    the reporting operator :func:`type2_clone_members` stays unguarded."""
     if isinstance(norm, pa.ChunkedArray):
         norm = norm.combine_chunks()
     # large_string → large_list offsets (int64): immune to the int32 offset
@@ -70,19 +82,23 @@ def param_canonical_from_norm(norm) -> pa.Array:
     norm = pc.fill_null(norm, "")
     n_docs = len(norm)
     if n_docs == 0:
-        return pa.array([], pa.large_string())
+        empty = np.empty(0, np.int64)
+        return pa.array([], pa.large_string()), empty, empty
     lst = pc.split_pattern(norm, " ")
     flat = lst.flatten()  # exactly values[offsets[0]:offsets[-1]], alignment-safe
     offs = lst.offsets.to_numpy()
     offs = offs - offs[0]
     counts = np.diff(offs)
+    # an empty normalized doc splits to [''] — count it as 0 tokens
+    nonempty = pc.greater(pc.utf8_length(norm), 0).to_numpy(zero_copy_only=False)
+    n_tokens = np.where(nonempty, counts, 0)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
     enc = pc.dictionary_encode(flat)
     codes = enc.indices.to_numpy().astype(np.int64)
     n_vocab = len(enc.dictionary)
     if n_vocab == 0:
-        return pc.cast(norm, pa.large_string())
+        return pc.cast(norm, pa.large_string()), n_tokens, n_tokens.copy()
     key = doc_idx * np.int64(n_vocab) + codes
 
     uniq, first_pos, inv = np.unique(key, return_index=True, return_inverse=True)
@@ -96,17 +112,22 @@ def param_canonical_from_norm(norm) -> pa.Array:
     rank_of[order] = grouped_rank
     tok_rank = rank_of[inv]
 
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    n_distinct[doc_sorted[starts]] = grp_len
+    n_distinct = np.where(nonempty, n_distinct, 0)
+
     max_r = int(tok_rank.max()) if len(tok_rank) else 0
     lut = np.array([f"t{i}" for i in range(max_r + 1)], dtype=object)
     tok_strs = pa.array(lut[tok_rank], type=pa.large_string())
     out_lst = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), tok_strs)
     canon = pc.binary_join(out_lst, pa.scalar(" ", pa.large_string()))
     # empty normalized docs split to [''] → P-string 't0'; restore ''
-    return pc.if_else(
+    canon = pc.if_else(
         pc.equal(pc.utf8_length(norm), 0),
         pa.scalar("", pa.large_string()),
         canon,
     )
+    return canon, n_tokens, n_distinct
 
 
 def param_canonical_content(batch: pa.Table, *, content_col: str = "content") -> pa.Table:

@@ -86,14 +86,24 @@ def norm_dup_members(
 
 
 def _add_both_digests(
-    batch: pa.Table, *, id_col: str, with_len: bool = False, with_param: bool = False
+    batch: pa.Table,
+    *,
+    id_col: str,
+    with_len: bool = False,
+    with_param: bool = False,
+    t2_min_tokens: int = 0,
 ) -> pa.Table:
     """One content pass → (id, sha256, norm_sha256[, p_sha256][, nbytes]);
     content dropped before any shuffle. Empty raw content is dropped (every
     tier's predicate). ``with_len`` adds the raw content byte length (the
     keep-longest representative rule's ordering key); ``with_param`` adds
     the Type-2 parameterized-canonical digest
-    (:func:`europa_ray.pipelines.clones.param_canonical_arrow`)."""
+    (:func:`europa_ray.pipelines.clones.param_canonical_arrow`).
+    ``t2_min_tokens > 0`` gates P-digest eligibility: only docs with at
+    least that many tokens AND at least one REPEATED token group (an
+    all-distinct-token P-string is a pure token-count class — grouping on
+    it would merge unrelated short docs); ineligible docs keep their NORM
+    identity."""
     mask = pc.greater(pc.utf8_length(batch["content"]), 0)
     batch = batch.filter(mask)
     raw_sha = pa.array(sha256_hex_arrow(batch["content"]), pa.string())
@@ -112,14 +122,21 @@ def _add_both_digests(
         "norm_sha256": norm_sha,
     }
     if with_param:
-        from europa_ray.pipelines.clones import param_canonical_from_norm
+        import numpy as np
 
-        canon = pc.cast(param_canonical_from_norm(norm), pa.string())
-        # same empty-fallback chain: a doc whose canonical form is empty
-        # keeps its NORM identity in the Type-2 tier (never merges
-        # contentless docs; mirrored by the oracle's CASE/COALESCE)
+        from europa_ray.pipelines.clones import param_canonical_stats
+
+        canon, ntok, ndist = param_canonical_stats(norm)
+        canon = pc.cast(canon, pa.string())
+        # eligibility: non-empty canonical form, and past the guard a
+        # minimum token count plus at least one repeated token (mirrored
+        # by the oracle's clists predicate + LEFT JOIN/COALESCE fallback);
+        # ineligible docs keep their NORM identity in the Type-2 tier
+        ok = ntok > 0
+        if t2_min_tokens > 0:
+            ok &= (ntok >= t2_min_tokens) & (ndist < ntok)
         cols["p_sha256"] = pc.if_else(
-            pc.greater(pc.utf8_length(canon), 0),
+            pa.array(ok),
             pa.array(sha256_hex_arrow(canon), pa.string()),
             norm_sha,
         )

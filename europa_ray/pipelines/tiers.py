@@ -253,6 +253,7 @@ def tiered_dedup(
     driver_max_keys: int = 100_000_000,
     rep_rule: str = "min_id",
     with_type2: bool = False,
+    t2_min_tokens: int = 5,
     progress=None,
     return_lens: bool = False,
 ) -> ray.data.Dataset:
@@ -269,6 +270,11 @@ def tiered_dedup(
     DISTINCT norm digests exactly as norm attributes over distinct raw
     digests — the chain exact ⊆ norm ⊆ t2 stays one lexsort per tier on the
     driver path and one extra digest-keyed Min-groupby + join distributed.
+    ``t2_min_tokens`` guards the tier's destructiveness: only docs with at
+    least that many tokens AND at least one repeated token are grouped (an
+    all-distinct-token canonical form is a pure token-count class — e.g.
+    any two unrelated 2-token files would otherwise merge); 0 disables the
+    guard. Ineligible docs keep their norm identity.
 
     Config filters (lang include/exclude, size range) are applied ONCE up
     front so every tier sees the same universe; rows a filter excludes do
@@ -291,6 +297,7 @@ def tiered_dedup(
             "id_col": id_col,
             "with_len": longest or return_lens,
             "with_param": with_type2,
+            "t2_min_tokens": t2_min_tokens,
         },
         batch_format="pyarrow",
     ).materialize()
@@ -574,7 +581,6 @@ def _tiered_dedup_distributed(
             )
 
     # ---- Type-2 level: group the norm-group reps by P-digest
-    h2 = None
     if with_type2:
         if longest:
             g3 = scrub_empty_blocks(

@@ -305,21 +305,27 @@ def test_permutation_invariance(ray_session):
 # ---------------------------------------------------------------- Type-2 tier
 
 def _t2_corpus():
-    """Planted four-tier family + a rename-clone pair the near tier CANNOT
+    """Planted four-tier family + rename-clone pairs the near tier CANNOT
     catch (zero shared tokens → Jaccard 0), only the parameterized
-    canonical form can."""
+    canonical form can — plus guard probes: all-distinct-token docs and
+    short docs whose canon pattern matches must NOT merge under the
+    default eligibility guard (min 5 tokens + a repeated token)."""
     return pa.table(
         {
-            "doc_id": [1, 2, 3, 4, 5, 6, 7],
-            "lang": ["py"] * 7,
+            "doc_id": list(range(1, 12)),
+            "lang": ["py"] * 11,
             "content": [
                 "alpha beta alpha gamma beta",        # 1: canon t0 t1 t0 t2 t1
                 "zip zap zip zop zap",                # 2: t2 clone of 1
                 "alpha beta alpha gamma beta",        # 3: exact dup of 1
                 "# c\nALPHA  BETA ALPHA GAMMA BETA",  # 4: norm dup of 1
-                "one two three four five",            # 5: all-distinct canon
-                "uno dos tres cuatro cinco",          # 6: t2 clone of 5
+                "one two three one two",              # 5: canon t0 t1 t2 t0 t1
+                "uno dos tres uno dos",               # 6: t2 clone of 5
                 "alpha beta alpha gamma beta extra",  # 7: near dup of 1
+                "pure distinct tokens only here",     # 8: all-distinct → kept
+                "fully unique words appear once",     # 9: same count class as 8
+                "aa bb aa",                           # 10: repeat but < 5 tokens
+                "cc dd cc",                           # 11: same pattern as 10
             ],
         }
     )
@@ -333,6 +339,10 @@ T2_EXPECT = {
     5: ("kept", 5),
     6: ("t2", 5),
     7: ("near", 1),
+    8: ("kept", 8),
+    9: ("kept", 9),
+    10: ("kept", 10),
+    11: ("kept", 11),
 }
 
 
@@ -362,6 +372,23 @@ def test_type2_off_keeps_rename_clones(ray_session):
 
 
 @pytest.mark.parametrize("budget", [None, 0])
+def test_type2_guard_disabled(ray_session, budget):
+    """t2_min_tokens=0 removes the eligibility guard: the all-distinct and
+    short-pattern probe pairs now merge (the documented aggressive mode)."""
+    import ray.data
+
+    kw = {} if budget is None else {"driver_max_keys": budget}
+    out = _run(
+        ray.data.from_arrow(_t2_corpus()), with_type2=True, t2_min_tokens=0, **kw
+    )
+    got = {int(r.doc_id): (r.tier, int(r.dup_of)) for r in out.itertuples()}
+    assert got[9] == ("t2", 8)
+    assert got[11] == ("t2", 10)
+    for d in (1, 2, 3, 4, 5, 6, 7):
+        assert got[d] == T2_EXPECT[d]
+
+
+@pytest.mark.parametrize("budget", [None, 0])
 def test_type2_rep_rule_longest(ray_session, budget):
     """keep-longest at the t2 level: the canon group keeps the member with
     the most content bytes; dup_of chains stay transitively safe."""
@@ -374,9 +401,9 @@ def test_type2_rep_rule_longest(ray_session, budget):
             "doc_id": [1, 2, 3],
             "lang": ["py"] * 3,
             "content": [
-                "aa bb aa",          # canon t0 t1 t0, 8 bytes
-                "cccc dddd cccc",    # canon t0 t1 t0, 14 bytes → survives
-                "unrelated words here",
+                "aa bb aa cc aa",         # canon t0 t1 t0 t2 t0, 14 bytes
+                "qqq www qqq eee qqq",    # same canon, 19 bytes → survives
+                "unrelated words here now yes",
             ],
         }
     )
