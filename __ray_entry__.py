@@ -834,6 +834,20 @@ def _q_token_budget_sample(sf_dir: str):
     return token_budget_sample(_docs(sf_dir), budget=2000)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Target-mixture subset (data mixing): keep the largest corpus whose
+    per-language token totals match the 5:3:2 en/de/fr weights — binding
+    language kept whole, the rest downsampled to floor(scale*w) tokens in
+    canonical (sha256, doc_id) prefix order; unlisted langs dropped.
+    Value-checked against the SQL scale/budget/windowed-running-sum
+    replica."""
+    from europa_ray.pipelines.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(sf_dir), weights={"en": 5.0, "de": 3.0, "fr": 2.0}
+    )
+
+
 def _q_decontam_stats(sf_dir: str):
     """Benchmark decontamination over the contamination-augmented corpus:
     per-doc count of distinct benchmark snippets contained (rolling-hash
@@ -955,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": wrap(_q_event_sessions),
         "hash_sample": wrap(_q_hash_sample),
         "token_budget_sample": wrap(_q_token_budget_sample),
+        "mixture_sample": wrap(_q_mixture_sample),
         "decontam_stats": wrap(_q_decontam_stats),
     }
 
@@ -2185,6 +2200,35 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY sum(n_tokens) OVER (
                 PARTITION BY lang ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING
             ) <= 2000
+        """,
+        # data mixing: scale = min over weighted langs of total/weight
+        # (LEFT JOIN + coalesce 0 keeps a corpus-absent listed language
+        # binding at 0); per-lang budget = floor(scale*w); selection = the
+        # same canonical (sha, doc_id) prefix rule as token_budget_sample.
+        # The engine computes the identical int64→double / min / mul /
+        # floor chain, so the budgets agree bit-exactly.
+        "mixture_sample": r"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS u
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            w(lang, wt) AS (VALUES
+              ('en', CAST(5 AS DOUBLE)),
+              ('de', CAST(3 AS DOUBLE)),
+              ('fr', CAST(2 AS DOUBLE))),
+            tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+                    FROM m GROUP BY lang),
+            sc AS (SELECT min(CAST(coalesce(t.t, 0) AS DOUBLE) / w.wt) AS scale
+                   FROM w LEFT JOIN tot t USING (lang)),
+            bud AS (SELECT w.lang, CAST(floor(sc.scale * w.wt) AS BIGINT) AS b
+                    FROM w, sc)
+            SELECT m.doc_id, m.lang, m.n_tokens
+            FROM m JOIN bud ON bud.lang = m.lang
+            QUALIFY sum(m.n_tokens) OVER (
+                PARTITION BY m.lang ORDER BY m.u, m.doc_id ROWS UNBOUNDED PRECEDING
+            ) <= bud.b
         """,
         # decontamination: snip = the deterministically-derived benchmark
         # set (every 37th doc's chars 41..120, distinct, min source id);

@@ -29,6 +29,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -221,6 +223,89 @@ def token_budget_sample(
         fn_kwargs={"id_col": id_col, "lang_col": lang_col, "content_col": content_col},
         batch_format="pyarrow",
     ).materialize()  # tiny (~40 B/row); reused by histogram + refine + filter
+    return _token_budget_from_meta(
+        meta, budget, id_col=id_col, lang_col=lang_col,
+        boundary_gather_max=boundary_gather_max,
+    )
+
+
+def mixture_sample(
+    files: ray.data.Dataset,
+    *,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    boundary_gather_max: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Target-mixture subset (the data-mixing step of a training-data
+    pipeline): keep the LARGEST corpus whose per-language token totals
+    match the relative ``weights`` exactly — the binding language (the one
+    with the least data relative to its weight) is kept whole, every other
+    listed language is downsampled to ``floor(scale * w_l)`` tokens with
+    ``scale = min_l(total_l / w_l)``. Only weight RATIOS matter
+    (normalization cancels out of ``floor(scale * w)``). Languages absent
+    from ``weights`` (or with weight 0) are dropped entirely; a listed
+    language missing from the corpus makes the mixture unachievable and
+    the result empty (scale 0) rather than silently skewed.
+
+    Document selection within a language is the deterministic
+    ``(u64(sha256), id)`` prefix order of :func:`token_budget_sample`,
+    so the subset is stable across re-crawls and partition layouts.
+    Scale shape: one metadata pass (content never leaves it), one
+    lang-cardinality aggregate for the totals, then the distributed-
+    quantile boundary machinery — no shuffle of the corpus itself.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {lang: weight} dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    pos = {l: float(w) for l, w in weights.items() if w > 0}
+    if not pos:
+        raise ValueError("at least one weight must be > 0")
+
+    meta = files.map_batches(
+        _budget_meta,
+        fn_kwargs={"id_col": id_col, "lang_col": lang_col, "content_col": content_col},
+        batch_format="pyarrow",
+    ).materialize()
+    member = {l: True for l in pos}
+
+    def keep_listed(batch: pa.Table) -> pa.Table:
+        m = _lang_lookup(batch, lang_col, member, False, dtype=bool)
+        return batch.filter(pa.array(m))
+
+    meta = meta.map_batches(keep_listed, batch_format="pyarrow").materialize()
+
+    totals = {l: 0 for l in pos}
+    agg = meta.groupby(lang_col).sum("n_tokens")
+    for row in agg.take_all():  # lang-cardinality rows only
+        totals[row[lang_col]] = int(row["sum(n_tokens)"])
+    # double-precision chain mirrors the SQL oracle exactly: int64→double
+    # conversion is exact below 2^53 and min/mul/floor are order-free
+    scale = min(totals[l] / w for l, w in pos.items())
+    budgets = {l: int(math.floor(scale * w)) for l, w in pos.items()}
+    return _token_budget_from_meta(
+        meta, budgets, id_col=id_col, lang_col=lang_col,
+        boundary_gather_max=boundary_gather_max,
+    )
+
+
+def _token_budget_from_meta(
+    meta: ray.data.Dataset,
+    budgets: int | dict[str, int],
+    *,
+    id_col: str,
+    lang_col: str,
+    boundary_gather_max: int,
+) -> ray.data.Dataset:
+    """The distributed-quantile boundary machinery over a prepared
+    ``(id, lang, n_tokens, sha64)`` metadata Dataset. ``budgets`` is one
+    budget for every language (int) or per-language (dict — callers must
+    have already restricted ``meta`` to the dict's languages)."""
+
+    def _bud(lang: str) -> int:
+        return budgets if isinstance(budgets, int) else budgets[lang]
 
     # level-0 histogram over the high byte; refine the straddling bucket one
     # byte at a time until each language's boundary region is gatherable
@@ -237,7 +322,7 @@ def token_budget_sample(
         hit = None
         for bucket in range(256):
             ts, nr = hist.get((lang, bucket), (0, 0))
-            if cum + ts > budget:
+            if cum + ts > _bud(lang):
                 hit = (bucket, nr)
                 break
             cum += ts
@@ -264,7 +349,7 @@ def token_budget_sample(
             hit = None
             for bucket in range(256):
                 ts, nr = hist.get((lang, bucket), (0, 0))
-                if cum + ts > budget:
+                if cum + ts > _bud(lang):
                     hit = (bucket, nr)
                     break
                 cum += ts
@@ -328,7 +413,7 @@ def token_budget_sample(
                 u, ids, tok = gu[sel], gid[sel], gtok[sel]
                 order = np.lexsort((ids, u))
                 cum = remaining_base[lang] + np.cumsum(tok[order])
-                kept = int(np.searchsorted(cum, budget, side="right"))
+                kept = int(np.searchsorted(cum, _bud(lang), side="right"))
                 if kept == 0:
                     lo = _U64(prefixes[lang]) << shift
                     if lo == _U64(0):
@@ -365,7 +450,7 @@ def token_budget_sample(
                     continue
                 c = cum + np.cumsum(b["n_tokens"].to_numpy())
                 ids = b[id_col].to_numpy()
-                kept = int(np.searchsorted(c, budget, side="right"))
+                kept = int(np.searchsorted(c, _bud(lang), side="right"))
                 if kept < len(ids):
                     if kept > 0:
                         boundary_id = int(ids[kept - 1])

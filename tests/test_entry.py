@@ -109,6 +109,7 @@ def test_all_queries_have_callables(entry_mod):
         "cross_corpus_near_dups",
         "dedup_report",
         "token_quantiles",
+        "mixture_sample",
         "norm_exact_dup_members",
         "type2_clone_members",
         "dedup_tiers",

@@ -213,3 +213,118 @@ def test_token_budget_skew_plus_gatherable_lang(ray_session):
     want = _budget_bruteforce(t, budget)
     got_set = set() if got.empty else set(zip(got.doc_id, got.lang, got.n_tokens))
     assert got_set == want
+
+
+# ------------------------------------------------------------- mixture_sample
+
+def _mixture_bruteforce(t: pa.Table, weights: dict[str, float]) -> set[tuple]:
+    """Reference: per-lang token totals → scale = min(total/w) → per-lang
+    floor(scale*w) budgets → hash-order prefix per lang."""
+    import math
+
+    from europa_ray.functions.text import tokenize
+
+    rows = []
+    for d, lang, txt in zip(
+        t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["content"].to_pylist()
+    ):
+        if not txt or lang not in weights or weights[lang] <= 0:
+            continue
+        _, off = tokenize([txt])
+        rows.append((lang, _u64(txt), d, int(off[1] - off[0])))
+    pos = {l: w for l, w in weights.items() if w > 0}
+    totals = {l: sum(r[3] for r in rows if r[0] == l) for l in pos}
+    scale = min(totals[l] / w for l, w in pos.items())
+    budgets = {l: int(math.floor(scale * w)) for l, w in pos.items()}
+    want = set()
+    for lang in pos:
+        cum = 0
+        for _, u, d, n in sorted(r for r in rows if r[0] == lang):
+            cum += n
+            if cum > budgets[lang]:
+                break
+            want.add((d, lang, n))
+    return want
+
+
+@pytest.mark.parametrize("gather_max", [1_000_000, 2])
+def test_mixture_sample_matches_bruteforce(ray_session, gather_max):
+    """Value-exact vs the scale/budget/prefix reference; unlisted langs
+    ('zh') are dropped entirely; forced multi-level refinement agrees."""
+    import ray.data
+
+    from europa_ray.pipelines.sampling import mixture_sample
+
+    t = _mk_files(300)
+    weights = {"en": 5.0, "de": 3.0, "fr": 2.0}
+    got = mixture_sample(
+        ray.data.from_arrow(t), weights=weights, boundary_gather_max=gather_max
+    ).to_pandas()
+    want = _mixture_bruteforce(t, weights)
+    got_set = set() if got.empty else set(zip(got.doc_id, got.lang, got.n_tokens))
+    assert got_set == want
+    assert "zh" not in (set() if got.empty else set(got.lang))
+
+
+def test_mixture_sample_proportions_hit_binding_language(ray_session):
+    """The binding language is kept (near-)whole and every other language's
+    kept tokens are within one doc of its proportional share."""
+    import ray.data
+
+    from europa_ray.pipelines.sampling import mixture_sample
+
+    t = _mk_files(600, seed=11)
+    weights = {"en": 1.0, "de": 1.0, "fr": 1.0}
+    got = mixture_sample(ray.data.from_arrow(t), weights=weights).to_pandas()
+    kept = got.groupby("lang").n_tokens.sum().to_dict()
+    want = _mixture_bruteforce(t, weights)
+    scalebound = min(kept.values()) if kept else 0
+    # equal weights → every language keeps ~the same token mass: each is
+    # the longest hash-order prefix under the SAME budget
+    assert set(zip(got.doc_id, got.lang, got.n_tokens)) == want
+    assert max(kept.values()) - scalebound <= max(got.n_tokens)
+
+
+def test_mixture_sample_scale_invariance(ray_session):
+    """Only weight ratios matter: {2,1} and {0.4,0.2} select identical
+    subsets."""
+    import ray.data
+
+    from europa_ray.pipelines.sampling import mixture_sample
+
+    t = _mk_files(250, seed=3)
+    a = mixture_sample(
+        ray.data.from_arrow(t), weights={"en": 2.0, "de": 1.0}
+    ).to_pandas()
+    b = mixture_sample(
+        ray.data.from_arrow(t), weights={"en": 0.4, "de": 0.2}
+    ).to_pandas()
+    assert set(zip(a.doc_id, a.lang)) == set(zip(b.doc_id, b.lang))
+
+
+def test_mixture_sample_missing_language_is_empty(ray_session):
+    """A listed language with no corpus rows makes the mixture unachievable:
+    scale = 0 → only zero-token docs could remain (none here) → empty."""
+    import ray.data
+
+    from europa_ray.pipelines.sampling import mixture_sample
+
+    t = _mk_files(100)
+    got = mixture_sample(
+        ray.data.from_arrow(t), weights={"en": 1.0, "xx": 1.0}
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_mixture_sample_validation(ray_session):
+    import ray.data
+
+    from europa_ray.pipelines.sampling import mixture_sample
+
+    t = _mk_files(10)
+    with pytest.raises(ValueError):
+        mixture_sample(ray.data.from_arrow(t), weights={})
+    with pytest.raises(ValueError):
+        mixture_sample(ray.data.from_arrow(t), weights={"en": -1.0})
+    with pytest.raises(ValueError):
+        mixture_sample(ray.data.from_arrow(t), weights={"en": 0.0})
