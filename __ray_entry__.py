@@ -848,6 +848,16 @@ def _q_mixture_sample(sf_dir: str):
     )
 
 
+def _q_packing_plan(sf_dir: str):
+    """Sequence-packing plan (GPT-style concatenate-then-chunk layout):
+    every doc's global token offset and first 512-token sequence id in
+    canonical (sha256, doc_id) order — one windowed running sum in SQL;
+    driver lexsort+cumsum / metadata-sort + per-block prefix distributed."""
+    from europa_ray.pipelines.packing import packing_plan
+
+    return packing_plan(_docs(sf_dir), seq_len=512)
+
+
 def _q_decontam_stats(sf_dir: str):
     """Benchmark decontamination over the contamination-augmented corpus:
     per-doc count of distinct benchmark snippets contained (rolling-hash
@@ -970,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": wrap(_q_hash_sample),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
+        "packing_plan": wrap(_q_packing_plan),
         "decontam_stats": wrap(_q_decontam_stats),
     }
 
@@ -2200,6 +2211,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY sum(n_tokens) OVER (
                 PARTITION BY lang ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING
             ) <= 2000
+        """,
+        # sequence packing: the global exclusive running token sum in the
+        # canonical (sha256-u64, doc_id) order; seq_id = integer division
+        # by the 512-token context length
+        "packing_plan": r"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS u
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            s AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                         ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING
+                     ) - n_tokens AS BIGINT) AS start_tok
+              FROM m
+            )
+            SELECT doc_id, lang, n_tokens, start_tok,
+                   start_tok // 512 AS seq_id
+            FROM s
         """,
         # data mixing: scale = min over weighted langs of total/weight
         # (LEFT JOIN + coalesce 0 keeps a corpus-absent listed language

@@ -110,6 +110,7 @@ def test_all_queries_have_callables(entry_mod):
         "dedup_report",
         "token_quantiles",
         "mixture_sample",
+        "packing_plan",
         "norm_exact_dup_members",
         "type2_clone_members",
         "dedup_tiers",
