@@ -848,6 +848,16 @@ def _q_mixture_sample(sf_dir: str):
     )
 
 
+def _q_quality_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality bucketing: exact per-language
+    tercile cutoffs over the integer alpha_ppm score (value histogram, no
+    sort), then a broadcast threshold pass — pure function of (lang,
+    score) so ties never straddle buckets."""
+    from europa_ray.pipelines.textstats import quality_buckets
+
+    return quality_buckets(_docs(sf_dir))
+
+
 def _q_packing_plan(sf_dir: str):
     """Sequence-packing plan (GPT-style concatenate-then-chunk layout):
     every doc's global token offset and first 512-token sequence id in
@@ -981,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
         "packing_plan": wrap(_q_packing_plan),
+        "quality_buckets": wrap(_q_quality_buckets),
         "decontam_stats": wrap(_q_decontam_stats),
     }
 
@@ -2211,6 +2222,31 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY sum(n_tokens) OVER (
                 PARTITION BY lang ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING
             ) <= 2000
+        """,
+        # CCNet tercile bucketing: cutoff c_k = the smallest score whose
+        # per-lang cumulative count reaches rank (k*n + 2) // 3 (integer
+        # ceil(k*n/3)) — identical integer arithmetic on the engine side
+        "quality_buckets": r"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000)
+                         // greatest(length(text), 1) AS score
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            h AS (SELECT lang, score, count(*) AS c FROM m GROUP BY 1, 2),
+            cum AS (SELECT lang, score,
+                           sum(c) OVER (PARTITION BY lang ORDER BY score) AS cc,
+                           sum(c) OVER (PARTITION BY lang) AS n
+                    FROM h),
+            c1 AS (SELECT lang, min(score) AS cut FROM cum
+                   WHERE cc >= (n + 2) // 3 GROUP BY lang),
+            c2 AS (SELECT lang, min(score) AS cut FROM cum
+                   WHERE cc >= (2 * n + 2) // 3 GROUP BY lang)
+            SELECT m.doc_id, m.lang, CAST(m.score AS BIGINT) AS score,
+                   CASE WHEN m.score <= c1.cut THEN 'tail'
+                        WHEN m.score <= c2.cut THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM m JOIN c1 USING (lang) JOIN c2 USING (lang)
         """,
         # sequence packing: the global exclusive running token sum in the
         # canonical (sha256-u64, doc_id) order; seq_id = integer division

@@ -550,3 +550,87 @@ def token_quantiles(
         {"lang": pa.array(rows["lang"], pa.string()),
          **{qc: pa.array(rows[qc], pa.int64()) for qc in qcols}}
     )
+
+
+def quality_buckets(files, *, text_col: str = "content", lang_col: str = "lang",
+                    id_col: str = "doc_id"):
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al., LREC
+    2020 §4.4, adapted: the score is the exact integer ``alpha_ppm`` —
+    alphabetic-byte parts-per-million — instead of an LM perplexity, which
+    needs a model this sandbox doesn't ship). Per language, exact tercile
+    cutoffs are computed over the score distribution and every document is
+    labeled ``tail`` (score ≤ c1), ``middle`` (≤ c2) or ``head``; CCNet
+    keeps head+middle for training.
+
+    Buckets are a pure function of (lang, score) — cutoff ``c_k`` is the
+    smallest score whose cumulative count reaches rank ``ceil(k·n/3)``
+    (integer arithmetic ``(k·n + 2) // 3``, identical in the SQL replica)
+    — so ties never straddle a bucket boundary and the labeling is
+    partition- and order-independent.
+
+    Scale shape: one metadata pass (content never leaves it), one
+    ``groupby(lang:score).count`` value-histogram shuffle (≤ |langs| ×
+    1e6 ppm values — independent of corpus rows), a driver cutoff walk,
+    then one broadcast threshold pass. No sort, no per-row gather.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+        sub = batch.filter(valid)
+        data, off = arrow_string_bytes(sub[text_col])
+        n_chars = _utf8_lengths(sub[text_col])
+        alpha = _class_counts(data, off, _ALPHA_LUT)
+        score = alpha * 1_000_000 // np.maximum(n_chars, 1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(sub[id_col], pa.int64()),
+                "lang": pc.cast(sub[lang_col], pa.string()),
+                "score": pa.array(score.astype(np.int64)),
+            }
+        )
+
+    scored = files.map_batches(score_batch, batch_format="pyarrow").materialize()
+
+    def hist_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["lang"], pc.cast(batch["score"], pa.string()), ":"
+        )
+        return pa.table(
+            {"lv": key, "one": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    hist = (
+        scored.map_batches(hist_key, batch_format="pyarrow")
+        .groupby("lv")
+        .sum("one")
+    )
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for b in hist.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for lv, c in zip(b["lv"].to_pylist(), b["sum(one)"].to_pylist()):
+            lang, val = lv.rsplit(":", 1)
+            per_lang.setdefault(lang, []).append((int(val), int(c)))
+
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for lang, vals in per_lang.items():
+        vals.sort()
+        counts = np.array([c for _, c in vals], dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+        c1[lang] = vals[int(np.searchsorted(cum, r1, side="left"))][0]
+        c2[lang] = vals[int(np.searchsorted(cum, r2, side="left"))][0]
+
+    from europa_ray.pipelines.sampling import _lang_lookup
+
+    def label(batch: pa.Table) -> pa.Table:
+        s = batch["score"].to_numpy()
+        t1 = _lang_lookup(batch, "lang", c1, -1, dtype=np.int64)
+        t2 = _lang_lookup(batch, "lang", c2, -1, dtype=np.int64)
+        bucket = np.where(s <= t1, "tail", np.where(s <= t2, "middle", "head"))
+        return batch.append_column("bucket", pa.array(bucket.tolist(), pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow")

@@ -111,6 +111,7 @@ def test_all_queries_have_callables(entry_mod):
         "token_quantiles",
         "mixture_sample",
         "packing_plan",
+        "quality_buckets",
         "norm_exact_dup_members",
         "type2_clone_members",
         "dedup_tiers",

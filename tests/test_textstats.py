@@ -296,3 +296,110 @@ def test_repetition_stats_schema_on_empty_and_null(ray_session):
         out = repetition_batch(b)
         assert out.num_rows == 0
         assert out.column_names == names
+
+
+# ------------------------------------------------------------ quality_buckets
+
+def _qb_files(n: int, seed: int = 13):
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "de"])[rng.integers(0, 2, n)]
+    # mixed alpha/digit/space content → a spread of alpha_ppm scores,
+    # WITH heavy ties (small alphabet of doc shapes)
+    parts = ["abc", "123", "   ", "x9", "zz zz"]
+    texts = [
+        "".join(np.array(parts)[rng.integers(0, len(parts), int(rng.integers(1, 6)))])
+        for _ in range(n)
+    ]
+    texts[0] = ""
+    texts[1] = None
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _qb_bruteforce(t) -> dict[int, tuple[str, int, str]]:
+    import re
+
+    rows = []
+    for d, lang, txt in zip(
+        t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["content"].to_pylist()
+    ):
+        if not txt:
+            continue
+        score = len(re.sub(r"[^A-Za-z]", "", txt)) * 1_000_000 // max(len(txt), 1)
+        rows.append((d, lang, score))
+    out = {}
+    for lang in {r[1] for r in rows}:
+        scores = sorted(s for _, l, s in rows if l == lang)
+        n = len(scores)
+        r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+        cut1, cut2 = scores[r1 - 1], scores[r2 - 1]
+        for d, l, s in rows:
+            if l != lang:
+                continue
+            b = "tail" if s <= cut1 else ("middle" if s <= cut2 else "head")
+            out[d] = (lang, s, b)
+    return out
+
+
+def test_quality_buckets_match_bruteforce(ray_session):
+    import ray.data
+
+    from europa_ray.pipelines.textstats import quality_buckets
+
+    t = _qb_files(400)
+    got = quality_buckets(ray.data.from_arrow(t)).to_pandas()
+    want = _qb_bruteforce(t)
+    assert {
+        int(r.doc_id): (r.lang, int(r.score), r.bucket) for r in got.itertuples()
+    } == want
+
+
+def test_quality_buckets_ties_share_bucket_and_order_invariant(ray_session):
+    """Equal scores always share a bucket (pure function of (lang, score)),
+    and the labeling is independent of input row order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.textstats import quality_buckets
+
+    t = _qb_files(300, seed=5)
+    a = quality_buckets(ray.data.from_arrow(t)).to_pandas()
+    per_key = a.groupby(["lang", "score"]).bucket.nunique()
+    assert (per_key == 1).all()
+    idx = np.random.default_rng(1).permutation(300)
+    perm = pa.table({c: t[c].take(pa.array(idx)) for c in t.column_names})
+    b = quality_buckets(ray.data.from_arrow(perm)).to_pandas()
+    key = lambda df: sorted(zip(df.doc_id, df.lang, df.score, df.bucket))
+    assert key(a) == key(b)
+
+
+def test_quality_buckets_tercile_sizes(ray_session):
+    """With all-distinct scores each bucket holds n/3 ± 1 docs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.textstats import quality_buckets
+
+    n = 90
+    # strictly increasing alpha fraction → 90 distinct scores, one lang
+    texts = ["a" * i + "1" * (100 - i) for i in range(1, n + 1)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+    got = quality_buckets(ray.data.from_arrow(t)).to_pandas()
+    sizes = got.bucket.value_counts().to_dict()
+    assert sizes == {"tail": 30, "middle": 30, "head": 30}
