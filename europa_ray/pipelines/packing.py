@@ -104,7 +104,8 @@ def packing_plan(
             over = True
             break
         ids_p.append(b[id_col].to_numpy())
-        lang_p.append(np.asarray(b[lang_col].to_pylist(), dtype=object))
+        # keep langs as Arrow (not Python objects): ~bytes/row, not ~60 B/row
+        lang_p.extend(b[lang_col].chunks)
         tok_p.append(b["n_tokens"].to_numpy())
         u_p.append(b["sha64"].to_numpy().view(_U64))
 
@@ -117,17 +118,19 @@ def packing_plan(
         return ray.data.from_arrow(PACKING_SCHEMA.empty_table())
 
     ids = np.concatenate(ids_p)
-    langs = np.concatenate(lang_p)
     tok = np.concatenate(tok_p)
     u = np.concatenate(u_p)
     order = np.lexsort((ids, u))
-    ids, langs, tok = ids[order], langs[order], tok[order]
+    langs = pa.chunked_array(lang_p or [pa.array([], pa.string())]).take(
+        pa.array(order, pa.int64())
+    )
+    ids, tok = ids[order], tok[order]
     start = np.cumsum(tok) - tok
     return ray.data.from_arrow(
         pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64)),
-                "lang": pa.array(langs.tolist(), pa.string()),
+                "lang": langs.cast(pa.string()),
                 "n_tokens": pa.array(tok.astype(np.int64)),
                 "start_tok": pa.array(start.astype(np.int64)),
                 "seq_id": pa.array((start // seq_len).astype(np.int64)),

@@ -258,24 +258,32 @@ def mixture_sample(
     """
     if not weights:
         raise ValueError("weights must be a non-empty {lang: weight} dict")
-    if any(w < 0 for w in weights.values()):
-        raise ValueError("weights must be >= 0")
+    if any(w < 0 or not math.isfinite(w) for w in weights.values()):
+        raise ValueError("weights must be finite and >= 0")
     pos = {l: float(w) for l, w in weights.items() if w > 0}
     if not pos:
         raise ValueError("at least one weight must be > 0")
 
-    meta = files.map_batches(
-        _budget_meta,
-        fn_kwargs={"id_col": id_col, "lang_col": lang_col, "content_col": content_col},
-        batch_format="pyarrow",
-    ).materialize()
     member = {l: True for l in pos}
 
     def keep_listed(batch: pa.Table) -> pa.Table:
         m = _lang_lookup(batch, lang_col, member, False, dtype=bool)
         return batch.filter(pa.array(m))
 
-    meta = meta.map_batches(keep_listed, batch_format="pyarrow").materialize()
+    # single metadata pass: extract (id, lang, n_tokens, sha64) and drop
+    # unlisted languages before the one materialize that the boundary
+    # machinery re-scans
+    meta = (
+        files.map_batches(
+            _budget_meta,
+            fn_kwargs={
+                "id_col": id_col, "lang_col": lang_col, "content_col": content_col,
+            },
+            batch_format="pyarrow",
+        )
+        .map_batches(keep_listed, batch_format="pyarrow")
+        .materialize()
+    )
 
     totals = {l: 0 for l in pos}
     agg = meta.groupby(lang_col).sum("n_tokens")

@@ -573,9 +573,6 @@ def quality_buckets(files, *, text_col: str = "content", lang_col: str = "lang",
     1e6 ppm values — independent of corpus rows), a driver cutoff walk,
     then one broadcast threshold pass. No sort, no per-row gather.
     """
-    import pyarrow.compute as pc
-    import ray.data
-
     def score_batch(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
@@ -598,9 +595,14 @@ def quality_buckets(files, *, text_col: str = "content", lang_col: str = "lang",
         key = pc.binary_join_element_wise(
             batch["lang"], pc.cast(batch["score"], pa.string()), ":"
         )
-        return pa.table(
+        t = pa.table(
             {"lv": key, "one": pa.array(np.ones(batch.num_rows, np.int64))}
         )
+        # combine inside the batch so the shuffle carries distinct
+        # (lang, score) pairs per batch, not one row per document
+        # (select aggregate outputs BY NAME — see sampling._prefix_histogram)
+        g = t.group_by("lv").aggregate([("one", "sum")])
+        return pa.table({"lv": g["lv"], "one": g["one_sum"]})
 
     hist = (
         scored.map_batches(hist_key, batch_format="pyarrow")

@@ -328,3 +328,9 @@ def test_mixture_sample_validation(ray_session):
         mixture_sample(ray.data.from_arrow(t), weights={"en": -1.0})
     with pytest.raises(ValueError):
         mixture_sample(ray.data.from_arrow(t), weights={"en": 0.0})
+    with pytest.raises(ValueError):
+        mixture_sample(
+            ray.data.from_arrow(t), weights={"en": float("inf"), "de": 1.0}
+        )
+    with pytest.raises(ValueError):
+        mixture_sample(ray.data.from_arrow(t), weights={"en": float("nan")})
