@@ -858,6 +858,38 @@ def _q_quality_buckets(sf_dir: str):
     return quality_buckets(_docs(sf_dir))
 
 
+def _q_lm_doc_scores(sf_dir: str):
+    """Unigram-LM surprisal per document (CCNet's LM-quality signal with
+    the corpus's own unigram MLE as the model): lm_score = log10(T) -
+    mean(log10 c(w)) over single-space-split token instances. The raw
+    double is rounded to 6 decimals on both sides (the repo's float-hash
+    convention)."""
+    from europa_ray.pipelines.lm import unigram_lm_scores
+
+    ds = unigram_lm_scores(_docs(sf_dir))
+
+    def rnd(b):
+        import numpy as np
+        import pyarrow as pa
+
+        idx = b.column_names.index("lm_score")
+        return b.set_column(
+            idx, "lm_score", pa.array(np.round(b["lm_score"].to_numpy(), 6))
+        )
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_lm_quality_buckets(sf_dir: str):
+    """CCNet head/middle/tail bucketing on the unigram-LM score (the
+    LM-backed twin of quality_buckets): score is the NEGATED half-up
+    micro-unit surprisal (low surprisal = fluent = head), cut at exact
+    per-language terciles."""
+    from europa_ray.pipelines.lm import lm_quality_buckets
+
+    return lm_quality_buckets(_docs(sf_dir))
+
+
 def _q_packing_plan(sf_dir: str):
     """Sequence-packing plan (GPT-style concatenate-then-chunk layout):
     every doc's global token offset and first 512-token sequence id in
@@ -992,6 +1024,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": wrap(_q_mixture_sample),
         "packing_plan": wrap(_q_packing_plan),
         "quality_buckets": wrap(_q_quality_buckets),
+        "lm_doc_scores": wrap(_q_lm_doc_scores),
+        "lm_quality_buckets": wrap(_q_lm_quality_buckets),
         "decontam_stats": wrap(_q_decontam_stats),
     }
 
@@ -2243,6 +2277,59 @@ def oracle_sql() -> dict[str, str]:
             c2 AS (SELECT lang, min(score) AS cut FROM cum
                    WHERE cc >= (2 * n + 2) // 3 GROUP BY lang)
             SELECT m.doc_id, m.lang, CAST(m.score AS BIGINT) AS score,
+                   CASE WHEN m.score <= c1.cut THEN 'tail'
+                        WHEN m.score <= c2.cut THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM m JOIN c1 USING (lang) JOIN c2 USING (lang)
+        """,
+        # unigram-LM surprisal: the corpus's own unigram MLE as the model;
+        # score = log10(T) - avg(log10 c(w)) over token instances, same
+        # single-space tokenization as vocab_top_words, rounded to 6
+        "lm_doc_scores": r"""
+            WITH tok AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            t2 AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+            cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM t2 GROUP BY w),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM t2)
+            SELECT t2.doc_id, t2.lang,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(log10(tot.t) - avg(log10(cnt.c)), 6) AS lm_score
+            FROM t2 JOIN cnt USING (w) CROSS JOIN tot
+            GROUP BY t2.doc_id, t2.lang, tot.t
+        """,
+        # LM-backed CCNet bucketing: NEGATED half-up micro-unit surprisal
+        # (low surprisal = head) cut at exact per-language terciles —
+        # floor(x*1e6 + 0.5) matches numpy's floor(+0.5) exactly (round()
+        # would not: banker's vs half-away)
+        "lm_quality_buckets": r"""
+            WITH tok AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            t2 AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+            cnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM t2 GROUP BY w),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM t2),
+            m AS (
+              SELECT t2.doc_id, t2.lang,
+                     CAST(-floor((log10(tot.t) - avg(log10(cnt.c)))
+                                 * 1000000 + 0.5) AS BIGINT) AS score
+              FROM t2 JOIN cnt USING (w) CROSS JOIN tot
+              GROUP BY t2.doc_id, t2.lang, tot.t
+            ),
+            h AS (SELECT lang, score, count(*) AS c FROM m GROUP BY 1, 2),
+            cum AS (SELECT lang, score,
+                           sum(c) OVER (PARTITION BY lang ORDER BY score) AS cc,
+                           sum(c) OVER (PARTITION BY lang) AS n
+                    FROM h),
+            c1 AS (SELECT lang, min(score) AS cut FROM cum
+                   WHERE cc >= (n + 2) // 3 GROUP BY lang),
+            c2 AS (SELECT lang, min(score) AS cut FROM cum
+                   WHERE cc >= (2 * n + 2) // 3 GROUP BY lang)
+            SELECT m.doc_id, m.lang, m.score,
                    CASE WHEN m.score <= c1.cut THEN 'tail'
                         WHEN m.score <= c2.cut THEN 'middle'
                         ELSE 'head' END AS bucket

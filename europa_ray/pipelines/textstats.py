@@ -590,6 +590,16 @@ def quality_buckets(files, *, text_col: str = "content", lang_col: str = "lang",
         )
 
     scored = files.map_batches(score_batch, batch_format="pyarrow").materialize()
+    return bucket_scored_by_lang_terciles(scored)
+
+
+def bucket_scored_by_lang_terciles(scored) -> "ray.data.Dataset":
+    """Per-language exact tercile labeling of a MATERIALIZED
+    ``(doc_id, lang, score:int64)`` Dataset — the shared back half of
+    :func:`quality_buckets` (alpha-ppm score) and the unigram-LM bucketing
+    in :mod:`europa_ray.pipelines.lm`. See :func:`quality_buckets` for the
+    tie-safe cutoff arithmetic and the scale shape (the histogram shuffle
+    carries distinct (lang, score) pairs, not rows)."""
 
     def hist_key(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(

@@ -112,6 +112,8 @@ def test_all_queries_have_callables(entry_mod):
         "mixture_sample",
         "packing_plan",
         "quality_buckets",
+        "lm_doc_scores",
+        "lm_quality_buckets",
         "norm_exact_dup_members",
         "type2_clone_members",
         "dedup_tiers",
