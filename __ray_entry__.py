@@ -848,6 +848,17 @@ def _q_mixture_sample(sf_dir: str):
     )
 
 
+def _q_temperature_sample(sf_dir: str):
+    """Temperature-smoothed multilingual sampling (p_l ∝ q_l^α, the
+    mBERT/XLM-R exponential smoothing) at α = 0.5: weights are the
+    corpus's own per-lang token totals under sqrt — IEEE sqrt is
+    correctly rounded, so the engine's double chain is bit-identical to
+    the SQL replica's."""
+    from europa_ray.pipelines.sampling import temperature_sample
+
+    return temperature_sample(_docs(sf_dir), alpha=0.5)
+
+
 def _q_quality_buckets(sf_dir: str):
     """CCNet-style head/middle/tail quality bucketing: exact per-language
     tercile cutoffs over the integer alpha_ppm score (value histogram, no
@@ -1022,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": wrap(_q_hash_sample),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
+        "temperature_sample": wrap(_q_temperature_sample),
         "packing_plan": wrap(_q_packing_plan),
         "quality_buckets": wrap(_q_quality_buckets),
         "lm_doc_scores": wrap(_q_lm_doc_scores),
@@ -2377,6 +2389,31 @@ def oracle_sql() -> dict[str, str]:
                     FROM m GROUP BY lang),
             sc AS (SELECT min(CAST(coalesce(t.t, 0) AS DOUBLE) / w.wt) AS scale
                    FROM w LEFT JOIN tot t USING (lang)),
+            bud AS (SELECT w.lang, CAST(floor(sc.scale * w.wt) AS BIGINT) AS b
+                    FROM w, sc)
+            SELECT m.doc_id, m.lang, m.n_tokens
+            FROM m JOIN bud ON bud.lang = m.lang
+            QUALIFY sum(m.n_tokens) OVER (
+                PARTITION BY m.lang ORDER BY m.u, m.doc_id ROWS UNBOUNDED PRECEDING
+            ) <= bud.b
+        """,
+        # temperature sampling: weights = per-lang token totals under
+        # sqrt (α = 0.5); zero-total langs excluded from w → dropped by
+        # the join; same canonical prefix rule as mixture_sample. sqrt is
+        # IEEE-correctly-rounded, so both sides' double chains agree
+        # bit-exactly.
+        "temperature_sample": r"""
+            WITH m AS (
+              SELECT doc_id, lang,
+                     CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS u
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+                    FROM m GROUP BY lang),
+            w AS (SELECT lang, t, sqrt(CAST(t AS DOUBLE)) AS wt
+                  FROM tot WHERE t > 0),
+            sc AS (SELECT min(CAST(t AS DOUBLE) / wt) AS scale FROM w),
             bud AS (SELECT w.lang, CAST(floor(sc.scale * w.wt) AS BIGINT) AS b
                     FROM w, sc)
             SELECT m.doc_id, m.lang, m.n_tokens

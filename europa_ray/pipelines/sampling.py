@@ -299,6 +299,81 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    files: ray.data.Dataset,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    content_col: str = "content",
+    boundary_gather_max: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Temperature-smoothed multilingual sampling (the ``p_l ∝ q_l^α``
+    exponential smoothing of mBERT / XLM-R; Conneau & Lample, NeurIPS
+    2019 §3.1): per-language weights are the corpus's OWN token totals
+    raised to ``alpha``, then the largest corpus matching those ratios is
+    kept via the :func:`mixture_sample` rule — ``scale = min_l(T_l /
+    T_l^α) = (min_l T_l)^(1-α)`` for α<1, so the SMALLEST language is the
+    binding one (kept whole) and dominant languages are downsampled
+    toward it. ``alpha=1`` keeps everything; ``alpha=0`` equalizes token
+    counts across languages. Languages whose token total is 0 are dropped
+    (they contribute no trainable tokens and 0^α would poison the scale).
+
+    ``alpha=0.5`` (and 0, 1) is reproducible bit-exactly against the SQL
+    oracle: IEEE-754 ``sqrt`` is correctly rounded, so numpy/libm and
+    DuckDB agree to the last ulp; arbitrary ``alpha`` uses ``pow``, whose
+    last-ulp behavior is libm-specific (a ~1e-10 chance per language of a
+    one-token budget difference — fine in practice, noted for oracles).
+
+    Same scale shape as :func:`mixture_sample`: one metadata pass, one
+    lang-cardinality aggregate, then the distributed-quantile boundary
+    machinery — no shuffle of the corpus itself.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+
+    meta = files.map_batches(
+        _budget_meta,
+        fn_kwargs={
+            "id_col": id_col, "lang_col": lang_col, "content_col": content_col,
+        },
+        batch_format="pyarrow",
+    ).materialize()
+
+    totals: dict[str, int] = {}
+    for row in meta.groupby(lang_col).sum("n_tokens").take_all():
+        totals[row[lang_col]] = int(row["sum(n_tokens)"])
+    pos = {l: t for l, t in totals.items() if t > 0}
+    if not pos:
+        return _token_budget_from_meta(
+            meta.filter(expr="n_tokens < 0"),  # provably empty, schema kept
+            0, id_col=id_col, lang_col=lang_col,
+            boundary_gather_max=boundary_gather_max,
+        )
+    # sqrt is IEEE-correctly-rounded (bit-identical to the oracle);
+    # alpha 0/1 are exact; general alpha documented above
+    if alpha == 0.5:
+        weights = {l: math.sqrt(float(t)) for l, t in pos.items()}
+    else:
+        weights = {l: float(t) ** alpha for l, t in pos.items()}
+    scale = min(pos[l] / w for l, w in weights.items())
+    budgets = {l: int(math.floor(scale * w)) for l, w in weights.items()}
+
+    if len(pos) != len(totals):  # drop zero-total languages' rows
+        member = {l: True for l in pos}
+
+        def keep_pos(batch: pa.Table) -> pa.Table:
+            m = _lang_lookup(batch, lang_col, member, False, dtype=bool)
+            return batch.filter(pa.array(m))
+
+        meta = meta.map_batches(keep_pos, batch_format="pyarrow").materialize()
+
+    return _token_budget_from_meta(
+        meta, budgets, id_col=id_col, lang_col=lang_col,
+        boundary_gather_max=boundary_gather_max,
+    )
+
+
 def _token_budget_from_meta(
     meta: ray.data.Dataset,
     budgets: int | dict[str, int],

@@ -110,6 +110,7 @@ def test_all_queries_have_callables(entry_mod):
         "dedup_report",
         "token_quantiles",
         "mixture_sample",
+        "temperature_sample",
         "packing_plan",
         "quality_buckets",
         "lm_doc_scores",

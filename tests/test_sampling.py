@@ -334,3 +334,110 @@ def test_mixture_sample_validation(ray_session):
         )
     with pytest.raises(ValueError):
         mixture_sample(ray.data.from_arrow(t), weights={"en": float("nan")})
+
+
+# --------------------------------------------------------- temperature_sample
+
+def _temperature_bruteforce(t: pa.Table, alpha: float) -> set[tuple]:
+    """Reference: per-lang totals → weights T^alpha → mixture rule."""
+    import math
+
+    from europa_ray.functions.text import tokenize
+
+    rows = []
+    for d, lang, txt in zip(
+        t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["content"].to_pylist()
+    ):
+        if not txt:
+            continue
+        _, off = tokenize([txt])
+        rows.append((lang, _u64(txt), d, int(off[1] - off[0])))
+    totals = {}
+    for lang, _, _, n in rows:
+        totals[lang] = totals.get(lang, 0) + n
+    pos = {l: tt for l, tt in totals.items() if tt > 0}
+    if not pos:
+        return set()
+    w = {
+        l: (math.sqrt(float(tt)) if alpha == 0.5 else float(tt) ** alpha)
+        for l, tt in pos.items()
+    }
+    scale = min(pos[l] / w[l] for l in pos)
+    budgets = {l: int(math.floor(scale * w[l])) for l in pos}
+    want = set()
+    for lang in pos:
+        cum = 0
+        for _, u, d, n in sorted(r for r in rows if r[0] == lang):
+            cum += n
+            if cum > budgets[lang]:
+                break
+            want.add((d, lang, n))
+    return want
+
+
+@pytest.mark.parametrize("alpha,gather_max", [(0.5, 1_000_000), (0.5, 2), (0.7, 1_000_000)])
+def test_temperature_sample_matches_bruteforce(ray_session, alpha, gather_max):
+    import ray.data
+
+    from europa_ray.pipelines.sampling import temperature_sample
+
+    t = _mk_files(300)
+    got = temperature_sample(
+        ray.data.from_arrow(t), alpha=alpha, boundary_gather_max=gather_max
+    ).to_pandas()
+    want = _temperature_bruteforce(t, alpha)
+    got_set = set() if got.empty else set(zip(got.doc_id, got.lang, got.n_tokens))
+    assert got_set == want
+
+
+def test_temperature_sample_alpha_extremes(ray_session):
+    """alpha=1 keeps every tokenized doc; alpha=0 equalizes per-lang token
+    mass (each language's kept tokens within one doc of the smallest
+    language's total)."""
+    import ray.data
+
+    from europa_ray.pipelines.sampling import temperature_sample
+
+    t = _mk_files(400, seed=19)
+    full = temperature_sample(ray.data.from_arrow(t), alpha=1.0).to_pandas()
+    assert set(zip(full.doc_id, full.lang, full.n_tokens)) == (
+        _temperature_bruteforce(t, 1.0)
+    )
+    nonempty = sum(1 for x in t["content"].to_pylist() if x)
+    assert len(full) == nonempty
+
+    eq = temperature_sample(ray.data.from_arrow(t), alpha=0.0).to_pandas()
+    kept = eq.groupby("lang").n_tokens.sum()
+    tot = full.groupby("lang").n_tokens.sum()
+    floor_budget = int(tot.min())
+    assert (kept <= floor_budget).all()
+    assert (floor_budget - kept <= int(full.n_tokens.max())).all()
+
+
+def test_temperature_sample_binding_language_whole(ray_session):
+    """For alpha<1 the smallest language is binding and kept whole."""
+    import ray.data
+
+    from europa_ray.pipelines.sampling import temperature_sample
+
+    t = _mk_files(500, seed=23)
+    full = _temperature_bruteforce(t, 1.0)
+    tot = {}
+    for _, lang, n in full:
+        tot[lang] = tot.get(lang, 0) + n
+    smallest = min(tot, key=lambda l: tot[l])
+    got = temperature_sample(ray.data.from_arrow(t), alpha=0.5).to_pandas()
+    kept_small = got[got.lang == smallest]
+    assert int(kept_small.n_tokens.sum()) == tot[smallest]
+
+
+def test_temperature_sample_validation(ray_session):
+    import ray.data
+
+    from europa_ray.pipelines.sampling import temperature_sample
+
+    t = _mk_files(10)
+    with pytest.raises(ValueError):
+        temperature_sample(ray.data.from_arrow(t), alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_sample(ray.data.from_arrow(t), alpha=1.5)
