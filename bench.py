@@ -286,6 +286,46 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("semdedup", semdedup)
 
+    def temperature():
+        """Temperature-smoothed sampling (α=0.5): metadata pass + lang
+        aggregate + distributed-quantile boundary machinery end-to-end."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.sampling import temperature_sample
+
+        return temperature_sample(_with_row_id(read()), id_col="row_id").count()
+
+    bench("temperature_sample", temperature)
+
+    def packing():
+        """Sequence-packing plan: global prefix sum over metadata in
+        canonical hash order (driver path at this corpus size)."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.packing import packing_plan
+
+        return packing_plan(_with_row_id(read()), id_col="row_id").count()
+
+    bench("packing_plan", packing)
+
+    def lm_scores():
+        """Unigram-LM scoring: vocab aggregate + broadcast-LM content pass
+        (per-worker cached model, index_in + segment means)."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.lm import unigram_lm_scores
+
+        return unigram_lm_scores(_with_row_id(read()), id_col="row_id").count()
+
+    bench("lm_scores", lm_scores)
+
+    def qbuckets():
+        """CCNet tercile bucketing on alpha-ppm: score pass + distinct
+        (lang,score) histogram + broadcast threshold pass."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.textstats import quality_buckets
+
+        return quality_buckets(_with_row_id(read()), id_col="row_id").count()
+
+    bench("quality_buckets", qbuckets)
+
     def ann():
         import duckdb
 
