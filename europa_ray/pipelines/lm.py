@@ -123,16 +123,16 @@ def unigram_lm_scores(
     n_words = vocab.count()
     if n_words == 0:
         return ray.data.from_arrow(LM_SCHEMA.empty_table())
-    # one tiny aggregate over the vocabulary-sized table
-    total = int(vocab.sum("n"))
-    log_total = float(np.log10(total))
     unseen_log10 = float(np.log10(unseen_count))
 
     if n_words <= vocab_broadcast_max:
         return _score_broadcast(
-            files, vocab, log_total, unseen_log10,
+            files, vocab, unseen_log10,
             text_col=text_col, id_col=id_col, lang_col=lang_col,
         )
+    # one tiny aggregate over the vocabulary-sized table (the broadcast
+    # path folds the total into its gather instead of a second pass)
+    log_total = float(np.log10(int(vocab.sum("n"))))
     return _score_join(
         files, vocab, log_total, unseen_log10,
         text_col=text_col, id_col=id_col, lang_col=lang_col,
@@ -140,16 +140,18 @@ def unigram_lm_scores(
 
 
 def _score_broadcast(
-    files, vocab, log_total: float, unseen_log10: float,
+    files, vocab, unseen_log10: float,
     *, text_col: str, id_col: str, lang_col: str,
 ) -> ray.data.Dataset:
     words_p: list[pa.Array] = []
-    logc_p: list[np.ndarray] = []
+    counts_p: list[np.ndarray] = []
     for b in vocab.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
         words_p.extend(b["word"].chunks)
-        logc_p.append(np.log10(b["n"].to_numpy().astype(np.float64)))
+        counts_p.append(b["n"].to_numpy().astype(np.int64))
     words = pa.chunked_array(words_p).combine_chunks()
-    logc = np.concatenate(logc_p)
+    counts = np.concatenate(counts_p)
+    log_total = float(np.log10(int(counts.sum())))
+    logc = np.log10(counts.astype(np.float64))
     ref = ray.put((words, logc))
 
     def score(batch: pa.Table) -> pa.Table:
