@@ -326,6 +326,42 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("quality_buckets", qbuckets)
 
+    def codestats():
+        """Code-analysis passes fused in one scan: line-shape stats,
+        import counts, license label (split→flatten→bincount + RE2)."""
+        from europa_ray.pipelines.code import (
+            code_line_stats_batch,
+            import_stats_batch,
+            license_stats_batch,
+        )
+
+        def fused(b):
+            out = code_line_stats_batch(b)
+            out = out.append_column(
+                "n_imports", import_stats_batch(b)["n_imports"]
+            )
+            return out.append_column(
+                "license", license_stats_batch(b)["license"]
+            )
+
+        return read().map_batches(fused, batch_format="pyarrow").count()
+
+    bench("codestats", codestats)
+
+    def secrets():
+        """Credential scan + redaction chain (Arrow RE2 kernels)."""
+        from europa_ray.pipelines.code import secret_redact_batch, secret_stats_batch
+
+        def fused(b):
+            out = secret_stats_batch(b)
+            return out.append_column(
+                "redacted_sha", secret_redact_batch(b)["redacted_sha"]
+            )
+
+        return read().map_batches(fused, batch_format="pyarrow").count()
+
+    bench("secret_scan", secrets)
+
     def ann():
         import duckdb
 

@@ -1,0 +1,222 @@
+"""Code-corpus analysis operators — the source-code payload analogs of the
+text-quality passes (:mod:`europa_ray.pipelines.textstats`):
+
+- :func:`code_line_stats_batch` — per-file line-shape profile (total /
+  blank / comment / code lines, longest line), the code-quality signals
+  used by The Stack / StarCoder data pipelines (Kocetkov et al. 2022:
+  files are filtered on avg/max line length and alpha fraction).
+- :func:`import_stats_batch` / :func:`top_imports` — dependency
+  extraction: per-file import-line counts and the corpus-wide module
+  frequency table (per-batch partial counts → module-sized groupby, the
+  :mod:`~europa_ray.pipelines.vocab` shape).
+- :func:`license_stats_batch` — permissive-license detection over the
+  file header (first ``LICENSE_HEADER_CHARS`` chars), the gate The Stack
+  applies before training use.
+- :func:`secret_stats_batch` / :func:`secret_redact_batch` — credential
+  scanning/redaction (AWS access key, GitHub token, PEM private-key
+  block), the standard regex family (public TruffleHog/Gitleaks rules);
+  reuses the generic regex-scrub kernels of
+  :mod:`europa_ray.pipelines.pii`.
+
+All operators are single ``map_batches`` stages over Arrow kernels (RE2
+regexes — the same engine DuckDB embeds, so the oracles agree by
+construction); the only shuffle is :func:`top_imports`' module-sized
+groupby. Line handling is the vectorized split→flatten→``bincount``/
+``reduceat`` pattern of ``textstats.repetition_stats`` — no Python loop
+touches row content.
+
+Reference parity: Europa classifies files by type before hashing
+(``/root/reference/Api/Implementations/Commons/FileTypeIdentifier.cs``);
+these operators extend that per-file classification chain with the
+code-specific signals an LLM-data pipeline needs (SURVEY §2 M3 family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from europa_ray.pipelines.pii import pii_redact_batch, pii_stats_batch
+
+# RE2- and DuckDB-compatible (no lookaround); shared verbatim with the SQL
+# oracles. A blank line is whitespace-only; a comment line starts with
+# optional indentation then ``#`` or ``//`` (note: C preprocessor
+# directives like ``#include`` share the ``#`` marker and count as comment
+# lines on BOTH sides — a documented semantic, not a bug).
+BLANK_LINE_RE = r"^[ \t]*$"
+COMMENT_LINE_RE = r"^[ \t]*(#|//)"
+
+# import-line dialects, priority order (first match wins per line); group 1
+# (named ``m`` for Arrow's extract_regex; DuckDB indexes it as group 1) is
+# the imported module.
+IMPORT_PATTERNS = (
+    ("py_import", r"^[ \t]*import[ \t]+(?P<m>[A-Za-z_][A-Za-z0-9_.]*)"),
+    ("py_from", r"^[ \t]*from[ \t]+(?P<m>[A-Za-z_][A-Za-z0-9_.]*)[ \t]+import"),
+    ("c_include", r"^[ \t]*#include[ \t]*[<\"](?P<m>[A-Za-z0-9_./]+)[>\"]"),
+)
+
+LICENSE_HEADER_CHARS = 2048
+#: (label, lowercase phrase) in priority order — first phrase found in the
+#: lowercased header wins; plain substring match on both sides.
+LICENSE_RULES = (
+    ("mit", "permission is hereby granted"),
+    ("apache-2.0", "apache license"),
+    ("gpl", "gnu general public license"),
+    ("bsd-3", "redistribution and use in source and binary forms"),
+)
+
+SECRET_PATTERNS = (
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("ghp_token", r"ghp_[A-Za-z0-9]{36}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+)
+
+
+def _valid_content(batch: pa.Table, text_col: str):
+    """(filtered content column, id-columns table) — null/empty rows
+    excluded, matching the oracle ``WHERE text IS NOT NULL AND
+    length(text) > 0`` (house rule, see pii.py)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+    out = batch.select([c for c in batch.column_names if c != text_col]).filter(valid)
+    return col.filter(valid), out
+
+
+def _split_lines(col: pa.Array):
+    """(flat line array, per-row line counts, row index per line)."""
+    split = pc.split_pattern(col, "\n")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    n_lines = pc.list_value_length(split).cast(pa.int64()).to_numpy()
+    flat = split.flatten()
+    row_of = np.repeat(np.arange(len(col), dtype=np.int64), n_lines)
+    return flat, n_lines, row_of
+
+
+def code_line_stats_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Per-doc line-shape stats: (…, n_lines, n_blank, n_comment, n_code,
+    max_line_len). ``n_code = n_lines - n_blank - n_comment`` (blank and
+    comment are disjoint: the comment regex requires a marker char)."""
+    col, out = _valid_content(batch, text_col)
+    n_rows = len(col)
+    flat, n_lines, row_of = _split_lines(col)
+    n_blank = np.zeros(n_rows, np.int64)
+    n_comment = np.zeros(n_rows, np.int64)
+    max_len = np.zeros(n_rows, np.int64)
+    if len(flat):
+        blank = pc.match_substring_regex(flat, BLANK_LINE_RE).to_numpy(
+            zero_copy_only=False
+        )
+        comment = pc.match_substring_regex(flat, COMMENT_LINE_RE).to_numpy(
+            zero_copy_only=False
+        )
+        lens = pc.utf8_length(flat).cast(pa.int64()).to_numpy()
+        n_blank = np.bincount(row_of[blank], minlength=n_rows).astype(np.int64)
+        n_comment = np.bincount(row_of[comment], minlength=n_rows).astype(np.int64)
+        np.maximum.at(max_len, row_of, lens)
+    for name, arr in (
+        ("n_lines", n_lines),
+        ("n_blank", n_blank),
+        ("n_comment", n_comment),
+        ("n_code", n_lines - n_blank - n_comment),
+        ("max_line_len", max_len),
+    ):
+        out = out.append_column(name, pa.array(arr, pa.int64()))
+    return out
+
+
+def _line_modules(flat: pa.Array) -> pa.Array:
+    """Imported module per line (null = not an import line); first
+    matching dialect in ``IMPORT_PATTERNS`` order wins."""
+    mod = None
+    for _, pat in IMPORT_PATTERNS:
+        ext = pc.struct_field(pc.extract_regex(flat, pat), "m")
+        mod = ext if mod is None else pc.if_else(pc.is_valid(mod), mod, ext)
+    return mod
+
+
+def import_stats_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Per-doc count of import lines (any dialect): (…, n_imports)."""
+    col, out = _valid_content(batch, text_col)
+    n_rows = len(col)
+    flat, _, row_of = _split_lines(col)
+    n_imports = np.zeros(n_rows, np.int64)
+    if len(flat):
+        hit = pc.is_valid(_line_modules(flat)).to_numpy(zero_copy_only=False)
+        n_imports = np.bincount(row_of[hit], minlength=n_rows).astype(np.int64)
+    return out.append_column("n_imports", pa.array(n_imports, pa.int64()))
+
+
+def _partial_import_counts(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    empty = pa.table(
+        {"module": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    col, _ = _valid_content(batch, text_col)
+    if len(col) == 0:
+        return empty
+    flat, _, _ = _split_lines(col)
+    if len(flat) == 0:
+        return empty
+    mods = _line_modules(flat).drop_null()
+    if len(mods) == 0:
+        return empty
+    vc = pc.value_counts(mods)
+    return pa.table(
+        {"module": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def top_imports(
+    files: ray.data.Dataset, *, k: int = 50, text_col: str = "content"
+) -> ray.data.Dataset:
+    """Top-``k`` imported modules corpus-wide, tie-broken (n DESC, module
+    ASC) — per-batch partial counts bound the shuffle at (batches × batch
+    module vocabulary) rows; the global aggregate is module-sized."""
+    partials = files.map_batches(
+        _partial_import_counts, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+    )
+    agg = (
+        partials.groupby("module")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+        .map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n"), "n", b["n"].cast(pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort(["n", "module"], descending=[True, False]).limit(k)
+
+
+def license_stats_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Per-doc license label from the lowercased header (first
+    ``LICENSE_HEADER_CHARS`` chars): first ``LICENSE_RULES`` phrase found
+    wins, else ``'none'``. Applied lowest-priority-first so later
+    ``if_else`` writes override — the CASE-chain order of the oracle."""
+    col, out = _valid_content(batch, text_col)
+    hdr = pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, LICENSE_HEADER_CHARS))
+    lab = pa.array(np.full(len(col), "none", dtype=object), pa.string())
+    for name, phrase in reversed(LICENSE_RULES):
+        lab = pc.if_else(pc.match_substring(hdr, phrase), pa.scalar(name), lab)
+    return out.append_column("license", lab)
+
+
+def secret_stats_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Per-doc credential match counts: (…, n_aws_keys, n_ghp_tokens,
+    n_private_keys, n_secrets)."""
+    return pii_stats_batch(
+        batch, text_col=text_col, patterns=SECRET_PATTERNS, total_col="n_secrets"
+    )
+
+
+def secret_redact_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Redact credentials in place (AWS → GHP → private-key order) and emit
+    the redacted text's sha256 — value-checkable against the SQL
+    ``sha256(regexp_replace(...))`` chain."""
+    return pii_redact_batch(batch, text_col=text_col, patterns=SECRET_PATTERNS)

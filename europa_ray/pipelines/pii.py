@@ -26,10 +26,19 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PATTERNS = (("email", EMAIL_RE), ("url", URL_RE), ("ip", IPV4_RE))
 
 
-def pii_stats_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+def pii_stats_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "content",
+    patterns: tuple = PATTERNS,
+    total_col: str = "n_pii",
+) -> pa.Table:
     """Per-doc PII match counts: (…, n_emails, n_urls, n_ips, n_pii).
     Null/empty-content rows are excluded (oracle ``WHERE text IS NOT NULL
-    AND length(text) > 0``)."""
+    AND length(text) > 0``). ``patterns``/``total_col`` make the kernel
+    reusable by other scrub passes (e.g. the secret scanner in
+    :mod:`europa_ray.pipelines.code`): each ``(name, regex)`` pair emits an
+    ``n_{name}s`` count column."""
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -37,18 +46,25 @@ def pii_stats_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
     col = col.filter(valid)
     out = batch.select([c for c in batch.column_names if c != text_col]).filter(valid)
     total = None
-    for name, pat in PATTERNS:
+    for name, pat in patterns:
         n = pc.count_substring_regex(col, pat).cast(pa.int64())
         out = out.append_column(f"n_{name}s", n)
         total = n if total is None else pc.add(total, n)
-    return out.append_column("n_pii", total)
+    return out.append_column(total_col, total)
 
 
-def pii_redact_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+def pii_redact_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "content",
+    patterns: tuple = PATTERNS,
+) -> pa.Table:
     """Redact in place: email → ``<EMAIL>``, URL → ``<URL>``, IP → ``<IP>``,
-    applied in that order. Emits the redacted text's sha256 (not the text)
-    so the result is compact AND value-checkable against the SQL
-    ``sha256(regexp_replace(...))`` chain."""
+    applied in that order (each ``(name, regex)`` replaced by
+    ``<{NAME}>``; order matters: an unredacted email's domain could
+    otherwise feed the URL/IP patterns). Emits the redacted text's sha256
+    (not the text) so the result is compact AND value-checkable against the
+    SQL ``sha256(regexp_replace(...))`` chain."""
     from europa_ray.util import sha256_hex_arrow
 
     col = batch[text_col]
@@ -57,7 +73,7 @@ def pii_redact_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
     valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
     col = col.filter(valid)
     out = batch.select([c for c in batch.column_names if c != text_col]).filter(valid)
-    for name, pat in PATTERNS:
+    for name, pat in patterns:
         col = pc.replace_substring_regex(col, pat, f"<{name.upper()}>")
     return out.append_column(
         "redacted_sha", pa.array(sha256_hex_arrow(col), pa.string())

@@ -74,6 +74,12 @@ def test_all_queries_have_callables(entry_mod):
         "vocab_top_words",
         "pii_stats",
         "pii_redacted",
+        "code_line_stats",
+        "import_stats",
+        "top_imports",
+        "license_stats",
+        "secret_stats",
+        "secret_redacted",
         "hash_sample",
         "token_budget_sample",
         "decontam_stats",
