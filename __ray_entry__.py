@@ -786,6 +786,26 @@ def _q_secret_redacted(sf_dir: str):
     ).select_columns(["doc_id", "redacted_sha"])
 
 
+def _q_latest_file_versions(sf_dir: str):
+    """Commit-aware version dedup over the version-augmented corpus: keep
+    the newest commit per (repo, path) — metadata-only combiner + one
+    file-cardinality groupby."""
+    from europa_ray.pipelines.versions import latest_file_versions
+    from europa_ray.sources.augment import with_versions
+
+    return latest_file_versions(with_versions(_docs(sf_dir)))
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-size disjoint 16-token chunking plan (doc_id, chunk_idx,
+    n_tokens, chunk_sha) — one zero-copy Arrow re-offsetting pass."""
+    from europa_ray.pipelines.chunking import doc_chunks_batch
+
+    return _docs(sf_dir).map_batches(
+        doc_chunks_batch, fn_kwargs={"chunk_tokens": 16}, batch_format="pyarrow"
+    )
+
+
 def _load_events(sf_dir: str):
     import ray.data
 
@@ -1103,6 +1123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "license_stats": wrap(_q_license_stats),
         "secret_stats": wrap(_q_secret_stats),
         "secret_redacted": wrap(_q_secret_redacted),
+        "latest_file_versions": wrap(_q_latest_file_versions),
+        "doc_chunks": wrap(_q_doc_chunks),
         "near_dup_representatives": wrap(_q_near_dup_representatives),
         "windowed_event_counts": wrap(_q_windowed_event_counts),
         "sliding_window_counts": wrap(_q_sliding_window_counts),
@@ -2283,6 +2305,55 @@ def oracle_sql() -> dict[str, str]:
                        '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY>', 'g')
                    ) AS redacted_sha
             FROM secret_docs
+        """,
+        # Latest-version dedup over the versioned fixture (CTE mirrors
+        # sources/augment.py with_versions; repo/path/commit synthesis
+        # mirrors sources/files.py _docs_to_files). The engine's packed
+        # (commit, doc_id) argmax ≡ ORDER BY commit DESC, doc_id DESC.
+        "latest_file_versions": r"""
+            WITH versioned AS (
+              SELECT doc_id, source AS repo,
+                     doc_id || '.' || CASE doc_id % 8
+                       WHEN 0 THEN 'py' WHEN 1 THEN 'rs' WHEN 2 THEN 'go'
+                       WHEN 3 THEN 'java' WHEN 4 THEN 'js' WHEN 5 THEN 'c'
+                       WHEN 6 THEN 'md' ELSE 'txt' END AS path,
+                     lpad(CAST(doc_id AS VARCHAR), 40, '0') AS commit
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 70000000, source,
+                     doc_id || '.' || CASE doc_id % 8
+                       WHEN 0 THEN 'py' WHEN 1 THEN 'rs' WHEN 2 THEN 'go'
+                       WHEN 3 THEN 'java' WHEN 4 THEN 'js' WHEN 5 THEN 'c'
+                       WHEN 6 THEN 'md' ELSE 'txt' END,
+                     lpad(CAST(doc_id + 70000000 AS VARCHAR), 40, '0')
+              FROM documents WHERE doc_id % 4 = 0 AND text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 80000000, source,
+                     doc_id || '.' || CASE doc_id % 8
+                       WHEN 0 THEN 'py' WHEN 1 THEN 'rs' WHEN 2 THEN 'go'
+                       WHEN 3 THEN 'java' WHEN 4 THEN 'js' WHEN 5 THEN 'c'
+                       WHEN 6 THEN 'md' ELSE 'txt' END,
+                     lpad(CAST(doc_id + 80000000 AS VARCHAR), 40, '0')
+              FROM documents WHERE doc_id % 4 = 0 AND text IS NOT NULL AND length(text) > 0
+            )
+            SELECT doc_id, repo, path, commit,
+                   CAST(count(*) OVER (PARTITION BY repo, path) AS BIGINT) AS n_versions
+            FROM versioned
+            QUALIFY row_number() OVER (
+              PARTITION BY repo, path ORDER BY commit DESC, doc_id DESC) = 1
+        """,
+        # Disjoint 16-token chunking plan (the line-dedup list-slicing
+        # pattern: 1-indexed inclusive tk[i:i+15] = 16 tokens).
+        "doc_chunks": r"""
+            WITH tk AS (
+              SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            )
+            SELECT doc_id,
+                   CAST((i - 1) // 16 AS BIGINT) AS chunk_idx,
+                   CAST(least(16, len(tk) - i + 1) AS BIGINT) AS n_tokens,
+                   sha256(array_to_string(tk[i:i+15], ' ')) AS chunk_sha
+            FROM tk, unnest(generate_series(1, len(tk), 16)) AS t(i)
         """,
         # Repetition signals share the docs2 fixture; ALL lines count here
         # (no >=30-char rule — within-doc repetition is a quality signal,

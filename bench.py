@@ -79,6 +79,8 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from europa_ray.pipelines.exact import exact_dup_clusters
     from europa_ray.pipelines.neardup import near_dup_pipeline
@@ -361,6 +363,42 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
         return read().map_batches(fused, batch_format="pyarrow").count()
 
     bench("secret_scan", secrets)
+
+    def chunks():
+        """Fixed-size disjoint chunking plan (one zero-copy re-offsetting
+        pass; rows ≈ tokens/C per doc)."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.chunking import doc_chunks_batch
+
+        return _with_row_id(read()).map_batches(
+            doc_chunks_batch,
+            fn_kwargs={"chunk_tokens": 64, "id_col": "row_id"},
+            batch_format="pyarrow",
+        ).count()
+
+    bench("doc_chunks", chunks)
+
+    def versions():
+        """Latest-version dedup: metadata-only combiner + one
+        file-cardinality groupby over the version-augmented corpus
+        (with_versions adds 2 extra versions of every 4th doc)."""
+        from europa_ray.pipelines.versions import latest_file_versions
+        from europa_ray.sources.augment import with_versions
+        from europa_ray.util import hash_strings
+
+        def add_doc_id(batch):
+            # non-negative, < 2^62 so with_versions' +8e7 offsets can't
+            # overflow int64 (latest_file_versions asserts id >= 0)
+            ident = pc.binary_join_element_wise(
+                batch["repo"], batch["path"], batch["commit"], "\x1f"
+            )
+            rid = (hash_strings(ident.to_pylist()) >> np.uint64(2)).astype(np.int64)
+            return batch.append_column("doc_id", pa.array(rid))
+
+        ds = read().map_batches(add_doc_id, batch_format="pyarrow")
+        return latest_file_versions(with_versions(ds)).count()
+
+    bench("latest_versions", versions)
 
     def ann():
         import duckdb

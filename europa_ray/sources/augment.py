@@ -566,6 +566,64 @@ def with_dirs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.map_batches(add_dir, batch_format="pyarrow")
 
 
+VERSION_OFFSET_V2 = 70_000_000
+VERSION_OFFSET_V3 = 80_000_000
+VERSION_EVERY = 4
+
+
+def _version_rows(batch: pa.Table, offset: int, suffix: str) -> pa.Table:
+    """Extra VERSIONS of every ``VERSION_EVERY``-th nonempty doc: SAME
+    (repo, path), new doc_id/commit (``doc_id + offset``), content with a
+    ``suffix`` appended — the fixture for the latest-version dedup
+    operator (the raw corpus has exactly one version per path). Mirrored
+    by the ``versioned`` UNION-ALL CTE in
+    ``oracle_sql()['latest_file_versions']``."""
+    import pyarrow.compute as pc
+
+    c = batch["content"]
+    ids = batch["doc_id"].to_numpy()
+    mask = pa.array(
+        (ids % VERSION_EVERY == 0)
+        & pc.fill_null(
+            pc.and_kleene(pc.is_valid(c), pc.greater(pc.utf8_length(c), 0)), False
+        ).to_numpy(zero_copy_only=False)
+    )
+    sub = batch.filter(mask)
+    if sub.num_rows == 0:
+        return sub
+    new_id = pc.add(sub["doc_id"], offset)
+    cols = {}
+    for name in sub.column_names:
+        if name == "doc_id":
+            cols[name] = new_id
+        elif name == "content":
+            cols[name] = pc.binary_join_element_wise(
+                sub["content"], pa.scalar(suffix), ""
+            )
+        elif name == "commit":
+            cols[name] = pc.utf8_lpad(pc.cast(new_id, pa.string()), 40, "0")
+        else:
+            cols[name] = sub[name]  # repo, path, lang unchanged
+    return pa.table({c: cols[c] for c in sub.column_names})
+
+
+def with_versions(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset ∪ two newer versions (v2, v3) of every
+    ``VERSION_EVERY``-th nonempty doc under the same (repo, path) — the
+    newest (+``VERSION_OFFSET_V3``) must win the latest-version dedup."""
+    v2 = files_ds.map_batches(
+        _version_rows,
+        fn_kwargs={"offset": VERSION_OFFSET_V2, "suffix": " v2"},
+        batch_format="pyarrow",
+    )
+    v3 = files_ds.map_batches(
+        _version_rows,
+        fn_kwargs={"offset": VERSION_OFFSET_V3, "suffix": " v3"},
+        batch_format="pyarrow",
+    )
+    return files_ds.union(v2).union(v3)
+
+
 # --- code-shaped fixture -------------------------------------------------
 # Rewrites each doc into a small source-file layout (license header comment,
 # import line(s), a comment, an optional blank line, the original text as an

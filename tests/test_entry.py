@@ -80,6 +80,8 @@ def test_all_queries_have_callables(entry_mod):
         "license_stats",
         "secret_stats",
         "secret_redacted",
+        "latest_file_versions",
+        "doc_chunks",
         "hash_sample",
         "token_budget_sample",
         "decontam_stats",
