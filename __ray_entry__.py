@@ -919,6 +919,25 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(_docs(sf_dir), rates={"en": 0.5}, default_rate=0.25)
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment (content-hash keyed
+    so exact duplicates share a split — the train/test-leakage guard)."""
+    from europa_ray.pipelines.sampling import split_assign
+
+    return split_assign(_docs(sf_dir))
+
+
+def _q_length_outliers(sf_dir: str):
+    """Per-language Tukey-IQR length outliers over exact discrete
+    quartiles (doubled-integer fence arithmetic, no floats). k=0.5
+    fences (fence_mult=1): the corpus lengths are near-uniform, so the
+    classic k=1.5 never fires — the tight fence makes the oracle
+    exercise both sides."""
+    from europa_ray.pipelines.textstats import length_outliers
+
+    return length_outliers(_docs(sf_dir), fence_mult=1)
+
+
 def _q_token_budget_sample(sf_dir: str):
     """Per-language token-budget subset (2000 tokens/lang in canonical
     (sha256, doc_id) order) via the distributed-quantile cutoff — value-
@@ -1133,6 +1152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": wrap(_q_top_docs_per_lang),
         "event_sessions": wrap(_q_event_sessions),
         "hash_sample": wrap(_q_hash_sample),
+        "split_assign": wrap(_q_split_assign),
+        "length_outliers": wrap(_q_length_outliers),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
         "temperature_sample": wrap(_q_temperature_sample),
@@ -2504,6 +2525,38 @@ def oracle_sql() -> dict[str, str]:
               AND ('0x' || substr(sha256(text), 1, 16))::UBIGINT <
                   CASE WHEN lang = 'en' THEN 9223372036854775808::UBIGINT
                        ELSE 4611686018427387904::UBIGINT END
+        """,
+        # 90/5/5 split: cumulative u64 thresholds from
+        # sampling.split_thresholds() — int(0.9·2^64), int(0.95·2^64)
+        "split_assign": """
+            SELECT doc_id, lang,
+                   CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                             < 16602069666338596864::UBIGINT THEN 'train'
+                        WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                             < 17524406870024075264::UBIGINT THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        """,
+        # Tukey fences on exact discrete quartiles; doubled-integer
+        # arithmetic (2n vs 2q1−3·iqr / 2q3+3·iqr) keeps both sides
+        # float-free
+        "length_outliers": """
+            WITH m AS (
+              SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            q AS (
+              SELECT lang,
+                     CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q1,
+                     CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3
+              FROM m GROUP BY lang
+            )
+            SELECT m.doc_id, m.lang, m.n_chars,
+                   CASE WHEN 2 * m.n_chars < 2 * q.q1 - 1 * (q.q3 - q.q1)
+                        THEN 'short' ELSE 'long' END AS side
+            FROM m JOIN q USING (lang)
+            WHERE 2 * m.n_chars < 2 * q.q1 - 1 * (q.q3 - q.q1)
+               OR 2 * m.n_chars > 2 * q.q3 + 1 * (q.q3 - q.q1)
         """,
         # per-language token-budget subset in canonical (sha-u64, doc_id)
         # order: the engine computes the same windowed-running-sum cutoff via

@@ -571,3 +571,70 @@ def _token_budget_from_meta(
         return batch.filter(pa.array(keep)).select([id_col, lang_col, "n_tokens"])
 
     return meta.map_batches(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+
+def split_assign(
+    files: ray.data.Dataset,
+    *,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split: assign each document to the split
+    whose cumulative-fraction interval contains ``u64(sha256(content)[:16])``
+    (the :func:`hash_sample` key). Content-hash keyed, NOT id-keyed, so
+    exact duplicates always land in the SAME split — the standard guard
+    against train/test leakage through duplicated documents (run this
+    before or after dedup; either way a surviving copy can't straddle the
+    split boundary). Empty/null content is excluded (house predicate).
+
+    Partition- and order-independent, one stateless vectorized pass — no
+    shuffle, no state, resumable for free. Thresholds are exact u64
+    integers (``_rate_to_threshold``) so the DuckDB oracle can embed the
+    same literals. Output: ``(id, lang, split)``.
+    """
+    names = [n for n, _ in fractions]
+    fracs = [f for _, f in fractions]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >= 0 and sum to 1, got {fracs}")
+    # cumulative thresholds; the last bucket catches everything remaining
+    # (no rounding gap at 2^64 - 1)
+    cum = np.cumsum(fracs)[:-1]
+    bounds = np.array([_rate_to_threshold(float(c)) for c in cum], dtype=_U64)
+    names_arr = np.asarray(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keep, u = _sha_u64_valid(batch, content_col)
+        out = batch.select([id_col, lang_col]).filter(pa.array(keep))
+        idx = np.searchsorted(bounds, u, side="right")
+        return out.append_column("split", pa.array(names_arr[idx], pa.string()))
+
+    return files.map_batches(assign, batch_format="pyarrow")
+
+
+def split_thresholds(
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> list[tuple[str, int]]:
+    """(name, exclusive-upper-u64-bound) per split — the literals the DuckDB
+    oracle embeds (the final split's bound is 2^64, returned as-is for the
+    CASE/ELSE construction)."""
+    cum = np.cumsum([f for _, f in fractions])
+    out = []
+    for (name, _), c in zip(fractions, cum):
+        out.append((name, int(_rate_to_threshold(min(float(c), 1.0)))))
+    out[-1] = (out[-1][0], 1 << 64)
+    return out

@@ -646,3 +646,93 @@ def bucket_scored_by_lang_terciles(scored) -> "ray.data.Dataset":
         return batch.append_column("bucket", pa.array(bucket.tolist(), pa.string()))
 
     return scored.map_batches(label, batch_format="pyarrow")
+
+
+def length_outliers(
+    files,
+    *,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    fence_mult: int = 3,
+) -> "ray.data.Dataset":
+    """Per-language length-outlier detection via Tukey's IQR fences over
+    character length (the robust analog of a z-score cut — Gopher/C4-style
+    pipelines drop abnormally short/long documents per language, and
+    quartile fences are insensitive to the very outliers being hunted,
+    unlike mean/stddev).
+
+    Quartiles are EXACT discrete quantiles (``quantile_disc`` rank rule
+    ``ceil(q·n)``, the :func:`token_quantiles` walk) and the k=1.5 fences
+    are evaluated in doubled-integer arithmetic — ``2·n < 2·q1 − m·iqr``
+    (short) / ``2·n > 2·q3 + m·iqr`` (long), where ``m = fence_mult``
+    (``m = 2k``: the classic k=1.5 is m=3) — so there is no float anywhere
+    and the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: one metadata pass (content never leaves it), one
+    ``groupby(lang:n_chars).count`` value-histogram shuffle (distinct
+    (lang, length) pairs, independent of corpus rows), a driver quartile
+    walk over the tiny histogram, then one broadcast fence pass. No sort,
+    no per-row gather. Output: ``(doc_id, lang, n_chars, side)``.
+    """
+    import ray.data
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+        sub = batch.filter(valid)
+        langs = sub[lang_col]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        n = _utf8_lengths(sub[text_col])
+        key = pc.binary_join_element_wise(
+            langs.cast(pa.string()), pa.array(n.astype(np.int64)).cast(pa.string()), ":"
+        )
+        return pa.table({"lv": key, "one": pa.array(np.ones(len(n), np.int64))})
+
+    hist = files.map_batches(project, batch_format="pyarrow").groupby("lv").sum("one")
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for b in hist.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for lv, c in zip(b["lv"].to_pylist(), b["sum(one)"].to_pylist()):
+            lang, val = lv.rsplit(":", 1)
+            per_lang.setdefault(lang, []).append((int(val), int(c)))
+
+    import math
+
+    lo: dict[str, int] = {}
+    hi: dict[str, int] = {}
+    for lang, vals in per_lang.items():
+        vals.sort()
+        counts = np.array([c for _, c in vals], dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        q1 = vals[int(np.searchsorted(cum, math.ceil(0.25 * n), side="left"))][0]
+        q3 = vals[int(np.searchsorted(cum, math.ceil(0.75 * n), side="left"))][0]
+        iqr = q3 - q1
+        lo[lang] = 2 * q1 - fence_mult * iqr  # compare against 2·n_chars
+        hi[lang] = 2 * q3 + fence_mult * iqr
+
+    from europa_ray.pipelines.sampling import _lang_lookup
+
+    def fence(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+        sub = batch.filter(valid)
+        n = _utf8_lengths(sub[text_col]).astype(np.int64)
+        out = pa.table(
+            {
+                "doc_id": pc.cast(sub[id_col], pa.int64()),
+                "lang": pc.cast(sub[lang_col], pa.string()),
+                "n_chars": pa.array(n),
+            }
+        )
+        lo_b = _lang_lookup(out, "lang", lo, np.iinfo(np.int64).min, dtype=np.int64)
+        hi_b = _lang_lookup(out, "lang", hi, np.iinfo(np.int64).max, dtype=np.int64)
+        short = 2 * n < lo_b
+        long_ = 2 * n > hi_b
+        side = np.where(short, "short", "long")
+        return out.filter(pa.array(short | long_)).append_column(
+            "side", pa.array(side[short | long_].tolist(), pa.string())
+        )
+
+    return files.map_batches(fence, batch_format="pyarrow")

@@ -83,6 +83,8 @@ def test_all_queries_have_callables(entry_mod):
         "latest_file_versions",
         "doc_chunks",
         "hash_sample",
+        "split_assign",
+        "length_outliers",
         "token_budget_sample",
         "decontam_stats",
         "content_errors",

@@ -441,3 +441,65 @@ def test_temperature_sample_validation(ray_session):
         temperature_sample(ray.data.from_arrow(t), alpha=-0.1)
     with pytest.raises(ValueError):
         temperature_sample(ray.data.from_arrow(t), alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# split_assign
+# ---------------------------------------------------------------------------
+
+
+def _brute_split(t: pa.Table, fracs) -> dict[int, str]:
+    cum = np.cumsum([f for _, f in fracs])
+    bounds = [int(min(c, 1.0) * (1 << 64)) for c in cum]
+    out = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["content"].to_pylist()):
+        if not txt:
+            continue
+        u = _u64(txt)
+        for (name, _), b in zip(fracs, bounds):
+            if u < b or b == bounds[-1]:
+                out[d] = name
+                break
+    return out
+
+
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_split_assign_matches_bruteforce(ray_session, n_blocks):
+    import ray.data
+
+    from europa_ray.pipelines.sampling import split_assign
+
+    fracs = (("train", 0.6), ("val", 0.2), ("test", 0.2))
+    t = _mk_files(400)
+    ds = ray.data.from_arrow(t).repartition(n_blocks)
+    got = split_assign(ds, fractions=fracs).to_pandas()
+    want = _brute_split(t, fracs)
+    assert dict(zip(got.doc_id, got.split)) == want
+    # all three splits non-empty at n=400
+    assert set(got.split) == {"train", "val", "test"}
+
+
+def test_split_assign_duplicates_share_split(ray_session):
+    """Exact duplicates (rows 2/3 of the fixture) must land in the same
+    split — the leakage guard the content-hash key exists for."""
+    import ray.data
+
+    from europa_ray.pipelines.sampling import split_assign
+
+    t = _mk_files(50)
+    got = split_assign(ray.data.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert got.loc[2, "split"] == got.loc[3, "split"]
+    # empty/null content excluded
+    assert 0 not in got.index and 1 not in got.index
+
+
+def test_split_assign_validation(ray_session):
+    import ray.data
+
+    from europa_ray.pipelines.sampling import split_assign
+
+    with pytest.raises(ValueError):
+        split_assign(
+            ray.data.from_arrow(_mk_files(10)),
+            fractions=(("a", 0.5), ("b", 0.4)),
+        )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from tests.conftest import SF_TINY
@@ -403,3 +404,57 @@ def test_quality_buckets_tercile_sizes(ray_session):
     got = quality_buckets(ray.data.from_arrow(t)).to_pandas()
     sizes = got.bucket.value_counts().to_dict()
     assert sizes == {"tail": 30, "middle": 30, "head": 30}
+
+
+# ---------------------------------------------------------------------------
+# length_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_length_outliers_matches_bruteforce(ray_session):
+    """Skewed lengths: a few extreme docs per language; brute-force Tukey
+    fences over exact ceil-rank discrete quartiles."""
+    import math
+
+    import ray.data
+
+    from europa_ray.pipelines.textstats import length_outliers
+
+    rng = np.random.default_rng(31)
+    langs = np.array(["en", "de"])[rng.integers(0, 2, 300)]
+    lens = rng.integers(80, 120, 300)
+    lens[:6] = [1, 2, 3, 900, 1000, 1100]  # planted outliers
+    texts = ["x" * int(k) for k in lens]
+    texts[10] = ""
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+
+    def disc_q(vals, q):
+        vals = sorted(vals)
+        return vals[math.ceil(q * len(vals)) - 1]
+
+    want = set()
+    for lang in ("en", "de"):
+        rows = [
+            (d, len(x))
+            for d, l, x in zip(range(300), langs, texts)
+            if l == lang and x
+        ]
+        ns = [n for _, n in rows]
+        q1, q3 = disc_q(ns, 0.25), disc_q(ns, 0.75)
+        iqr = q3 - q1
+        for d, n in rows:
+            if 2 * n < 2 * q1 - 3 * iqr:
+                want.add((d, lang, n, "short"))
+            elif 2 * n > 2 * q3 + 3 * iqr:
+                want.add((d, lang, n, "long"))
+    assert want  # the planted rows must actually be outliers
+
+    got = length_outliers(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    rows = set(zip(got.doc_id, got.lang, got.n_chars, got.side))
+    assert rows == want
