@@ -371,6 +371,16 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Exact set-containment join (asymmetric near-dup: |A∩B|/|A| ≥ 0.8)
+    over the excerpt-augmented corpus — ordered pairs, complete probe-
+    prefix × full-index candidates verified with TRUE shingle sets."""
+    from europa_ray.pipelines.containment import containment_pairs
+    from europa_ray.sources.augment import with_excerpts
+
+    return containment_pairs(with_excerpts(_docs(sf_dir)), tau=0.8)
+
+
 def _q_dedup_spans_rewritten(sf_dir: str):
     """ExactSubstr span REMOVAL (the rewrite the stats measure): per doc,
     kept/removed token counts and the sha256 of the whitespace-canonical
@@ -1109,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": wrap(_q_simhash_pairs),
         "substr_pairs": wrap(_q_substr_pairs),
         "ngram_jaccard_pairs": wrap(_q_ngram_jaccard_pairs),
+        "containment_pairs": wrap(_q_containment_pairs),
         "ann_topk": wrap(_q_ann_topk),
         "ann_topk_lsh": wrap(_q_ann_topk_lsh),
         "ann_topk_ivf": wrap(_q_ann_topk_ivf),
@@ -1897,6 +1908,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.node = inter.na
             JOIN sizes sb ON sb.node = inter.nb
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.72
+        """,
+        # Ordered set-containment pairs over the excerpt fixture (the
+        # ngram_jaccard gram CTE with a DIRECTED intersection and c/|A|):
+        # excerpts are contiguous token slices, so their containment is
+        # exactly 1.0 — plus any natural high-containment pairs. The
+        # excerpts CTE mirrors sources/augment.py _excerpt_batch
+        # (tokens[n//5 : n//5 + 3n//5], 1-indexed inclusive in SQL).
+        "containment_pairs": r"""
+            WITH alldocs AS (
+              SELECT text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT array_to_string(
+                       tk[(len(tk) // 5 + 1):(len(tk) // 5 + 3 * len(tk) // 5)], ' ')
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+              )
+              WHERE doc_id % 3 = 0 AND len(tk) >= 20
+            ),
+            nodes AS (
+              SELECT text,
+                     CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
+                          - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                      >= 9223372036854775808::UBIGINT
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0::HUGEINT END
+                          AS BIGINT) AS node
+              FROM (SELECT DISTINCT text FROM alldocs)
+            ),
+            toks AS (SELECT node, regexp_extract_all(text, '\w+|[^\w\s]') AS tk FROM nodes),
+            grams AS (
+              SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+              UNION
+              SELECT node, array_to_string(tk, ' ') AS gram
+              FROM toks WHERE len(tk) BETWEEN 1 AND 4
+            ),
+            sizes AS (SELECT node, count(*) AS n FROM grams GROUP BY node),
+            inter AS (
+              SELECT g1.node AS na, g2.node AS nb, count(*) AS c
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.node <> g2.node GROUP BY 1, 2
+            )
+            SELECT na AS a, nb AS b,
+                   round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.node = inter.na
+            WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
         """,
         # TRUE oracle for the long-shared-substring pass: the winnowing
         # candidate stage (stages/substr.py:9-16) is probabilistically

@@ -378,6 +378,15 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("doc_chunks", chunks)
 
+    def containment():
+        """Exact containment join (full-shingle-stream explode — the
+        asymmetric analog of the jaccard entry's prefix explode)."""
+        from europa_ray.pipelines.containment import containment_pairs
+
+        return containment_pairs(read(), tau=0.8).count()
+
+    bench("containment", containment)
+
     def versions():
         """Latest-version dedup: metadata-only combiner + one
         file-cardinality groupby over the version-augmented corpus

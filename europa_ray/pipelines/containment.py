@@ -1,0 +1,364 @@
+"""Exact set-containment join — ordered pairs ``(a, b)`` where
+``C(A→B) = |A ∩ B| / |A| ≥ τ`` over per-document unique k-gram shingle
+sets. Containment is the asymmetric near-dup relation Jaccard-threshold
+dedup misses BY DESIGN: a short document quoted whole inside a long one has
+``J ≈ |A|/|B|`` (arbitrarily small) but ``C(A→B) = 1`` — excerpts, quoted
+files, README fragments, concatenated bundles. Training pipelines use it to
+drop documents subsumed by a longer kept copy.
+
+Candidate generation (COMPLETE, no recall gap) is the asymmetric variant of
+the AllPairs/PPJoin prefix filter (Bayardo WWW'07; Chaudhuri et al.
+SSJoin ICDE'06 probe-count): if ``|A ∩ B| ≥ τ·|A|`` then at most
+``|A| − ⌈τ·|A|⌉`` of A's grams lie outside B, so among ANY
+``|A| − ⌈τ·|A|⌉ + 1`` of A's grams at least one is in B. Each doc therefore
+emits its first ``prefix_lengths(|A|, τ)`` grams (ascending-hash order) as
+PROBE rows and ALL its grams as INDEX rows — one fused explode with a
+``probe`` flag — and every qualifying ordered pair collides in some gram
+group as (probe-A, any-B). The length filter is one-sided:
+``|B| ≥ ⌈τ·|A|⌉`` (since ``|A ∩ B| ≤ |B|``).
+
+Scale shape: the explode is the FULL unique-shingle stream (25 B/row) —
+the word-count-class shuffle that is the price of exactness (the Jaccard
+PPJoin explode is the ``(1 − τ)`` prefix slice of the same stream; the
+index side here cannot be sliced without losing completeness). Dispatch
+mirrors ``stages/ppjoin.py:prefix_candidate_pairs``: one driver gather +
+vectorized group/pair/dedupe below the row budget; duplicated-gram
+semi-join + distinct-group dedup (one representative gram per distinct
+(node, probe) set — the boilerplate-clique guard) + ``groupby(gram)``
+pairing above it (forced-budget-0 equivalence-tested). Verification
+recomputes TRUE shingle sets for candidate nodes only through
+:mod:`europa_ray.stages.pairverify` (role order is preserved on both its
+paths, so the asymmetric metric is safe).
+
+Output: ``(a, b, containment)`` — ``a`` = the contained doc's node (int64
+view of sha256[:16]), ``b`` = the container's, both directions emitted
+when both qualify. SQL replica: the ``ngram_jaccard_pairs`` gram CTE with
+an ordered (``g1.node <> g2.node``) intersection and ``c / sa.n``.
+
+Reference parity: the reference's similarity search is symmetric
+(`Api/Client/QdrantRepository.cs` range search); containment extends the
+engine's exact-similarity family to the asymmetric case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from europa_ray.config import DEFAULT_CONFIG, EngineConfig
+
+CONTAIN_SCHEMA = pa.schema(
+    [
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.int64()),
+        pa.field("containment", pa.float64()),
+    ]
+)
+
+_PAIR_AB = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
+
+_EXPLODE_EMPTY = pa.table(
+    {
+        "gram": pa.array([], pa.int64()),
+        "node": pa.array([], pa.int64()),
+        "size": pa.array([], pa.int64()),
+        "probe": pa.array([], pa.int8()),
+    }
+)
+
+
+def _explode_probe_index(
+    batch: pa.Table,
+    *,
+    tau: float,
+    k: int,
+    content_col: str = "content",
+) -> pa.Table:
+    """(gram, node, size, probe) — ALL unique grams of every doc, with
+    ``probe=1`` on the first ``prefix_lengths(|A|, τ)`` grams in
+    ascending-hash order (any ``(1−τ)|A|+1``-subset works for the
+    containment lemma; hash order keeps the explode deterministic)."""
+    from europa_ray.functions.text import shingles, tokenize_arrow, unique_per_row
+    from europa_ray.stages.hash_stage import add_sha256
+    from europa_ray.stages.ppjoin import prefix_lengths
+    from europa_ray.util import hex_to_u64_arrow
+
+    if batch.num_rows == 0:
+        return _EXPLODE_EMPTY
+    hashed = add_sha256(batch, drop_content=False, keep_cols=(content_col,))
+    col = hashed[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    th, off = tokenize_arrow(col)
+    sh, soff = shingles(th, off, k)
+    ush, uoff = unique_per_row(sh, soff)
+    sizes = np.diff(uoff)
+    if not (sizes > 0).any():
+        return _EXPLODE_EMPTY
+    node = hex_to_u64_arrow(hashed["sha256"]).view(np.int64)
+    p = np.where(sizes > 0, prefix_lengths(sizes, tau), 0)
+    rowrep = np.repeat(np.arange(sizes.shape[0], dtype=np.int64), sizes)
+    pos = np.arange(ush.shape[0], dtype=np.int64) - np.repeat(uoff[:-1], sizes)
+    probe = (pos < p[rowrep]).astype(np.int8)
+    return pa.table(
+        {
+            "gram": pa.array(ush.view(np.int64)),
+            "node": pa.array(np.repeat(node, sizes)),
+            "size": pa.array(np.repeat(sizes, sizes)),
+            "probe": pa.array(probe),
+        }
+    )
+
+
+def _size_keep(sa: np.ndarray, sb: np.ndarray, tau: float) -> np.ndarray:
+    """One-sided length filter ``|B| ≥ ⌈τ·|A|⌉`` (downward epsilon only —
+    a too-loose filter is sound, a too-tight one drops qualifying pairs)."""
+    return sb >= np.ceil(tau * sa - 1e-9).astype(np.int64)
+
+
+def _combined_keys(nd: np.ndarray, pb: np.ndarray) -> np.ndarray:
+    """(node, probe) folded into one int64 hash key for the distinct-group
+    dedup: pair production depends on probe flags as well as membership, so
+    groups are equal only when the full (node, probe) SET matches."""
+    with np.errstate(over="ignore"):
+        return ((nd.view(np.uint64) << np.uint64(1)) | pb.astype(np.uint64)).view(
+            np.int64
+        )
+
+
+def _pair_containment_group(group: pa.Table, *, tau: float) -> pa.Table:
+    """Ordered (probe-node → any-node) pairs within one gram bucket,
+    size-filtered; (gram, node) deduped keeping the max probe flag (exact-
+    duplicate contents collapse to one node)."""
+    nd = group["node"].to_numpy()
+    sz = group["size"].to_numpy()
+    pb = group["probe"].to_numpy()
+    order = np.lexsort((pb, nd))
+    nd, sz, pb = nd[order], sz[order], pb[order]
+    last = np.ones(nd.shape[0], dtype=bool)
+    last[:-1] = nd[1:] != nd[:-1]
+    nd, sz, pb = nd[last], sz[last], pb[last]
+    n = nd.shape[0]
+    pi = np.nonzero(pb == 1)[0]
+    if n < 2 or pi.shape[0] == 0:
+        return _PAIR_AB.empty_table()
+    a = np.repeat(nd[pi], n)
+    sa = np.repeat(sz[pi], n)
+    b = np.tile(nd, pi.shape[0])
+    sb = np.tile(sz, pi.shape[0])
+    keep = (a != b) & _size_keep(sa, sb, tau)
+    return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+
+def _group_set_hash_probe(group: pa.Table) -> pa.Table:
+    """(gram, 128-bit set hash of the group's distinct (node, probe) pairs)
+    — the distributed distinct-group key (``ppjoin._group_set_hash`` with
+    the probe flag folded into the hashed identity)."""
+    from europa_ray.stages.ppjoin import _set_hash_pair
+
+    nd = group["node"].to_numpy()
+    pb = group["probe"].to_numpy()
+    order = np.lexsort((pb, nd))
+    nd, pb = nd[order], pb[order]
+    last = np.ones(nd.shape[0], dtype=bool)
+    last[:-1] = nd[1:] != nd[:-1]
+    comb = np.unique(_combined_keys(nd[last], pb[last]))
+    sig1, sig2 = _set_hash_pair(
+        comb.view(np.uint64), np.zeros(1, np.int64), np.array([comb.shape[0]], np.int64)
+    )
+    return pa.table(
+        {
+            "gram": group["gram"][:1],
+            "sethash1": pa.array(sig1.view(np.int64)),
+            "sethash2": pa.array(sig2.view(np.int64)),
+        }
+    )
+
+
+def containment_candidates(
+    ds,
+    *,
+    tau: float,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    content_col: str = "content",
+    num_partitions: int | None = None,
+    driver_max_explode_rows: int = 100_000_000,
+):
+    """Filtered corpus Dataset → COMPLETE ordered candidate (a, b) Dataset
+    for ``C(A→B) ≥ τ``. Driver gather below ``driver_max_explode_rows``
+    (~2.5 GB), distributed fallback above (budget-0 equivalence-tested)."""
+    from europa_ray.stages.pairverify import _ranges_gather
+    from europa_ray.stages.ppjoin import _dedupe_ab, _distinct_group_rows
+    from europa_ray.util import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    kn = ds.map_batches(
+        _explode_probe_index,
+        fn_kwargs={"tau": tau, "k": cfg.shingle_k, "content_col": content_col},
+        batch_size=cfg.batch_size,
+        batch_format="pyarrow",
+    )
+
+    parts: list[tuple] = []
+    total = 0
+    over = False
+    for bt in kn.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += bt.num_rows
+        if total > driver_max_explode_rows:
+            over = True
+            break
+        parts.append(
+            (
+                bt["gram"].to_numpy(),
+                bt["node"].to_numpy(),
+                bt["size"].to_numpy(),
+                bt["probe"].to_numpy(),
+            )
+        )
+    if over:
+        return _containment_distributed(kn, tau, num_partitions)
+    if not parts:
+        return ray.data.from_arrow(_PAIR_AB.empty_table())
+    g = np.concatenate([p[0] for p in parts])
+    nd = np.concatenate([p[1] for p in parts])
+    sz = np.concatenate([p[2] for p in parts])
+    pb = np.concatenate([p[3] for p in parts])
+
+    # (gram, node) dedupe keeping max probe (exact-dup contents)
+    order = np.lexsort((pb, nd, g))
+    g, nd, sz, pb = g[order], nd[order], sz[order], pb[order]
+    last = np.ones(g.shape[0], dtype=bool)
+    last[:-1] = (g[1:] != g[:-1]) | (nd[1:] != nd[:-1])
+    g, nd, sz, pb = g[last], nd[last], sz[last], pb[last]
+
+    newg = np.ones(g.shape[0], dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    gid = np.cumsum(newg) - 1
+    dmask = _distinct_group_rows(gid, _combined_keys(nd, pb))
+    g, nd, sz, pb = g[dmask], nd[dmask], sz[dmask], pb[dmask]
+    newg = np.ones(g.shape[0], dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    gid = np.cumsum(newg) - 1
+
+    counts = np.bincount(gid) if gid.shape[0] else np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    pi = np.nonzero(pb == 1)[0]
+    if pi.shape[0] == 0:
+        return ray.data.from_arrow(_PAIR_AB.empty_table())
+    reps = counts[gid[pi]]
+    a = np.repeat(nd[pi], reps)
+    sa = np.repeat(sz[pi], reps)
+    b_idx = _ranges_gather(starts[gid[pi]], reps)
+    b = nd[b_idx]
+    sb = sz[b_idx]
+    keep = (a != b) & _size_keep(sa, sb, tau)
+    a, b = a[keep], b[keep]
+    if a.shape[0] == 0:
+        return ray.data.from_arrow(_PAIR_AB.empty_table())
+    a, b = _dedupe_ab(a, b)  # row-sort + uniq — ORDER-PRESERVING per pair
+    return ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+
+
+def _containment_distributed(kn, tau: float, num_partitions: int):
+    """Distributed shape, mirroring ``ppjoin._prefix_pairs_distributed``:
+    duplicated grams → semi-join → distinct-(node, probe)-set dedup →
+    ``groupby(gram)`` ordered pairing → distinct (a, b)."""
+    from europa_ray.stages.lsh import (
+        duplicated_keys,
+        filter_by_key_array,
+        semi_join_keys,
+    )
+
+    dup = duplicated_keys(kn.select_columns(["gram"]), "gram")
+    if dup is not None:
+        if dup.shape[0] == 0:
+            return ray.data.from_arrow(_PAIR_AB.empty_table())
+        hot = filter_by_key_array(kn, dup, "gram")
+    else:
+        collisions = (
+            kn.select_columns(["gram"])
+            .groupby("gram")
+            .count()
+            .rename_columns({"count()": "gram_n"})
+            .filter(expr="gram_n > 1")
+            .materialize()  # Ray 2.49 join quirk: materialize small sides
+        )
+        if collisions.count() == 0:
+            return ray.data.from_arrow(_PAIR_AB.empty_table())
+        hot = semi_join_keys(kn, collisions, "gram", num_partitions=num_partitions)
+    hot = hot.materialize()  # consumed twice: set-hash pass + pairing
+    set_hashes = hot.groupby("gram").map_groups(
+        _group_set_hash_probe, batch_format="pyarrow"
+    )
+    reps = set_hashes.groupby(["sethash1", "sethash2"]).min("gram")
+    rep_grams = reps.map_batches(
+        lambda b: pa.table({"gram": b["min(gram)"]}), batch_format="pyarrow"
+    )
+    hot = semi_join_keys(
+        hot, rep_grams.materialize(), "gram", num_partitions=num_partitions
+    )
+    pairs = hot.groupby("gram").map_groups(
+        _pair_containment_group, fn_kwargs={"tau": tau}, batch_format="pyarrow"
+    )
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(_PAIR_AB.empty_table())
+    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def containment_metric(tau: float):
+    """TRUE shingle-set containment metric for the pairverify machinery —
+    ASYMMETRIC: the first payload is the contained side A. Returns
+    ``round(|A∩B| / |A|, 6)`` when ≥ τ, else None (same rounding as the
+    SQL oracle)."""
+
+    def metric(sa: np.ndarray, sb: np.ndarray) -> float | None:
+        if sa.shape[0] == 0 or sb.shape[0] == 0:
+            return None
+        inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+        c = inter / sa.shape[0]
+        if c < tau:
+            return None
+        return round(c, 6)
+
+    return metric
+
+
+def containment_pairs(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    tau: float = 0.8,
+    num_partitions: int | None = None,
+    driver_max_explode_rows: int = 100_000_000,
+) -> ray.data.Dataset:
+    """Ordered exact-containment pairs ``(a, b, containment)`` with
+    ``C(A→B) ≥ τ`` — complete candidates (module docstring lemma) verified
+    with TRUE shingle sets via :mod:`europa_ray.stages.pairverify` (driver
+    / cogroup dispatch, budget-tested)."""
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"containment tau must be in (0, 1], got {tau}")
+    from europa_ray.pipelines.neardup import apply_filters, shingle_set_payload
+    from europa_ray.stages.pairverify import verify_pairs_chunked
+
+    ds = apply_filters(files, cfg)
+    cand = containment_candidates(
+        ds,
+        tau=tau,
+        cfg=cfg,
+        num_partitions=num_partitions,
+        driver_max_explode_rows=driver_max_explode_rows,
+    ).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(CONTAIN_SCHEMA.empty_table())
+    k = cfg.shingle_k
+    return verify_pairs_chunked(
+        ds,
+        cand,
+        lambda col: shingle_set_payload(col, k),
+        containment_metric(tau),
+        CONTAIN_SCHEMA,
+        lambda na, nb, c: (na, nb, c),
+    )

@@ -748,3 +748,59 @@ def with_embedding_dups(embeddings_ds: ray.data.Dataset) -> ray.data.Dataset:
     original — SQL-reproducible)."""
     dups = embeddings_ds.map_batches(_dup_embeddings, batch_format="pyarrow")
     return embeddings_ds.union(dups)
+
+
+# --- excerpt fixture (containment) ----------------------------------------
+
+EXCERPT_OFFSET = 20_000_000
+EXCERPT_EVERY = 3
+EXCERPT_MIN_TOKENS = 20
+
+
+def _excerpt_batch(batch: pa.Table) -> pa.Table:
+    """EXCERPT docs: for every ``EXCERPT_EVERY``-th doc with ≥
+    ``EXCERPT_MIN_TOKENS`` space-tokens, the contiguous slice
+    ``tokens[n//5 : n//5 + 3n//5]`` as a new doc (id + ``EXCERPT_OFFSET``).
+    A contiguous token slice's shingle set is a SUBSET of the original's,
+    so every excerpt has containment exactly 1.0 in its source — the
+    planted truth for the containment-join operator. Mirrored by the
+    ``excerpts`` CTE in ``oracle_sql()['containment_pairs']`` (1-indexed
+    inclusive DuckDB slice ``tk[n//5 + 1 : n//5 + 3n//5]``)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["content"].to_pylist()
+    rows: list[tuple[int, str]] = []
+    for d, t in zip(ids, texts):
+        if not t or d % EXCERPT_EVERY != 0:
+            continue
+        toks = t.split(" ")
+        n = len(toks)
+        if n < EXCERPT_MIN_TOKENS:
+            continue
+        s = n // 5
+        rows.append((d + EXCERPT_OFFSET, " ".join(toks[s : s + (3 * n) // 5])))
+    cols: dict[str, list] = {c: [] for c in batch.column_names}
+    pos_of = {d: i for i, d in enumerate(ids)}
+    for new_id, content in rows:
+        i = pos_of[new_id - EXCERPT_OFFSET]
+        for c in batch.column_names:
+            if c == "doc_id":
+                cols[c].append(new_id)
+            elif c == "content":
+                cols[c].append(content)
+            elif c == "path":
+                cols[c].append(f"{new_id}.txt")
+            elif c == "commit":
+                cols[c].append(f"{new_id:040d}")
+            else:
+                cols[c].append(batch[c][i].as_py())
+    return pa.table(
+        {c: pa.array(cols[c], batch.schema.field(c).type) for c in batch.column_names}
+    )
+
+
+def with_excerpts(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset ∪ deterministic excerpt docs (containment 1.0
+    in their sources)."""
+    return files_ds.union(
+        files_ds.map_batches(_excerpt_batch, batch_format="pyarrow")
+    )

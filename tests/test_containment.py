@@ -1,0 +1,122 @@
+"""Containment join (pipelines/containment.py): brute-force parity on both
+dispatch paths, directional semantics, excerpt fixture truth."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from europa_ray.pipelines.containment import containment_pairs
+from europa_ray.pipelines.neardup import shingle_set_payload
+
+TAU = 0.8
+
+
+def _mk_corpus(n: int = 90, seed: int = 3) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(10, 60))))
+        for _ in range(n)
+    ]
+    # planted: two excerpts (containment 1.0), one exact dup (same node —
+    # no pair), one empty, one null
+    texts[1] = " ".join(texts[0].split(" ")[5:25])
+    texts[3] = " ".join(texts[2].split(" ")[0:15])
+    texts[5] = texts[4]
+    texts[7] = ""
+    texts[8] = None
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"{i}.py" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _signed_node(txt: str) -> int:
+    u = int(hashlib.sha256(txt.encode()).hexdigest()[:16], 16)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _brute(t: pa.Table) -> dict[tuple[int, int], float]:
+    sets: dict[int, set] = {}
+    for txt in sorted({x for x in t["content"].to_pylist() if x}):
+        sa, _ = shingle_set_payload(pa.array([txt]), 5)
+        sets[_signed_node(txt)] = set(sa.tolist())
+    want = {}
+    for na, A in sets.items():
+        for nb, B in sets.items():
+            if na == nb or not A:
+                continue
+            c = len(A & B) / len(A)
+            if c >= TAU:
+                want[(na, nb)] = round(c, 6)
+    return want
+
+
+@pytest.mark.parametrize("explode_budget", [100_000_000, 0])
+def test_containment_matches_bruteforce(ray_session, explode_budget):
+    """Driver path and forced-distributed path both equal brute force."""
+    import ray.data
+
+    t = _mk_corpus()
+    got = containment_pairs(
+        ray.data.from_arrow(t).repartition(3),
+        tau=TAU,
+        driver_max_explode_rows=explode_budget,
+    ).to_pandas()
+    got_map = {(a, b): c for a, b, c in zip(got.a, got.b, got.containment)}
+    want = _brute(t)
+    assert got_map == want
+    assert len(want) >= 2  # the planted excerpts are found
+    # planted excerpts are directional: contained → container only
+    for big, small in ((0, 1), (2, 3)):
+        texts = t["content"].to_pylist()
+        na, nb = _signed_node(texts[small]), _signed_node(texts[big])
+        assert got_map[(na, nb)] == 1.0
+        assert (nb, na) not in got_map or got_map[(nb, na)] < 1.0
+
+
+def test_containment_excerpt_fixture(ray_session):
+    """with_excerpts plants containment-1.0 truths the operator must find."""
+    import ray.data
+
+    from europa_ray.sources.augment import (
+        EXCERPT_EVERY,
+        EXCERPT_MIN_TOKENS,
+        with_excerpts,
+    )
+
+    t = _mk_corpus(60, seed=11)
+    ds = with_excerpts(ray.data.from_arrow(t))
+    got = containment_pairs(ds, tau=TAU).to_pandas()
+    got_pairs = set(zip(got.a, got.b))
+    texts = t["content"].to_pylist()
+    n_expected = 0
+    for d, txt in enumerate(texts):
+        if not txt or d % EXCERPT_EVERY != 0:
+            continue
+        toks = txt.split(" ")
+        n = len(toks)
+        if n < EXCERPT_MIN_TOKENS:
+            continue
+        s = n // 5
+        exc = " ".join(toks[s : s + (3 * n) // 5])
+        assert (_signed_node(exc), _signed_node(txt)) in got_pairs
+        n_expected += 1
+    assert n_expected >= 5
+
+
+def test_containment_validation(ray_session):
+    import ray.data
+
+    with pytest.raises(ValueError):
+        containment_pairs(ray.data.from_arrow(_mk_corpus(10)), tau=0.0)

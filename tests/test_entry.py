@@ -92,6 +92,7 @@ def test_all_queries_have_callables(entry_mod):
         "repo_fork_pairs",
         "vendored_dir_groups",
         "substr_pairs",
+        "containment_pairs",
         "embedding_dup_pairs_lsh",
         "embedding_dup_pairs_lsh_probe",
         "semantic_dup_pairs",
