@@ -371,6 +371,14 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return exact_jaccard_pairs(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
 
 
+def _q_doc_top_terms(sf_dir: str):
+    """Per-doc top-5 distinctive terms: integer-exact tf-idf ordering
+    (tf DESC, df ASC, term) — broadcast df table, no doc-keyed shuffle."""
+    from europa_ray.pipelines.keywords import doc_top_terms
+
+    return doc_top_terms(_docs(sf_dir), k=5)
+
+
 def _q_containment_pairs(sf_dir: str):
     """Exact set-containment join (asymmetric near-dup: |A∩B|/|A| ≥ 0.8)
     over the excerpt-augmented corpus — ordered pairs, complete probe-
@@ -1120,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_pairs": wrap(_q_substr_pairs),
         "ngram_jaccard_pairs": wrap(_q_ngram_jaccard_pairs),
         "containment_pairs": wrap(_q_containment_pairs),
+        "doc_top_terms": wrap(_q_doc_top_terms),
         "ann_topk": wrap(_q_ann_topk),
         "ann_topk_lsh": wrap(_q_ann_topk_lsh),
         "ann_topk_ivf": wrap(_q_ann_topk_ivf),
@@ -2517,6 +2526,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-group top-k: row_number over (tokens DESC, id) per language,
         # k=5; same tokenizer as the token_counts oracle
+        # Integer-exact tf-idf top-k: within-doc order (tf DESC, df ASC,
+        # term) — the tf-idf order with idf's monotonicity made exact, no
+        # log on either side. Terms = nonempty space-split segments (the
+        # vocab convention); df = distinct docs containing the term.
+        "doc_top_terms": r"""
+            WITH tf AS (
+              SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL AND length(text) > 0
+              ) WHERE w <> '' GROUP BY doc_id, w
+            ),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+            SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rank
+            FROM (
+              SELECT tf.*, df.df, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn
+              FROM tf JOIN df USING (term)
+            ) WHERE rn <= 5
+        """,
         "top_docs_per_lang": r"""
             WITH c AS (
               SELECT lang, doc_id,

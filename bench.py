@@ -409,6 +409,18 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("latest_versions", versions)
 
+    def keywords():
+        """Per-doc top-5 distinctive terms (df aggregate + broadcast +
+        in-batch rank — no doc-keyed shuffle)."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.keywords import doc_top_terms
+
+        return doc_top_terms(
+            _with_row_id(read()), k=5, id_col="row_id"
+        ).count()
+
+    bench("doc_top_terms", keywords)
+
     def ann():
         import duckdb
 
