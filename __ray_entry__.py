@@ -824,6 +824,16 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_chunk_dup_stats(sf_dir: str):
+    """Chunk-level dedup report over the versioned corpus: versioned docs
+    share every 16-token chunk except the edited tail, so the per-doc
+    duplicated-chunk counts quantify what doc-level dedup can't."""
+    from europa_ray.pipelines.chunking import chunk_dup_stats
+    from europa_ray.sources.augment import with_versions
+
+    return chunk_dup_stats(with_versions(_docs(sf_dir)), chunk_tokens=16)
+
+
 def _load_events(sf_dir: str):
     import ray.data
 
@@ -1164,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "secret_redacted": wrap(_q_secret_redacted),
         "latest_file_versions": wrap(_q_latest_file_versions),
         "doc_chunks": wrap(_q_doc_chunks),
+        "chunk_dup_stats": wrap(_q_chunk_dup_stats),
         "near_dup_representatives": wrap(_q_near_dup_representatives),
         "windowed_event_counts": wrap(_q_windowed_event_counts),
         "sliding_window_counts": wrap(_q_sliding_window_counts),
@@ -2443,6 +2454,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(16, len(tk) - i + 1) AS BIGINT) AS n_tokens,
                    sha256(array_to_string(tk[i:i+15], ' ')) AS chunk_sha
             FROM tk, unnest(generate_series(1, len(tk), 16)) AS t(i)
+        """,
+        # Chunk-level dedup over the versioned fixture (text || ' v2'/' v3'
+        # mirrors sources/augment.py _version_rows content): versioned docs
+        # share every full leading 16-token chunk with their source.
+        "chunk_dup_stats": r"""
+            WITH vd AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 70000000, text || ' v2' FROM documents
+              WHERE doc_id % 4 = 0 AND text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 80000000, text || ' v3' FROM documents
+              WHERE doc_id % 4 = 0 AND text IS NOT NULL AND length(text) > 0
+            ),
+            tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM vd),
+            chunks AS (
+              SELECT doc_id, sha256(array_to_string(tk[i:i+15], ' ')) AS sha
+              FROM tk, unnest(generate_series(1, len(tk), 16)) AS t(i)
+            ),
+            dup AS (SELECT sha FROM chunks GROUP BY sha HAVING count(*) > 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN sha IN (SELECT sha FROM dup)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+            FROM chunks GROUP BY doc_id
         """,
         # Repetition signals share the docs2 fixture; ALL lines count here
         # (no >=30-char rule — within-doc repetition is a quality signal,

@@ -421,6 +421,18 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("doc_top_terms", keywords)
 
+    def chunk_dups():
+        """Chunk-level dedup report (digest-only sha groupby + broadcast
+        dup-set recount)."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.chunking import chunk_dup_stats
+
+        return chunk_dup_stats(
+            _with_row_id(read()), chunk_tokens=64, id_col="row_id"
+        ).count()
+
+    bench("chunk_dup_stats", chunk_dups)
+
     def ann():
         import duckdb
 

@@ -89,3 +89,165 @@ def doc_chunks_batch(
             "chunk_sha": pa.array(sha256_hex_arrow(texts), pa.string()),
         }
     )
+
+
+CHUNK_DUP_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("n_chunks", pa.int64()),
+        pa.field("n_dup_chunks", pa.int64()),
+    ]
+)
+
+_WORKER_DUPSET_CACHE: dict = {}
+
+
+def chunk_dup_stats(
+    files,
+    *,
+    chunk_tokens: int = 16,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    dup_broadcast_max: int = 20_000_000,
+):
+    """Chunk-level dedup report: per document, how many of its
+    ``chunk_tokens``-token chunks are duplicated ANYWHERE in the corpus
+    (RETRO-style chunk dedup / memorization auditing: near-identical file
+    revisions share every chunk except the edited one, which doc-level
+    dedup scores as one fuzzy pair but chunk-level dedup quantifies
+    exactly).
+
+    Scale shape: one chunking pass → one digest-only
+    ``groupby(chunk_sha)`` shuffle reduced to the DISTINCT duplicated-sha
+    set. Below ``dup_broadcast_max`` that set is broadcast as one sorted
+    structured-u256 key array (32 B/sha, collision-free — the
+    ``pipelines/exact.py`` broadcast key) and a second chunking pass
+    counts membership in-batch — no doc-keyed shuffle. Above it, a chunk→count
+    join + ``groupby(doc)`` aggregate (budget-0 equivalence-tested).
+
+    Output: ``(doc_id, n_chunks, n_dup_chunks)`` — one row per nonempty
+    doc. SQL replica: the chunking CTE + HAVING count(*) > 1 semi-join.
+    """
+    import ray
+    import ray.data
+
+    ck = {"chunk_tokens": chunk_tokens, "text_col": text_col, "id_col": id_col}
+    chunks = files.map_batches(doc_chunks_batch, fn_kwargs=ck, batch_format="pyarrow")
+    dup_shas = (
+        chunks.map_batches(
+            lambda b: b.select(["chunk_sha"]), batch_format="pyarrow"
+        )
+        .groupby("chunk_sha")
+        .count()
+        .rename_columns({"count()": "sha_n"})
+        .filter(expr="sha_n > 1")
+        .materialize()
+    )
+    n_dup = dup_shas.count()
+
+    if n_dup <= dup_broadcast_max:
+        parts = []
+        for b in dup_shas.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            col = b["chunk_sha"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parts.append(col)
+        from europa_ray.util import U256_DTYPE, hex_to_u256_arrow
+
+        if parts:
+            u = np.sort(hex_to_u256_arrow(pa.concat_arrays(parts)))
+        else:
+            u = np.empty(0, U256_DTYPE)
+        ref = ray.put(u)
+
+        def count_batch(batch: pa.Table) -> pa.Table:
+            from europa_ray.util import hex_to_u256_arrow, sorted_member
+
+            key = ref.hex()
+            dups = _WORKER_DUPSET_CACHE.get(key)
+            if dups is None:
+                _WORKER_DUPSET_CACHE.clear()
+                dups = _WORKER_DUPSET_CACHE[key] = ray.get(ref)
+            ch = doc_chunks_batch(batch, **ck)
+            if ch.num_rows == 0:
+                return CHUNK_DUP_SCHEMA.empty_table()
+            isdup = sorted_member(dups, hex_to_u256_arrow(ch["chunk_sha"]))
+            d = ch["doc_id"].to_numpy()
+            newd = np.ones(d.shape[0], dtype=bool)
+            newd[1:] = d[1:] != d[:-1]  # doc_chunks_batch emits docs contiguously
+            starts = np.nonzero(newd)[0]
+            return pa.table(
+                {
+                    "doc_id": pa.array(d[starts]),
+                    "n_chunks": pa.array(np.diff(np.append(starts, d.shape[0]))),
+                    "n_dup_chunks": pa.array(
+                        np.add.reduceat(isdup.astype(np.int64), starts)
+                    ),
+                }
+            )
+
+        return files.map_batches(count_batch, batch_format="pyarrow")
+
+    # --- join fallback: chunk rows → per-sha count → per-doc aggregate ---
+    from ray.data.aggregate import Count, Sum
+
+    from europa_ray.util import default_num_partitions, scrub_empty_blocks
+
+    cnt = (
+        chunks.map_batches(lambda b: b.select(["chunk_sha"]), batch_format="pyarrow")
+        .groupby("chunk_sha")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {"__s": b["chunk_sha"], "__c": b["count()"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    joined = chunks.map_batches(
+        lambda b: b.select(["doc_id", "chunk_sha"]), batch_format="pyarrow"
+    ).join(
+        cnt,
+        join_type="inner",
+        num_partitions=default_num_partitions(),
+        on=("chunk_sha",),
+        right_on=("__s",),
+    )
+    joined = scrub_empty_blocks(
+        joined.materialize(),
+        pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("chunk_sha", pa.string()),
+                pa.field("__c", pa.int64()),
+            ]
+        ),
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "isdup": pc.cast(
+                    pc.greater(batch["__c"], 1), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("one"), Sum("isdup"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chunks": b["sum(one)"].cast(pa.int64()),
+                "n_dup_chunks": b["sum(isdup)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -154,3 +154,56 @@ def test_latest_versions_rejects_negative_ids(ray_session):
     ds = ray.data.from_arrow(t)
     with pytest.raises(Exception):
         latest_file_versions(ds).materialize()
+
+
+# ---------------------------------------------------------------------------
+# chunk_dup_stats
+# ---------------------------------------------------------------------------
+
+
+def _brute_chunk_dups(t: pa.Table, c: int) -> set[tuple]:
+    from collections import Counter
+
+    per_doc: dict[int, list[str]] = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["content"].to_pylist()):
+        if not txt:
+            continue
+        toks = txt.split(" ")
+        per_doc[d] = [
+            hashlib.sha256(" ".join(toks[i : i + c]).encode()).hexdigest()
+            for i in range(0, len(toks), c)
+        ]
+    freq = Counter(s for shas in per_doc.values() for s in shas)
+    return {
+        (d, len(shas), sum(1 for s in shas if freq[s] > 1))
+        for d, shas in per_doc.items()
+    }
+
+
+@pytest.mark.parametrize("budget", [20_000_000, 0])
+def test_chunk_dup_stats_matches_bruteforce(ray_session, budget):
+    """Broadcast and forced-join paths equal brute force; versioned docs
+    share leading chunks."""
+    import ray.data
+
+    from europa_ray.pipelines.chunking import chunk_dup_stats
+
+    t = _mk_docs(100, seed=17)
+    # planted: an exact dup pair (all chunks dup) and a shared-prefix pair
+    texts = t["content"].to_pylist()
+    texts[10] = " ".join(["p"] * 40)
+    texts[11] = texts[10]
+    texts[12] = " ".join(["p"] * 16 + ["q"] * 5)  # shares chunk 0 with 10/11
+    t = t.set_column(1, "content", pa.array(texts, pa.string()))
+
+    got = chunk_dup_stats(
+        ray.data.from_arrow(t).repartition(4),
+        chunk_tokens=16,
+        dup_broadcast_max=budget,
+    ).to_pandas()
+    rows = set(zip(got.doc_id, got.n_chunks, got.n_dup_chunks))
+    want = _brute_chunk_dups(t, 16)
+    assert rows == want
+    m = {d: (n, k) for d, n, k in rows}
+    assert m[10] == (3, 3) and m[11] == (3, 3)  # exact dup: all chunks dup
+    assert m[12] == (2, 1)  # shares exactly the leading chunk

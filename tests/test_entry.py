@@ -82,6 +82,7 @@ def test_all_queries_have_callables(entry_mod):
         "secret_redacted",
         "latest_file_versions",
         "doc_chunks",
+        "chunk_dup_stats",
         "hash_sample",
         "split_assign",
         "length_outliers",
