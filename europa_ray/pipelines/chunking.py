@@ -133,16 +133,19 @@ def chunk_dup_stats(
 
     ck = {"chunk_tokens": chunk_tokens, "text_col": text_col, "id_col": id_col}
     chunks = files.map_batches(doc_chunks_batch, fn_kwargs=ck, batch_format="pyarrow")
-    dup_shas = (
+    # ONE digest shuffle, materialized: the dup set (both paths) and the
+    # fallback's per-sha counts both derive from it — the fallback must not
+    # re-run the corpus-chunk-cardinality groupby
+    cnt_all = (
         chunks.map_batches(
             lambda b: b.select(["chunk_sha"]), batch_format="pyarrow"
         )
         .groupby("chunk_sha")
         .count()
         .rename_columns({"count()": "sha_n"})
-        .filter(expr="sha_n > 1")
         .materialize()
     )
+    dup_shas = cnt_all.filter(expr="sha_n > 1").materialize()
     n_dup = dup_shas.count()
 
     if n_dup <= dup_broadcast_max:
@@ -193,18 +196,12 @@ def chunk_dup_stats(
 
     from europa_ray.util import default_num_partitions, scrub_empty_blocks
 
-    cnt = (
-        chunks.map_batches(lambda b: b.select(["chunk_sha"]), batch_format="pyarrow")
-        .groupby("chunk_sha")
-        .count()
-        .map_batches(
-            lambda b: pa.table(
-                {"__s": b["chunk_sha"], "__c": b["count()"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    cnt = cnt_all.map_batches(
+        lambda b: pa.table(
+            {"__s": b["chunk_sha"], "__c": b["sha_n"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
     joined = chunks.map_batches(
         lambda b: b.select(["doc_id", "chunk_sha"]), batch_format="pyarrow"
     ).join(

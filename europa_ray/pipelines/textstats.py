@@ -491,6 +491,34 @@ def quality_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("fail_mask", pa.array(mask))
 
 
+def _lv_combine(t: pa.Table) -> pa.Table:
+    """In-batch combine of an ``(lv, one)`` projection: the shuffle carries
+    distinct (lang, value) pairs per batch, not one row per document
+    (select aggregate outputs BY NAME — see sampling._prefix_histogram)."""
+    g = t.group_by("lv").aggregate([("one", "sum")])
+    return pa.table({"lv": g["lv"], "one": g["one_sum"]})
+
+
+def _lang_value_walk(hist) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """``groupby('lv').sum('one')`` output → per-language (ascending
+    distinct values, cumulative counts) — the shared input of every exact
+    rank walk in this module (rank rule: the ceil-rank element is the
+    smallest value whose cumulative count reaches the rank; the histogram
+    is distinct-value-sized, so the driver walk is trivially small)."""
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for b in hist.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for lv, c in zip(b["lv"].to_pylist(), b["sum(one)"].to_pylist()):
+            lang, val = lv.rsplit(":", 1)
+            per_lang.setdefault(lang, []).append((int(val), int(c)))
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for lang, vals in per_lang.items():
+        vals.sort()
+        v = np.array([x for x, _ in vals], dtype=np.int64)
+        cum = np.cumsum(np.array([c for _, c in vals], dtype=np.int64))
+        out[lang] = (v, cum)
+    return out
+
+
 def token_quantiles(
     files, *, qs: tuple[float, ...] = (0.5, 0.9, 0.99), text_col: str = "content"
 ):
@@ -520,32 +548,28 @@ def token_quantiles(
         key = pc.binary_join_element_wise(
             langs.cast(pa.string()), pa.array(n).cast(pa.string()), ":"
         )
-        return pa.table({"lv": key, "one": pa.array(np.ones(len(n), np.int64))})
+        return _lv_combine(
+            pa.table({"lv": key, "one": pa.array(np.ones(len(n), np.int64))})
+        )
 
     hist = (
         files.map_batches(project, batch_format="pyarrow")
         .groupby("lv")
         .sum("one")
     )
-    per_lang: dict[str, list[tuple[int, int]]] = {}
-    for b in hist.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        for lv, c in zip(b["lv"].to_pylist(), b["sum(one)"].to_pylist()):
-            lang, val = lv.rsplit(":", 1)
-            per_lang.setdefault(lang, []).append((int(val), int(c)))
+    walk = _lang_value_walk(hist)
     rows = {"lang": []}
     qcols = [f"q{int(q * 100)}" for q in qs]
     for qc in qcols:
         rows[qc] = []
-    for lang in sorted(per_lang):
-        vals = sorted(per_lang[lang])
-        counts = np.array([c for _, c in vals], dtype=np.int64)
-        cum = np.cumsum(counts)
+    for lang in sorted(walk):
+        v, cum = walk[lang]
         n = int(cum[-1])
         rows["lang"].append(lang)
         for q, qc in zip(qs, qcols):
             rank = math.ceil(q * n)
             idx = int(np.searchsorted(cum, rank, side="left"))
-            rows[qc].append(vals[idx][0])
+            rows[qc].append(int(v[idx]))
     return pa.table(
         {"lang": pa.array(rows["lang"], pa.string()),
          **{qc: pa.array(rows[qc], pa.int64()) for qc in qcols}}
@@ -605,36 +629,24 @@ def bucket_scored_by_lang_terciles(scored) -> "ray.data.Dataset":
         key = pc.binary_join_element_wise(
             batch["lang"], pc.cast(batch["score"], pa.string()), ":"
         )
-        t = pa.table(
-            {"lv": key, "one": pa.array(np.ones(batch.num_rows, np.int64))}
+        return _lv_combine(
+            pa.table(
+                {"lv": key, "one": pa.array(np.ones(batch.num_rows, np.int64))}
+            )
         )
-        # combine inside the batch so the shuffle carries distinct
-        # (lang, score) pairs per batch, not one row per document
-        # (select aggregate outputs BY NAME — see sampling._prefix_histogram)
-        g = t.group_by("lv").aggregate([("one", "sum")])
-        return pa.table({"lv": g["lv"], "one": g["one_sum"]})
 
     hist = (
         scored.map_batches(hist_key, batch_format="pyarrow")
         .groupby("lv")
         .sum("one")
     )
-    per_lang: dict[str, list[tuple[int, int]]] = {}
-    for b in hist.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        for lv, c in zip(b["lv"].to_pylist(), b["sum(one)"].to_pylist()):
-            lang, val = lv.rsplit(":", 1)
-            per_lang.setdefault(lang, []).append((int(val), int(c)))
-
     c1: dict[str, int] = {}
     c2: dict[str, int] = {}
-    for lang, vals in per_lang.items():
-        vals.sort()
-        counts = np.array([c for _, c in vals], dtype=np.int64)
-        cum = np.cumsum(counts)
+    for lang, (v, cum) in _lang_value_walk(hist).items():
         n = int(cum[-1])
         r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
-        c1[lang] = vals[int(np.searchsorted(cum, r1, side="left"))][0]
-        c2[lang] = vals[int(np.searchsorted(cum, r2, side="left"))][0]
+        c1[lang] = int(v[int(np.searchsorted(cum, r1, side="left"))])
+        c2[lang] = int(v[int(np.searchsorted(cum, r2, side="left"))])
 
     from europa_ray.pipelines.sampling import _lang_lookup
 
@@ -688,26 +700,20 @@ def length_outliers(
         key = pc.binary_join_element_wise(
             langs.cast(pa.string()), pa.array(n.astype(np.int64)).cast(pa.string()), ":"
         )
-        return pa.table({"lv": key, "one": pa.array(np.ones(len(n), np.int64))})
+        return _lv_combine(
+            pa.table({"lv": key, "one": pa.array(np.ones(len(n), np.int64))})
+        )
 
     hist = files.map_batches(project, batch_format="pyarrow").groupby("lv").sum("one")
-    per_lang: dict[str, list[tuple[int, int]]] = {}
-    for b in hist.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        for lv, c in zip(b["lv"].to_pylist(), b["sum(one)"].to_pylist()):
-            lang, val = lv.rsplit(":", 1)
-            per_lang.setdefault(lang, []).append((int(val), int(c)))
 
     import math
 
     lo: dict[str, int] = {}
     hi: dict[str, int] = {}
-    for lang, vals in per_lang.items():
-        vals.sort()
-        counts = np.array([c for _, c in vals], dtype=np.int64)
-        cum = np.cumsum(counts)
+    for lang, (v, cum) in _lang_value_walk(hist).items():
         n = int(cum[-1])
-        q1 = vals[int(np.searchsorted(cum, math.ceil(0.25 * n), side="left"))][0]
-        q3 = vals[int(np.searchsorted(cum, math.ceil(0.75 * n), side="left"))][0]
+        q1 = int(v[int(np.searchsorted(cum, math.ceil(0.25 * n), side="left"))])
+        q3 = int(v[int(np.searchsorted(cum, math.ceil(0.75 * n), side="left"))])
         iqr = q3 - q1
         lo[lang] = 2 * q1 - fence_mult * iqr  # compare against 2·n_chars
         hi[lang] = 2 * q3 + fence_mult * iqr
