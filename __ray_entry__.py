@@ -777,6 +777,16 @@ def _q_license_stats(sf_dir: str):
     ).select_columns(["doc_id", "license"])
 
 
+def _q_repo_license_files(sf_dir: str):
+    """Repo-level license propagation: per-repo dominant declared license
+    (majority among licensed files, count DESC / license ASC ties) labels
+    every file — detect + tiny (repo, license) tally + broadcast."""
+    from europa_ray.pipelines.code import repo_license_files
+    from europa_ray.sources.augment import with_code_docs
+
+    return repo_license_files(with_code_docs(_docs(sf_dir)))
+
+
 def _q_secret_stats(sf_dir: str):
     """Per-doc credential match counts over the secret-augmented corpus
     (AWS access key / GitHub token / PEM private-key block)."""
@@ -1170,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_stats": wrap(_q_import_stats),
         "top_imports": wrap(_q_top_imports),
         "license_stats": wrap(_q_license_stats),
+        "repo_license_files": wrap(_q_repo_license_files),
         "secret_stats": wrap(_q_secret_stats),
         "secret_redacted": wrap(_q_secret_redacted),
         "latest_file_versions": wrap(_q_latest_file_versions),
@@ -2383,6 +2394,33 @@ def oracle_sql() -> dict[str, str]:
               WHEN contains(lower(substr(text, 1, 2048)), 'redistribution and use in source and binary forms') THEN 'bsd-3'
               ELSE 'none' END AS license
             FROM code_docs
+        """,
+        # Repo license propagation: majority vote among licensed files
+        # (count DESC, license ASC), 'none' voters abstain; repos with no
+        # licensed file propagate 'none'. CTE = code_docs + source AS repo.
+        "repo_license_files": _CODE_DOCS_CTE.replace(
+            "SELECT doc_id,", "SELECT doc_id, source AS repo,", 1
+        )
+        + r""",
+            lic AS (
+              SELECT doc_id, repo, CASE
+                WHEN contains(lower(substr(text, 1, 2048)), 'permission is hereby granted') THEN 'mit'
+                WHEN contains(lower(substr(text, 1, 2048)), 'apache license') THEN 'apache-2.0'
+                WHEN contains(lower(substr(text, 1, 2048)), 'gnu general public license') THEN 'gpl'
+                WHEN contains(lower(substr(text, 1, 2048)), 'redistribution and use in source and binary forms') THEN 'bsd-3'
+                ELSE 'none' END AS license
+              FROM code_docs
+            ),
+            winner AS (
+              SELECT repo, license AS repo_license
+              FROM (SELECT repo, license, count(*) AS c FROM lic
+                    WHERE license <> 'none' GROUP BY repo, license)
+              QUALIFY row_number() OVER (
+                PARTITION BY repo ORDER BY c DESC, license) = 1
+            )
+            SELECT l.doc_id, l.repo, l.license,
+                   coalesce(w.repo_license, 'none') AS repo_license
+            FROM lic l LEFT JOIN winner w USING (repo)
         """,
         "secret_stats": _SECRET_DOCS_CTE + r"""
             SELECT doc_id,

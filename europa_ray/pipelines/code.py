@@ -220,3 +220,165 @@ def secret_redact_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Tab
     the redacted text's sha256 — value-checkable against the SQL
     ``sha256(regexp_replace(...))`` chain."""
     return pii_redact_batch(batch, text_col=text_col, patterns=SECRET_PATTERNS)
+
+
+REPO_LICENSE_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("repo", pa.string()),
+        pa.field("license", pa.string()),
+        pa.field("repo_license", pa.string()),
+    ]
+)
+
+_WORKER_REPO_LIC_CACHE: dict = {}
+
+
+def repo_license_files(
+    files,
+    *,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    repo_col: str = "repo",
+    repo_broadcast_max: int = 5_000_000,
+):
+    """Repo-level license propagation (The Stack's licensing model: a
+    file's effective license comes from its REPOSITORY): detect each
+    file's header license, elect the repo's dominant DECLARED license by
+    majority vote among licensed files (count DESC, license ASC on ties —
+    deterministic), and label every file with it; a repo with no licensed
+    file propagates ``'none'``.
+
+    Scale shape: one detect pass with an in-batch (repo, license) combine
+    → one ``groupby(repo, license)`` shuffle (≤ repos × |rules| rows) →
+    one repo-cardinality ``map_groups`` argmax. Below
+    ``repo_broadcast_max`` repos the winner table is broadcast and a
+    second detect pass labels in-batch (no file-keyed shuffle); above it,
+    a repo-keyed join fallback (budget-0 equivalence-tested).
+
+    Output: ``(doc_id, repo, license, repo_license)`` per nonempty file.
+    """
+    import ray
+    import ray.data
+
+    def votes(batch: pa.Table) -> pa.Table:
+        lab = license_stats_batch(batch, text_col=text_col)
+        t = pa.table(
+            {
+                "repo": lab[repo_col].cast(pa.string()),
+                "license": lab["license"],
+                "one": pa.array(np.ones(lab.num_rows, np.int64)),
+            }
+        ).filter(pc.not_equal(lab["license"], "none"))
+        g = t.group_by(["repo", "license"]).aggregate([("one", "sum")])
+        return pa.table(
+            {"repo": g["repo"], "license": g["license"], "one": g["one_sum"]}
+        )
+
+    tally = (
+        files.map_batches(votes, batch_format="pyarrow")
+        .groupby(["repo", "license"])
+        .sum("one")
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        c = group["sum(one)"].to_numpy()
+        lic = group["license"].to_pylist()
+        order = sorted(range(len(lic)), key=lambda i: (-int(c[i]), lic[i]))
+        return pa.table(
+            {
+                "repo": group["repo"][:1],
+                "repo_license": pa.array([lic[order[0]]], pa.string()),
+            }
+        )
+
+    winners = tally.groupby("repo").map_groups(pick, batch_format="pyarrow")
+    winners = winners.materialize()
+
+    if winners.count() <= repo_broadcast_max:
+        repos_p: list[pa.Array] = []
+        lics_p: list = []
+        for b in winners.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            repos_p.extend(
+                b["repo"].chunks
+                if isinstance(b["repo"], pa.ChunkedArray)
+                else [b["repo"]]
+            )
+            lics_p.extend(b["repo_license"].to_pylist())
+        table = dict(zip(pa.chunked_array(repos_p).to_pylist() if repos_p else [], lics_p))
+        ref = ray.put(table)
+
+        def label(batch: pa.Table) -> pa.Table:
+            from europa_ray.pipelines.sampling import _lang_lookup
+
+            key = ref.hex()
+            lut = _WORKER_REPO_LIC_CACHE.get(key)
+            if lut is None:
+                _WORKER_REPO_LIC_CACHE.clear()
+                lut = _WORKER_REPO_LIC_CACHE[key] = ray.get(ref)
+            lab = license_stats_batch(batch, text_col=text_col)
+            if lab.num_rows == 0:
+                return REPO_LICENSE_SCHEMA.empty_table()
+            rl = _lang_lookup(lab, repo_col, lut, "none")
+            return pa.table(
+                {
+                    "doc_id": lab[id_col].cast(pa.int64()),
+                    "repo": lab[repo_col].cast(pa.string()),
+                    "license": lab["license"],
+                    "repo_license": pa.array(rl.tolist(), pa.string()),
+                }
+            )
+
+        return files.map_batches(label, batch_format="pyarrow")
+
+    # --- join fallback: file labels ⟕ winner table on repo ---
+    from europa_ray.util import default_num_partitions, scrub_empty_blocks
+
+    def detect(batch: pa.Table) -> pa.Table:
+        lab = license_stats_batch(batch, text_col=text_col)
+        return pa.table(
+            {
+                "doc_id": lab[id_col].cast(pa.int64()),
+                "repo": lab[repo_col].cast(pa.string()),
+                "license": lab["license"],
+            }
+        )
+
+    labeled = files.map_batches(detect, batch_format="pyarrow")
+    # scrub BEFORE the join: the map_groups-descended winners table carries
+    # Ray 2.49's zero-column empty blocks, which map_batches passes through
+    # uncalled and the hash join then rejects ("no match … __r")
+    win_side = scrub_empty_blocks(
+        winners.map_batches(
+            lambda b: pa.table(
+                {"__r": b["repo"], "repo_license": b["repo_license"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize(),
+        pa.schema(
+            [pa.field("__r", pa.string()), pa.field("repo_license", pa.string())]
+        ),
+    )
+    joined = labeled.join(
+        win_side,
+        join_type="left_outer",
+        num_partitions=default_num_partitions(),
+        on=("repo",),
+        right_on=("__r",),
+    )
+    joined = scrub_empty_blocks(joined.materialize(), REPO_LICENSE_SCHEMA)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rl = batch["repo_license"]
+        if isinstance(rl, pa.ChunkedArray):
+            rl = rl.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "repo": batch["repo"],
+                "license": batch["license"],
+                "repo_license": pc.fill_null(rl, "none"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import pytest
 import ray.data
 
 
@@ -170,3 +171,55 @@ def test_code_augmenters_deterministic(ray_session):
     s = _secret_doc_text(60, "t")
     assert "AKIA" in s and "ghp_" in s and "PRIVATE KEY" in s  # 60 % 10/12/15
     assert _secret_doc_text(7, "t") == "t"
+
+
+# ---------------------------------------------------------------------------
+# repo_license_files
+# ---------------------------------------------------------------------------
+
+
+def _mk_repo_corpus():
+    rows = []
+    headers = {
+        "mit": "// permission is hereby granted free of charge\n",
+        "apache-2.0": "// licensed under the apache license version 2.0\n",
+        "gpl": "// under the gnu general public license\n",
+    }
+    # repo A: 2 mit, 1 apache, 2 none  → mit
+    # repo B: 1 apache, 1 gpl, 1 none → apache-2.0 (tie, lex)
+    # repo C: all none → none
+    spec = [
+        ("A", "mit"), ("A", "mit"), ("A", "apache-2.0"), ("A", None), ("A", None),
+        ("B", "apache-2.0"), ("B", "gpl"), ("B", None),
+        ("C", None), ("C", None),
+    ]
+    for i, (repo, lic) in enumerate(spec):
+        body = f"code body {i}"
+        rows.append((i, repo, (headers[lic] if lic else "") + body))
+    d, r, t = zip(*rows)
+    return pa.table(
+        {
+            "doc_id": pa.array(d, pa.int64()),
+            "repo": pa.array(r, pa.string()),
+            "content": pa.array(t, pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("budget", [5_000_000, 0])
+def test_repo_license_files(ray_session, budget):
+    import ray.data
+
+    from europa_ray.pipelines.code import repo_license_files
+
+    t = _mk_repo_corpus()
+    got = repo_license_files(
+        ray.data.from_arrow(t).repartition(3), repo_broadcast_max=budget
+    ).to_pandas()
+    by_repo = got.groupby("repo").repo_license.unique().to_dict()
+    assert {k: v.tolist() for k, v in by_repo.items()} == {
+        "A": ["mit"], "B": ["apache-2.0"], "C": ["none"]
+    }
+    assert len(got) == 10
+    # per-file detected license preserved alongside the repo label
+    assert set(got[got.repo == "B"].license) == {"apache-2.0", "gpl", "none"}

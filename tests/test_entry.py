@@ -78,6 +78,7 @@ def test_all_queries_have_callables(entry_mod):
         "import_stats",
         "top_imports",
         "license_stats",
+        "repo_license_files",
         "secret_stats",
         "secret_redacted",
         "latest_file_versions",
