@@ -777,6 +777,14 @@ def _q_license_stats(sf_dir: str):
     ).select_columns(["doc_id", "license"])
 
 
+def _q_stopwords_per_lang(sf_dir: str):
+    """Per-language top-20 words by DOCUMENT frequency (ties lexicographic)
+    — the data-driven stopword lists quality scoring consumes."""
+    from europa_ray.pipelines.vocab import stopwords_per_lang
+
+    return stopwords_per_lang(_docs(sf_dir), k=20)
+
+
 def _q_repo_license_files(sf_dir: str):
     """Repo-level license propagation: per-repo dominant declared license
     (majority among licensed files, count DESC / license ASC ties) labels
@@ -1174,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": wrap(_q_line_dedup_stats),
         "repetition_stats": wrap(_q_repetition_stats),
         "vocab_top_words": wrap(_q_vocab_top_words),
+        "stopwords_per_lang": wrap(_q_stopwords_per_lang),
         "pii_stats": wrap(_q_pii_stats),
         "pii_redacted": wrap(_q_pii_redacted),
         "code_line_stats": wrap(_q_code_line_stats),
@@ -2394,6 +2403,25 @@ def oracle_sql() -> dict[str, str]:
               WHEN contains(lower(substr(text, 1, 2048)), 'redistribution and use in source and binary forms') THEN 'bsd-3'
               ELSE 'none' END AS license
             FROM code_docs
+        """,
+        # Per-lang stopword extraction: document frequency (presence, not
+        # occurrences), rank (df DESC, word ASC) — both sides integer/string
+        "stopwords_per_lang": r"""
+            WITH dw AS (
+              SELECT DISTINCT doc_id, lang, w AS word
+              FROM (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL AND length(text) > 0
+              ) WHERE w <> ''
+            ),
+            df AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS df
+                   FROM dw GROUP BY lang, word)
+            SELECT lang, CAST(rn AS BIGINT) AS rank, word, df
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY df DESC, word ASC) AS rn
+              FROM df
+            ) WHERE rn <= 20
         """,
         # Repo license propagation: majority vote among licensed files
         # (count DESC, license ASC), 'none' voters abstain; repos with no

@@ -72,6 +72,7 @@ def test_all_queries_have_callables(entry_mod):
         "line_dedup_stats",
         "repetition_stats",
         "vocab_top_words",
+        "stopwords_per_lang",
         "pii_stats",
         "pii_redacted",
         "code_line_stats",

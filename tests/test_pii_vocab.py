@@ -90,3 +90,71 @@ def test_vocab_tie_break_is_word_asc(ray_session):
     out = _collect(vocab_top_words(ds, k=2))
     # all tied at 2 → word-ASC cut keeps x, y
     assert out["word"].to_pylist() == ["x", "y"]
+
+
+# ---------------------------------------------------------------------------
+# stopwords_per_lang
+# ---------------------------------------------------------------------------
+
+
+def test_stopwords_per_lang_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.vocab import stopwords_per_lang
+
+    rng = np.random.default_rng(13)
+    words = [f"s{i}" for i in range(12)]
+    langs = np.array(["en", "de"])[rng.integers(0, 2, 150)]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(3, 25))))
+        for _ in range(150)
+    ]
+    texts[0] = ""
+    texts[1] = None
+    texts[2] = "dup dup dup"  # repeated word counts once per doc
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(150, dtype=np.int64)),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+    K = 4
+    got = stopwords_per_lang(
+        ray.data.from_arrow(t).repartition(5), k=K
+    ).to_pandas()
+    # brute force
+    from collections import Counter
+
+    df: Counter = Counter()
+    for lang, txt in zip(langs, texts):
+        if not txt:
+            continue
+        for w in set(x for x in txt.split(" ") if x):
+            df[(lang, w)] += 1
+    want = set()
+    for lang in ("en", "de"):
+        rows = sorted(
+            ((-c, w) for (l, w), c in df.items() if l == lang)
+        )[:K]
+        for r, (nc, w) in enumerate(rows, 1):
+            want.add((lang, r, w, -nc))
+    assert set(zip(got.lang, got["rank"], got.word, got.df)) == want
+    # presence semantics: the 'dup' doc added exactly 1 to its df
+    lang2 = langs[2]
+    assert df[(lang2, "dup")] >= 1
+
+
+def test_stopwords_per_lang_validation(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.vocab import stopwords_per_lang
+
+    t = pa.table({"doc_id": [1], "lang": ["en"], "content": ["x"]})
+    import pytest
+
+    with pytest.raises(ValueError):
+        stopwords_per_lang(ray.data.from_arrow(t), k=0)
