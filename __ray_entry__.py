@@ -389,6 +389,16 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs(with_excerpts(_docs(sf_dir)), tau=0.8)
 
 
+def _q_containment_kept(sf_dir: str):
+    """Containment dedup policy: drop docs ≥0.8-contained in a doc with
+    more grams (keep the superset; equal-gram mutual containment keeps the
+    min node) — kept (node, n_grams) over the excerpt fixture."""
+    from europa_ray.pipelines.containment import containment_kept_nodes
+    from europa_ray.sources.augment import with_excerpts
+
+    return containment_kept_nodes(with_excerpts(_docs(sf_dir)), tau=0.8)
+
+
 def _q_dedup_spans_rewritten(sf_dir: str):
     """ExactSubstr span REMOVAL (the rewrite the stats measure): per doc,
     kept/removed token counts and the sha256 of the whitespace-canonical
@@ -1156,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_pairs": wrap(_q_substr_pairs),
         "ngram_jaccard_pairs": wrap(_q_ngram_jaccard_pairs),
         "containment_pairs": wrap(_q_containment_pairs),
+        "containment_kept_nodes": wrap(_q_containment_kept),
         "doc_top_terms": wrap(_q_doc_top_terms),
         "ann_topk": wrap(_q_ann_topk),
         "ann_topk_lsh": wrap(_q_ann_topk_lsh),
@@ -1615,6 +1626,44 @@ _IMPORT_MOD_EXPR = r"""coalesce(
                 nullif(regexp_extract(x, '^[ \t]*#include[ \t]*[<"](?P<m>[A-Za-z0-9_./]+)[>"]', 1), ''))"""
 
 
+_CONTAINMENT_CTE = r"""
+            WITH alldocs AS (
+              SELECT text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT array_to_string(
+                       tk[(len(tk) // 5 + 1):(len(tk) // 5 + 3 * len(tk) // 5)], ' ')
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+              )
+              WHERE doc_id % 3 = 0 AND len(tk) >= 20
+            ),
+            nodes AS (
+              SELECT text,
+                     CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
+                          - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                      >= 9223372036854775808::UBIGINT
+                                 THEN 18446744073709551616::HUGEINT
+                                 ELSE 0::HUGEINT END
+                          AS BIGINT) AS node
+              FROM (SELECT DISTINCT text FROM alldocs)
+            ),
+            toks AS (SELECT node, regexp_extract_all(text, '\w+|[^\w\s]') AS tk FROM nodes),
+            grams AS (
+              SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+              UNION
+              SELECT node, array_to_string(tk, ' ') AS gram
+              FROM toks WHERE len(tk) BETWEEN 1 AND 4
+            ),
+            sizes AS (SELECT node, count(*) AS n FROM grams GROUP BY node),
+            inter AS (
+              SELECT g1.node AS na, g2.node AS nb, count(*) AS c
+              FROM grams g1 JOIN grams g2 USING (gram)
+              WHERE g1.node <> g2.node GROUP BY 1, 2
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         # dupdocs mirrors sources/augment.py with_exact_dups: verbatim
@@ -1955,47 +2004,25 @@ def oracle_sql() -> dict[str, str]:
         # exactly 1.0 — plus any natural high-containment pairs. The
         # excerpts CTE mirrors sources/augment.py _excerpt_batch
         # (tokens[n//5 : n//5 + 3n//5], 1-indexed inclusive in SQL).
-        "containment_pairs": r"""
-            WITH alldocs AS (
-              SELECT text FROM documents WHERE text IS NOT NULL AND length(text) > 0
-              UNION ALL
-              SELECT array_to_string(
-                       tk[(len(tk) // 5 + 1):(len(tk) // 5 + 3 * len(tk) // 5)], ' ')
-              FROM (
-                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-                WHERE text IS NOT NULL AND length(text) > 0
-              )
-              WHERE doc_id % 3 = 0 AND len(tk) >= 20
-            ),
-            nodes AS (
-              SELECT text,
-                     CAST(CAST(('0x' || substr(sha256(text), 1, 16))::UBIGINT AS HUGEINT)
-                          - CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
-                                      >= 9223372036854775808::UBIGINT
-                                 THEN 18446744073709551616::HUGEINT
-                                 ELSE 0::HUGEINT END
-                          AS BIGINT) AS node
-              FROM (SELECT DISTINCT text FROM alldocs)
-            ),
-            toks AS (SELECT node, regexp_extract_all(text, '\w+|[^\w\s]') AS tk FROM nodes),
-            grams AS (
-              SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
-              FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
-              UNION
-              SELECT node, array_to_string(tk, ' ') AS gram
-              FROM toks WHERE len(tk) BETWEEN 1 AND 4
-            ),
-            sizes AS (SELECT node, count(*) AS n FROM grams GROUP BY node),
-            inter AS (
-              SELECT g1.node AS na, g2.node AS nb, count(*) AS c
-              FROM grams g1 JOIN grams g2 USING (gram)
-              WHERE g1.node <> g2.node GROUP BY 1, 2
-            )
+        "containment_pairs": _CONTAINMENT_CTE + r"""
             SELECT na AS a, nb AS b,
                    round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
             FROM inter
             JOIN sizes sa ON sa.node = inter.na
             WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
+        """,
+        # Containment dedup policy over the same CTEs: drop na when its
+        # container has more grams (or equal grams and a smaller node id)
+        "containment_kept_nodes": _CONTAINMENT_CTE + r""",
+            dropped AS (
+              SELECT DISTINCT na FROM inter
+              JOIN sizes sa ON sa.node = inter.na
+              JOIN sizes sb ON sb.node = inter.nb
+              WHERE CAST(c AS DOUBLE) / sa.n >= 0.8
+                AND (sb.n > sa.n OR (sb.n = sa.n AND nb < na))
+            )
+            SELECT node, CAST(n AS BIGINT) AS n_grams FROM sizes
+            WHERE node NOT IN (SELECT na FROM dropped)
         """,
         # TRUE oracle for the long-shared-substring pass: the winnowing
         # candidate stage (stages/substr.py:9-16) is probabilistically

@@ -333,6 +333,7 @@ def containment_pairs(
     tau: float = 0.8,
     num_partitions: int | None = None,
     driver_max_explode_rows: int = 100_000_000,
+    with_sizes: bool = False,
 ) -> ray.data.Dataset:
     """Ordered exact-containment pairs ``(a, b, containment)`` with
     ``C(A→B) ≥ τ`` — complete candidates (module docstring lemma) verified
@@ -344,6 +345,7 @@ def containment_pairs(
     from europa_ray.stages.pairverify import verify_pairs_chunked
 
     ds = apply_filters(files, cfg)
+    schema = CONTAIN_SIZED_SCHEMA if with_sizes else CONTAIN_SCHEMA
     cand = containment_candidates(
         ds,
         tau=tau,
@@ -352,13 +354,226 @@ def containment_pairs(
         driver_max_explode_rows=driver_max_explode_rows,
     ).materialize()
     if cand.count() == 0:
-        return ray.data.from_arrow(CONTAIN_SCHEMA.empty_table())
+        return ray.data.from_arrow(schema.empty_table())
     k = cfg.shingle_k
+    if with_sizes:
+        # metric returns (containment, n_a, n_b); emit unpacks it
+        return verify_pairs_chunked(
+            ds,
+            cand,
+            lambda col: shingle_set_payload(col, k),
+            containment_metric_sized(tau),
+            schema,
+            lambda na, nb, m: (na, nb, *m),
+        )
     return verify_pairs_chunked(
         ds,
         cand,
         lambda col: shingle_set_payload(col, k),
         containment_metric(tau),
-        CONTAIN_SCHEMA,
+        schema,
         lambda na, nb, c: (na, nb, c),
     )
+
+
+CONTAIN_SIZED_SCHEMA = pa.schema(
+    [
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.int64()),
+        pa.field("containment", pa.float64()),
+        pa.field("n_a", pa.int64()),
+        pa.field("n_b", pa.int64()),
+    ]
+)
+
+KEPT_SCHEMA = pa.schema(
+    [pa.field("node", pa.int64()), pa.field("n_grams", pa.int64())]
+)
+
+
+def containment_metric_sized(tau: float):
+    """:func:`containment_metric` variant also returning both set sizes —
+    the emit unpacks the tuple into (containment, n_a, n_b) columns (the
+    pairverify emit contract passes any non-None metric value through)."""
+
+    def metric(sa: np.ndarray, sb: np.ndarray):
+        if sa.shape[0] == 0 or sb.shape[0] == 0:
+            return None
+        inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+        c = inter / sa.shape[0]
+        if c < tau:
+            return None
+        return (round(c, 6), int(sa.shape[0]), int(sb.shape[0]))
+
+    return metric
+
+
+def _node_sizes_batch(batch: pa.Table, *, k: int, content_col: str) -> pa.Table:
+    """(node, size) per distinct nonempty content row of one batch —
+    in-batch deduped (exact-dup contents share the node and the size)."""
+    from europa_ray.functions.text import shingles, tokenize_arrow, unique_per_row
+    from europa_ray.stages.hash_stage import add_sha256
+    from europa_ray.util import hex_to_u64_arrow
+
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "size": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    hashed = add_sha256(batch, drop_content=False, keep_cols=(content_col,))
+    col = hashed[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    th, off = tokenize_arrow(col)
+    sh, soff = shingles(th, off, k)
+    _, uoff = unique_per_row(sh, soff)
+    sizes = np.diff(uoff)
+    node = hex_to_u64_arrow(hashed["sha256"]).view(np.int64)
+    nz = sizes > 0
+    if not nz.any():
+        return empty
+    t = pa.table({"node": pa.array(node[nz]), "size": pa.array(sizes[nz])})
+    g = t.group_by("node").aggregate([("size", "max")])
+    return pa.table({"node": g["node"], "size": g["size_max"].cast(pa.int64())})
+
+
+def containment_kept_nodes(
+    files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    tau: float = 0.8,
+    pair_gather_max: int = 5_000_000,
+    num_partitions: int | None = None,
+    driver_max_explode_rows: int = 100_000_000,
+) -> ray.data.Dataset:
+    """Containment DEDUP policy (detection → action): drop every document
+    whose shingle set is ≥ τ-contained in a doc with MORE grams (excerpts,
+    quoted fragments — keep the superset), or — mutual/equal-size
+    containment, i.e. near-identical sets — in an equal-gram doc with the
+    smaller node id (deterministic representative, the keep-min rule the
+    exact/near tiers use). The rule is per-pair local (no chain iteration:
+    a contained doc drops whether or not its container also drops — the
+    maximal docs always survive), so it is one vectorized pass over the
+    verified pair table.
+
+    Scale shape: the sized pair table (≪ corpus after dedup tiers) is
+    gathered in enforced ``pair_gather_max`` chunks to build the dropped
+    set, which is broadcast against the digest-only (node, n_grams) table
+    — one content pass + one digest groupby; above the budget the dropped
+    set is applied by a node-keyed LEFT join instead (budget-0
+    equivalence-tested). Output: kept ``(node, n_grams)`` — one row per
+    distinct surviving content.
+    """
+    import ray
+
+    from europa_ray.stages.filters import apply_filters
+    from europa_ray.util import default_num_partitions, scrub_empty_blocks, sorted_member
+
+    ds = apply_filters(files, cfg)
+    pairs = containment_pairs(
+        ds,
+        cfg,
+        tau=tau,
+        num_partitions=num_partitions,
+        driver_max_explode_rows=driver_max_explode_rows,
+        with_sizes=True,
+    ).materialize()
+    sizes = (
+        ds.map_batches(
+            _node_sizes_batch,
+            fn_kwargs={"k": cfg.shingle_k, "content_col": "content"},
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .max("size")
+        .map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "n_grams": b["max(size)"].cast(pa.int64())}
+            )
+            if b.num_rows and "node" in b.column_names
+            else KEPT_SCHEMA.empty_table(),
+            batch_format="pyarrow",
+        )
+    )
+
+    n_pairs = pairs.count()
+    if n_pairs <= pair_gather_max:
+        dropped_parts = []
+        for bt in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            a = bt["a"].to_numpy()
+            b = bt["b"].to_numpy()
+            na = bt["n_a"].to_numpy()
+            nb = bt["n_b"].to_numpy()
+            drop = (nb > na) | ((nb == na) & (b < a))
+            dropped_parts.append(a[drop])
+        dropped = (
+            np.unique(np.concatenate(dropped_parts))
+            if dropped_parts
+            else np.empty(0, np.int64)
+        )
+        ref = ray.put(dropped)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return KEPT_SCHEMA.empty_table()
+            dr = ray.get(ref)
+            nd = batch["node"].to_numpy()
+            return batch.filter(pa.array(~sorted_member(dr, nd)))
+
+        return sizes.map_batches(keep, batch_format="pyarrow")
+
+    # --- join fallback: dropped-node table LEFT-joined, keep null side ---
+    def drop_rows(bt: pa.Table) -> pa.Table:
+        a = bt["a"].to_numpy()
+        nb = bt["n_b"].to_numpy()
+        na = bt["n_a"].to_numpy()
+        b = bt["b"].to_numpy()
+        drop = (nb > na) | ((nb == na) & (b < a))
+        return pa.table({"__d": pa.array(a[drop]), "__one": pa.array(np.ones(int(drop.sum()), np.int64))})
+
+    dropped_ds = scrub_empty_blocks(
+        pairs.map_batches(drop_rows, batch_format="pyarrow")
+        .groupby("__d")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {"__d": b["__d"], "__flag": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize(),
+        pa.schema([pa.field("__d", pa.int64()), pa.field("__flag", pa.int64())]),
+    )
+    joined = sizes.join(
+        dropped_ds,
+        join_type="left_outer",
+        num_partitions=num_partitions or default_num_partitions(),
+        on=("node",),
+        right_on=("__d",),
+    )
+    joined = scrub_empty_blocks(
+        joined.materialize(),
+        pa.schema(
+            [
+                pa.field("node", pa.int64()),
+                pa.field("n_grams", pa.int64()),
+                pa.field("__flag", pa.int64()),
+            ]
+        ),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fl = batch["__flag"]
+        if isinstance(fl, pa.ChunkedArray):
+            fl = fl.combine_chunks()
+        keep = pc.is_null(fl)
+        return pa.table(
+            {
+                "node": batch["node"].filter(keep),
+                "n_grams": batch["n_grams"].filter(keep),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

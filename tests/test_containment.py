@@ -120,3 +120,44 @@ def test_containment_validation(ray_session):
 
     with pytest.raises(ValueError):
         containment_pairs(ray.data.from_arrow(_mk_corpus(10)), tau=0.0)
+
+
+def _brute_kept(t: pa.Table) -> set[tuple[int, int]]:
+    sets: dict[int, set] = {}
+    for txt in sorted({x for x in t["content"].to_pylist() if x}):
+        sa, _ = shingle_set_payload(pa.array([txt]), 5)
+        sets[_signed_node(txt)] = set(sa.tolist())
+    dropped = set()
+    for na, A in sets.items():
+        for nb, B in sets.items():
+            if na == nb or not A:
+                continue
+            c = len(A & B) / len(A)
+            if c >= TAU and (len(B) > len(A) or (len(B) == len(A) and nb < na)):
+                dropped.add(na)
+    return {(n, len(s)) for n, s in sets.items() if n not in dropped}
+
+
+@pytest.mark.parametrize("pair_budget", [5_000_000, 0])
+def test_containment_kept_nodes(ray_session, pair_budget):
+    """Policy layer: contained docs drop, supersets survive; broadcast and
+    forced-join paths agree with brute force."""
+    import ray.data
+
+    from europa_ray.pipelines.containment import containment_kept_nodes
+
+    t = _mk_corpus()
+    got = containment_kept_nodes(
+        ray.data.from_arrow(t).repartition(3),
+        tau=TAU,
+        pair_gather_max=pair_budget,
+    ).to_pandas()
+    rows = set(zip(got.node, got.n_grams))
+    want = _brute_kept(t)
+    assert rows == want
+    texts = t["content"].to_pylist()
+    kept_nodes = {n for n, _ in rows}
+    # planted excerpts are dropped, their sources kept
+    for big, small in ((0, 1), (2, 3)):
+        assert _signed_node(texts[big]) in kept_nodes
+        assert _signed_node(texts[small]) not in kept_nodes

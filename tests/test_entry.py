@@ -96,6 +96,7 @@ def test_all_queries_have_callables(entry_mod):
         "vendored_dir_groups",
         "substr_pairs",
         "containment_pairs",
+        "containment_kept_nodes",
         "doc_top_terms",
         "embedding_dup_pairs_lsh",
         "embedding_dup_pairs_lsh_probe",
