@@ -389,6 +389,20 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs(with_excerpts(_docs(sf_dir)), tau=0.8)
 
 
+def _q_cross_corpus_containment(sf_dir: str):
+    """Containment decontamination: per training doc (originals + mutants),
+    how many benchmark snippets (excerpt docs) are ≥0.8-contained in it —
+    each excerpt hits its source original at exactly 1.0; token-drop
+    mutants contain their excerpts only partially (< τ)."""
+    from europa_ray.pipelines.containment import cross_corpus_containment_stats
+    from europa_ray.sources.augment import excerpt_docs, with_mutants
+
+    docs = _docs(sf_dir)
+    return cross_corpus_containment_stats(
+        with_mutants(docs), excerpt_docs(docs), tau=0.8
+    )
+
+
 def _q_containment_kept(sf_dir: str):
     """Containment dedup policy: drop docs ≥0.8-contained in a doc with
     more grams (keep the superset; equal-gram mutual containment keeps the
@@ -1167,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": wrap(_q_ngram_jaccard_pairs),
         "containment_pairs": wrap(_q_containment_pairs),
         "containment_kept_nodes": wrap(_q_containment_kept),
+        "cross_corpus_containment": wrap(_q_cross_corpus_containment),
         "doc_top_terms": wrap(_q_doc_top_terms),
         "ann_topk": wrap(_q_ann_topk),
         "ann_topk_lsh": wrap(_q_ann_topk_lsh),
@@ -3445,6 +3460,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, p.n_ref_matches, p.best_jaccard
         FROM docmap d JOIN per p ON p.nn = d.node
     """
+    # Containment decontamination: same two-corpus gram scaffold, but the
+    # ref corpus is the excerpt snippets and the score is DIRECTED
+    # c / |ref| (the contained side) — excerpts hit their source at 1.0
+    sql["cross_corpus_containment"] = f"""
+        WITH {_gen_cte},
+        {_newdocs_cte},
+        refdocs AS (
+            SELECT array_to_string(
+                     tk[(len(tk) // 5 + 1):(len(tk) // 5 + 3 * len(tk) // 5)], ' ') AS text
+            FROM (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+            )
+            WHERE doc_id % 3 = 0 AND len(tk) >= 20
+        ),
+        nodes_new AS (
+            SELECT text, {_node_expr} AS node FROM (SELECT DISTINCT text FROM newdocs)
+        ),
+        nodes_ref AS (
+            SELECT text, {_node_expr} AS node FROM (SELECT DISTINCT text FROM refdocs)
+        ),
+        toks_n AS (SELECT node, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS tk FROM nodes_new),
+        toks_r AS (SELECT node, regexp_extract_all(text, '\\w+|[^\\w\\s]') AS tk FROM nodes_ref),
+        grams_n AS (
+            SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
+            FROM toks_n, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+            UNION
+            SELECT node, array_to_string(tk, ' ') AS gram
+            FROM toks_n WHERE len(tk) BETWEEN 1 AND 4
+        ),
+        grams_r AS (
+            SELECT DISTINCT node, array_to_string(tk[i:i+4], ' ') AS gram
+            FROM toks_r, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+            UNION
+            SELECT node, array_to_string(tk, ' ') AS gram
+            FROM toks_r WHERE len(tk) BETWEEN 1 AND 4
+        ),
+        sizes_r AS (SELECT node, count(*) AS n FROM grams_r GROUP BY node),
+        inter AS (
+            SELECT gn.node AS nn, gr.node AS nr, count(*) AS c
+            FROM grams_n gn JOIN grams_r gr USING (gram)
+            GROUP BY 1, 2
+        ),
+        cpairs AS (
+            SELECT nn, nr, round(CAST(c AS DOUBLE) / sr.n, 6) AS cont
+            FROM inter JOIN sizes_r sr ON sr.node = inter.nr
+            WHERE CAST(c AS DOUBLE) / sr.n >= 0.8
+        ),
+        per AS (
+            SELECT nn, count(*) AS n_ref_contained, max(cont) AS best_containment
+            FROM cpairs GROUP BY nn
+        ),
+        docmap AS (SELECT doc_id, {_node_expr} AS node FROM newdocs)
+        SELECT d.doc_id, p.n_ref_contained, p.best_containment
+        FROM docmap d JOIN per p ON p.nn = d.node
+    """
+
     # per-repo exact-dedup report card (dupdocs CTE mirrors with_exact_dups)
     sql["dedup_report"] = """
         WITH dupdocs AS (

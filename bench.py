@@ -387,6 +387,25 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("containment", containment)
 
+    def cross_containment():
+        """Containment decontamination: broadcast ref probe index +
+        one streaming scan of the corpus (ref = every 20th doc)."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.containment import cross_corpus_containment_stats
+
+        new = _with_row_id(read())
+
+        def every20(batch):
+            rid = batch["row_id"].to_numpy()
+            return batch.filter(pa.array(rid % 20 == 0))
+
+        ref = new.map_batches(every20, batch_format="pyarrow")
+        return cross_corpus_containment_stats(
+            new, ref, id_col="row_id"
+        ).count()
+
+    bench("cross_containment", cross_containment)
+
     def versions():
         """Latest-version dedup: metadata-only combiner + one
         file-cardinality groupby over the version-augmented corpus

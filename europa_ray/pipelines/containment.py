@@ -577,3 +577,309 @@ def containment_kept_nodes(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+CROSS_CONTAIN_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("n_ref_contained", pa.int64()),
+        pa.field("best_containment", pa.float64()),
+    ]
+)
+
+_WORKER_REFIDX_CACHE: dict = {}
+
+
+def _ref_payload_rows(batch: pa.Table, *, k: int, content_col: str) -> pa.Table:
+    """(node, packed shingle set) per distinct nonempty content row."""
+    from europa_ray.pipelines.neardup import shingle_set_payload
+    from europa_ray.stages.hash_stage import add_sha256
+    from europa_ray.stages.pairverify import pack_payloads
+    from europa_ray.util import hex_to_u64_arrow
+
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "payload": pa.array([], pa.large_binary())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    hashed = add_sha256(batch, drop_content=False, keep_cols=(content_col,))
+    col = hashed[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    node = hex_to_u64_arrow(hashed["sha256"]).view(np.int64)
+    vals, offs = shingle_set_payload(col, k)
+    keep = np.diff(offs) > 0
+    nodes, first = np.unique(node[keep], return_index=True)
+    kidx = np.nonzero(keep)[0][first]
+    lens = np.diff(offs)[kidx]
+    flat = np.concatenate(
+        [vals[offs[i] : offs[i + 1]] for i in kidx]
+    ) if kidx.shape[0] else np.empty(0, vals.dtype)
+    loffs = np.concatenate([[0], np.cumsum(lens)])
+    return pa.table(
+        {"node": pa.array(nodes), "payload": pack_payloads(flat, loffs)}
+    )
+
+
+def cross_corpus_containment_stats(
+    new_files: ray.data.Dataset,
+    ref_files: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    tau: float = 0.8,
+    id_col: str = "doc_id",
+    ref_gather_max_rows: int = 20_000_000,
+    pair_gather_max: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Containment DECONTAMINATION across corpora: for each NEW (training)
+    document, how many DISTINCT REFERENCE (benchmark) contents are
+    ≥ τ-contained in it (``C(ref→new) = |ref ∩ new| / |ref| ≥ τ``), plus
+    the best containment. The third decontamination mode next to the exact
+    n-gram scan (:mod:`~europa_ray.stages.decontam`) and the Jaccard
+    near-match (:mod:`~europa_ray.pipelines.crossdup`): a benchmark doc
+    pasted whole into a long page has tiny Jaccard but containment 1.0.
+
+    Broadcast shape (ref ≪ new — the decontam operating point): the
+    distinct reference shingle sets (≤ ``ref_gather_max_rows`` total gram
+    rows) are gathered once; a probe index over each ref's
+    ``prefix_lengths(|A|, τ)`` smallest grams is broadcast (`ray.put`,
+    cached per worker), and ONE streaming pass over the new corpus finds
+    candidates by gram lookup (complete: a qualifying ref shares a probe
+    gram with its container, the containment lemma) and verifies true
+    containment in-batch — per-doc output with NO shuffle at all.
+
+    Fallback (ref too large to broadcast; forced with
+    ``ref_gather_max_rows=0``, equivalence-tested): the union-corpus
+    sided machinery — :func:`containment_pairs` over new ∪ ref, pairs
+    post-filtered to (ref → new) orientation by broadcast node membership
+    (8 B/node, crossdup's budget class), identical-content matches added
+    as containment 1.0, per-new-content aggregate fanned back to doc ids.
+
+    Output: ``(doc_id, n_ref_contained, best_containment)`` — one row per
+    new doc containing ≥ 1 reference content.
+    """
+    import ray
+
+    from europa_ray.stages.filters import apply_filters
+    from europa_ray.stages.pairverify import unpack_payload
+    from europa_ray.stages.ppjoin import prefix_lengths
+
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"containment tau must be in (0, 1], got {tau}")
+    k = cfg.shingle_k
+    new_ds = apply_filters(new_files, cfg)
+    ref_ds = apply_filters(ref_files, cfg)
+
+    # --- gather distinct ref shingle sets under the row budget ---
+    ref_rows = ref_ds.map_batches(
+        _ref_payload_rows,
+        fn_kwargs={"k": k, "content_col": "content"},
+        batch_format="pyarrow",
+    )
+    got: dict[int, np.ndarray] = {}
+    total = 0
+    over = False
+    for b in ref_rows.iter_batches(batch_format="pyarrow", batch_size=4096):
+        pay = b["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        for n_i, buf in zip(b["node"].to_numpy(), pay.to_pylist()):
+            v = unpack_payload(buf)
+            total += v.shape[0]
+            if total > ref_gather_max_rows:
+                over = True
+                break
+            if int(n_i) not in got:  # cross-batch dup contents: keep first
+                got[int(n_i)] = v
+        if over:
+            break
+    if over:
+        return _cross_containment_fallback(
+            new_ds, ref_ds, cfg, tau=tau, id_col=id_col,
+            pair_gather_max=pair_gather_max, num_partitions=num_partitions,
+        )
+    if not got:
+        return ray.data.from_arrow(CROSS_CONTAIN_SCHEMA.empty_table())
+
+    sets = list(got.values())
+    sizes = np.array([s.shape[0] for s in sets], dtype=np.int64)
+    plens = prefix_lengths(sizes, tau)
+    pg = np.concatenate([s[:p] for s, p in zip(sets, plens)])
+    slot = np.repeat(np.arange(len(sets), dtype=np.int64), plens)
+    order = np.argsort(pg, kind="stable")
+    pg, slot = pg[order], slot[order]
+    ref_flat = np.concatenate(sets)
+    ref_offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    ref = ray.put((pg, slot, ref_flat, ref_offs, sizes))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from europa_ray.pipelines.neardup import shingle_set_payload
+
+        key = ref.hex()
+        idxt = _WORKER_REFIDX_CACHE.get(key)
+        if idxt is None:
+            _WORKER_REFIDX_CACHE.clear()
+            idxt = _WORKER_REFIDX_CACHE[key] = ray.get(ref)
+        pg_s, slot_s, rflat, roffs, rsizes = idxt
+
+        col = batch["content"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+        sub = batch.filter(valid)
+        if sub.num_rows == 0:
+            return CROSS_CONTAIN_SCHEMA.empty_table()
+        scol = sub["content"]
+        if isinstance(scol, pa.ChunkedArray):
+            scol = scol.combine_chunks()
+        vals, offs = shingle_set_payload(scol, k)
+        ids = sub[id_col].cast(pa.int64()).to_numpy()
+
+        # candidates: doc grams present in the probe-gram index (runs of
+        # equal pg values fan out to every ref slot in the run)
+        lo = np.searchsorted(pg_s, vals, side="left")
+        hi = np.searchsorted(pg_s, vals, side="right")
+        runs = hi - lo
+        if runs.sum() == 0:
+            return CROSS_CONTAIN_SCHEMA.empty_table()
+        from europa_ray.stages.pairverify import _ranges_gather
+
+        rows_out = {"doc_id": [], "n_ref_contained": [], "best_containment": []}
+        doc_of_val = np.repeat(np.arange(sub.num_rows, dtype=np.int64), np.diff(offs))
+        memb_idx = _ranges_gather(lo, runs)
+        memb_doc = np.repeat(doc_of_val, runs)
+        memb_slot = slot_s[memb_idx]
+        # dedupe (doc, slot)
+        key2 = memb_doc * np.int64(len(rsizes)) + memb_slot
+        uniq = np.unique(key2)
+        cdoc = uniq // len(rsizes)
+        cslot = uniq % len(rsizes)
+        # verify per doc: one searchsorted over the doc's sorted gram set
+        # for ALL its candidate refs' concatenated values
+        start = 0
+        for d in np.unique(cdoc):
+            csl = cslot[cdoc == d]
+            g_d = vals[offs[d] : offs[d + 1]]
+            seg_lens = rsizes[csl]
+            allv = np.concatenate([rflat[roffs[s] : roffs[s + 1]] for s in csl])
+            pos = np.searchsorted(g_d, allv)
+            pos[pos >= g_d.shape[0]] = 0
+            found = (g_d[pos] == allv).astype(np.int64)
+            bounds = np.concatenate([[0], np.cumsum(seg_lens)])
+            inter = np.add.reduceat(found, bounds[:-1])
+            c = inter / seg_lens
+            hit = c >= tau
+            if hit.any():
+                rows_out["doc_id"].append(int(ids[d]))
+                rows_out["n_ref_contained"].append(int(hit.sum()))
+                rows_out["best_containment"].append(round(float(c[hit].max()), 6))
+        if not rows_out["doc_id"]:
+            return CROSS_CONTAIN_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.array(rows_out["doc_id"], pa.int64()),
+                "n_ref_contained": pa.array(rows_out["n_ref_contained"], pa.int64()),
+                "best_containment": pa.array(
+                    rows_out["best_containment"], pa.float64()
+                ),
+            }
+        )
+
+    return new_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def _cross_containment_fallback(
+    new_ds, ref_ds, cfg: EngineConfig, *, tau: float, id_col: str,
+    pair_gather_max: int, num_partitions: int | None,
+):
+    """Union-corpus sided fallback (see caller docstring)."""
+    import ray
+
+    from europa_ray.util import sorted_member
+
+    def nodes_of(ds) -> np.ndarray:
+        from europa_ray.stages.hash_stage import add_sha256
+        from europa_ray.util import hex_to_u64_arrow
+
+        parts = []
+        hashed = ds.map_batches(
+            add_sha256, fn_kwargs={"keep_cols": ()}, batch_format="pyarrow"
+        )
+        for b in hashed.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+            sha = b["sha256"]
+            if isinstance(sha, pa.ChunkedArray):
+                sha = sha.combine_chunks()
+            sha = sha.drop_null()  # empty/null content has a null sha
+            if len(sha):
+                parts.append(hex_to_u64_arrow(sha).view(np.int64))
+        return (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+
+    ref_nodes = nodes_of(ref_ds)
+    new_nodes = nodes_of(new_ds)
+    union = new_ds.union(ref_ds)
+    pairs = containment_pairs(
+        union, cfg, tau=tau, num_partitions=num_partitions
+    ).materialize()
+
+    # per-new-NODE stats from cross-oriented pairs (+ identity at 1.0)
+    per: dict[int, tuple[int, float]] = {}
+    n_seen = 0
+    for bt in pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        n_seen += bt.num_rows
+        if n_seen > pair_gather_max:
+            raise RuntimeError(
+                "cross-containment fallback pair table exceeds pair_gather_max; "
+                "raise the budget or pre-dedup the corpora"
+            )
+        a = bt["a"].to_numpy()
+        b = bt["b"].to_numpy()
+        c = bt["containment"].to_numpy()
+        keep = sorted_member(ref_nodes, a) & sorted_member(new_nodes, b)
+        for nb, cv in zip(b[keep], c[keep]):
+            n, best = per.get(int(nb), (0, 0.0))
+            per[int(nb)] = (n + 1, max(best, float(cv)))
+    both = ref_nodes[sorted_member(new_nodes, ref_nodes)]
+    for x in both:
+        n, best = per.get(int(x), (0, 0.0))
+        per[int(x)] = (n + 1, 1.0)
+    ref_stats = ray.put(per)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from europa_ray.stages.hash_stage import add_sha256
+        from europa_ray.util import hex_to_u64_arrow
+
+        stats = ray.get(ref_stats)
+        hashed = add_sha256(batch, keep_cols=(id_col,))
+        sha = hashed["sha256"]
+        if isinstance(sha, pa.ChunkedArray):
+            sha = sha.combine_chunks()
+        ok = pc.is_valid(sha)
+        hashed = hashed.filter(ok)
+        if hashed.num_rows == 0:
+            return CROSS_CONTAIN_SCHEMA.empty_table()
+        nd = hex_to_u64_arrow(sha.filter(ok)).view(np.int64)
+        ids = hashed[id_col].cast(pa.int64()).to_numpy()
+        rows = [
+            (int(i), *stats[int(n)]) for i, n in zip(ids, nd) if int(n) in stats
+        ]
+        if not rows:
+            return CROSS_CONTAIN_SCHEMA.empty_table()
+        d, nref, best = zip(*rows)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "n_ref_contained": pa.array(nref, pa.int64()),
+                "best_containment": pa.array(
+                    [round(x, 6) for x in best], pa.float64()
+                ),
+            }
+        )
+
+    return new_ds.map_batches(attach, batch_format="pyarrow")

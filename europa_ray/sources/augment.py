@@ -804,3 +804,9 @@ def with_excerpts(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.union(
         files_ds.map_batches(_excerpt_batch, batch_format="pyarrow")
     )
+
+
+def excerpt_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The excerpt docs ALONE (no union) — the benchmark-snippet corpus for
+    cross-corpus containment decontamination."""
+    return files_ds.map_batches(_excerpt_batch, batch_format="pyarrow")

@@ -161,3 +161,75 @@ def test_containment_kept_nodes(ray_session, pair_budget):
     for big, small in ((0, 1), (2, 3)):
         assert _signed_node(texts[big]) in kept_nodes
         assert _signed_node(texts[small]) not in kept_nodes
+
+
+def _mk_two_corpora():
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(50)]
+    new_texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(20, 70))))
+        for _ in range(60)
+    ]
+    new_texts[5] = ""
+    refs = [" ".join(new_texts[i].split(" ")[3:18]) for i in range(4)]
+    refs.append(new_texts[10])  # identical content in both corpora
+    refs += [" ".join(rng.choice(words, size=25)) for _ in range(3)]
+
+    def tbl(texts, base):
+        n = len(texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.arange(base, base + n, dtype=np.int64)),
+                "repo": pa.array(["r"] * n),
+                "path": pa.array([f"{base+i}.py" for i in range(n)]),
+                "commit": pa.array(["c"] * n),
+                "lang": pa.array(["py"] * n),
+                "content": pa.array(texts, pa.string()),
+            }
+        )
+
+    return tbl(new_texts, 0), tbl(refs, 1000), new_texts, refs
+
+
+def _brute_cross(new_texts, refs) -> dict[int, tuple[int, float]]:
+    rsets = []
+    for t in sorted(set(x for x in refs if x)):
+        v, _ = shingle_set_payload(pa.array([t]), 5)
+        rsets.append(set(v.tolist()))
+    out = {}
+    for d, t in enumerate(new_texts):
+        if not t:
+            continue
+        v, _ = shingle_set_payload(pa.array([t]), 5)
+        S = set(v.tolist())
+        hits = [
+            len(R & S) / len(R) for R in rsets if R and len(R & S) / len(R) >= TAU
+        ]
+        if hits:
+            out[d] = (len(hits), round(max(hits), 6))
+    return out
+
+
+@pytest.mark.parametrize("ref_budget", [20_000_000, 0])
+def test_cross_corpus_containment(ray_session, ref_budget):
+    """Broadcast probe-index path and forced union-fallback both equal
+    brute force; identity (same content in both corpora) counts at 1.0."""
+    import ray.data
+
+    from europa_ray.pipelines.containment import cross_corpus_containment_stats
+
+    new_t, ref_t, new_texts, refs = _mk_two_corpora()
+    got = cross_corpus_containment_stats(
+        ray.data.from_arrow(new_t).repartition(3),
+        ray.data.from_arrow(ref_t).repartition(2),
+        tau=TAU,
+        ref_gather_max_rows=ref_budget,
+    ).to_pandas()
+    gm = {
+        int(r.doc_id): (int(r.n_ref_contained), round(float(r.best_containment), 6))
+        for r in got.itertuples()
+    }
+    assert gm == _brute_cross(new_texts, refs)
+    assert gm[10][1] == 1.0  # the identity match
+    for d in range(4):
+        assert gm[d][1] == 1.0  # excerpt containers

@@ -97,6 +97,7 @@ def test_all_queries_have_callables(entry_mod):
         "substr_pairs",
         "containment_pairs",
         "containment_kept_nodes",
+        "cross_corpus_containment",
         "doc_top_terms",
         "embedding_dup_pairs_lsh",
         "embedding_dup_pairs_lsh_probe",
