@@ -12,6 +12,8 @@ the same command via ``ray job submit --working-dir .``)::
         [--rate 0.25] [--rate-overrides lang=rate,...] [--token-budget N]
     python -m europa_ray.cli decontam --input DIR --output DIR
         [--benchmark DIR]
+    python -m europa_ray.cli containment --input DIR --output DIR
+        [--threshold 0.8] [--keep] [--reference DIR]
 
 Output is partitioned Parquet (resumable: with ``--checkpoint`` every stage
 records per-partition lineage + counters in ``manifest.json`` and a re-run
@@ -314,6 +316,40 @@ def cmd_crossdup(args) -> dict:
     return {"matched_rows": out.count()}
 
 
+def cmd_containment(args) -> dict:
+    """Set-containment join / dedup policy; --reference switches to
+    cross-corpus decontamination (benchmark snippets in --reference)."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.containment import (
+        containment_kept_nodes,
+        containment_pairs,
+        cross_corpus_containment_stats,
+    )
+    from europa_ray.sources.files import read_files
+
+    cfg = _config_from_args(args)
+    files = read_files(args.input)
+    if args.reference:
+        new = _with_row_id(files)
+        ref = read_files(args.reference)
+        out = cross_corpus_containment_stats(
+            new, ref, cfg, tau=args.threshold, id_col="row_id"
+        )
+        if isinstance(out, pa.Table):
+            out = ray.data.from_arrow(out)
+        out.write_parquet(args.output + "/cross_containment")
+        return {"contaminated_rows": out.count()}
+    if args.keep:
+        out = containment_kept_nodes(files, cfg, tau=args.threshold)
+        out.write_parquet(args.output + "/containment_kept")
+        return {"kept_rows": out.count()}
+    out = containment_pairs(files, cfg, tau=args.threshold)
+    out.write_parquet(args.output + "/containment_pairs")
+    return {"pairs": out.count()}
+
+
 def cmd_semdedup(args) -> dict:
     """SemDeDup over an embeddings parquet (vec_id, embedding)."""
     import pyarrow as pa
@@ -389,6 +425,7 @@ def main(argv=None) -> int:
     for name in (
         "neardup", "exact", "textstats", "sample", "decontam",
         "forks", "crossdup", "semdedup", "report", "tiers", "clones",
+        "containment",
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True)
@@ -423,6 +460,14 @@ def main(argv=None) -> int:
         if name == "crossdup":
             sp.add_argument("--reference", required=True,
                             help="files-shaped reference corpus to screen --input against")
+        if name == "containment":
+            sp.add_argument("--threshold", type=float, default=0.8)
+            sp.add_argument("--keep", action="store_true",
+                            help="emit the KEPT set (drop docs contained in "
+                                 "a longer doc) instead of the pair table")
+            sp.add_argument("--reference", default=None,
+                            help="benchmark corpus: switch to cross-corpus "
+                                 "containment decontamination of --input")
         if name == "semdedup":
             sp.add_argument("--threshold", type=float, default=0.9)
             sp.add_argument("--nlist", type=int, default=64)
@@ -451,6 +496,7 @@ def main(argv=None) -> int:
         "decontam": cmd_decontam,
         "forks": cmd_forks,
         "crossdup": cmd_crossdup,
+        "containment": cmd_containment,
         "semdedup": cmd_semdedup,
         "report": cmd_report,
         "tiers": cmd_tiers,

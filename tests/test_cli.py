@@ -209,3 +209,30 @@ def test_row_id_unique_per_identity(ray_session, tiny_corpus):
         ]
     )
     assert np.unique(ids).shape[0] == ids.shape[0]
+
+
+def test_cli_containment_subcommand(ray_session, tiny_corpus, tmp_path, capsys):
+    from europa_ray.cli import main
+
+    out = str(tmp_path / "cont")
+    assert main(["containment", "--input", tiny_corpus, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pairs"] >= 0
+    files = glob.glob(out + "/containment_pairs/*.parquet")
+    assert files
+    tbl = pq.read_table(files)
+    assert {"a", "b", "containment"} <= set(tbl.column_names)
+
+    out2 = str(tmp_path / "kept")
+    assert main(["containment", "--input", tiny_corpus, "--output", out2, "--keep"]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["kept_rows"] > 0
+
+    out3 = str(tmp_path / "cross")
+    assert main([
+        "containment", "--input", tiny_corpus, "--output", out3,
+        "--reference", tiny_corpus,
+    ]) == 0
+    res3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every doc contains its own content (identity, containment 1.0)
+    assert res3["contaminated_rows"] > 0
