@@ -49,9 +49,10 @@ VERSIONS_SCHEMA = pa.schema(
 
 def _partial_latest(batch: pa.Table, *, id_col: str) -> pa.Table:
     """Per-batch combiner: one (repo, path, key, n) row per distinct file,
-    where key = the batch-local argmax ``commit␟doc_id`` pack. doc_id must
-    be non-negative (zero-padding is not order-preserving below 0 — the
-    corpus invariant; asserted)."""
+    where key = the batch-local argmax ``commit␟doc_id`` pack — one
+    vectorized Arrow ``group_by`` (max + count), no per-row Python. doc_id
+    must be non-negative (zero-padding is not order-preserving below 0 —
+    the corpus invariant; asserted)."""
     n = batch.num_rows
     if n == 0:
         return pa.table(
@@ -62,29 +63,24 @@ def _partial_latest(batch: pa.Table, *, id_col: str) -> pa.Table:
                 "n": pa.array([], pa.int64()),
             }
         )
-    ids = batch[id_col].to_numpy()
-    if ids.min() < 0:
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if pc.min(ids).as_py() < 0:
         raise ValueError("latest_file_versions requires non-negative ids")
     key = pc.binary_join_element_wise(
         batch["commit"],
-        pa.array(np.char.zfill(ids.astype("U"), _ID_WIDTH), pa.string()),
+        pc.utf8_lpad(pc.cast(ids, pa.string()), _ID_WIDTH, "0"),
         _SEP,
     )
-    grp = pc.binary_join_element_wise(batch["repo"], batch["path"], _SEP)
-    gnames, ginv = np.unique(np.asarray(grp.to_pylist(), dtype=object), return_inverse=True)
-    keys_np = np.asarray(key.to_pylist(), dtype=object)
-    order = np.lexsort((keys_np, ginv))
-    # last position of each group in the sorted order = its argmax key
-    boundaries = np.nonzero(np.diff(ginv[order]))[0]
-    last = np.concatenate([boundaries, [n - 1]])
-    counts = np.bincount(ginv, minlength=gnames.shape[0]).astype(np.int64)
-    rp = np.array([g.split(_SEP, 1) for g in gnames.tolist()], dtype=object)
+    t = pa.table({"repo": batch["repo"], "path": batch["path"], "key": key})
+    g = t.group_by(["repo", "path"]).aggregate([("key", "max"), ([], "count_all")])
     return pa.table(
         {
-            "repo": pa.array(rp[:, 0], pa.string()),
-            "path": pa.array(rp[:, 1], pa.string()),
-            "key": pa.array(keys_np[order][last], pa.string()),
-            "n": pa.array(counts, pa.int64()),
+            "repo": g["repo"],
+            "path": g["path"],
+            "key": g["key_max"],
+            "n": g["count_all"].cast(pa.int64()),
         }
     )
 
