@@ -217,7 +217,19 @@ def doc_top_terms(
         ),
     )
 
-    def rank_group(group: pa.Table) -> pa.Table:
+    # bucket docs (doc_id >> 12) so one map_groups call ranks up to 4096
+    # docs — _rank_tf_table is per-doc-correct for any table holding every
+    # row of each doc it contains, and bucket membership is a pure function
+    # of doc_id, so buckets are complete (the pairverify PAIR_BUCKET move)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        return batch.append_column("__b", pa.array(d >> 12))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
         return _rank_tf_table(group.select(["doc_id", "term", "tf", "df"]), k)
 
-    return joined.groupby("doc_id").map_groups(rank_group, batch_format="pyarrow")
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
