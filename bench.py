@@ -406,6 +406,46 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("cross_containment", cross_containment)
 
+    def split():
+        """Deterministic 90/5/5 split assignment — one stateless pass."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.sampling import split_assign
+
+        return split_assign(_with_row_id(read()), id_col="row_id").count()
+
+    bench("split_assign", split)
+
+    def outliers():
+        """Per-lang IQR length outliers: value-histogram shuffle + driver
+        quartile walk + broadcast fence pass."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.textstats import length_outliers
+
+        return length_outliers(
+            _with_row_id(read()), id_col="row_id", fence_mult=1
+        ).count()
+
+    bench("length_outliers", outliers)
+
+    def repo_license():
+        """Repo license propagation: detect + repos×rules tally +
+        broadcast label pass."""
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.code import repo_license_files
+
+        return repo_license_files(_with_row_id(read()), id_col="row_id").count()
+
+    bench("repo_license", repo_license)
+
+    def stopwords():
+        """Per-lang stopword top-k by document frequency (vocab-sized
+        groupby + topk combiner pair)."""
+        from europa_ray.pipelines.vocab import stopwords_per_lang
+
+        return stopwords_per_lang(read(), k=20).count()
+
+    bench("stopwords", stopwords)
+
     def versions():
         """Latest-version dedup: metadata-only combiner + one
         file-cardinality groupby over the version-augmented corpus
