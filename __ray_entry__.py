@@ -846,6 +846,62 @@ def _q_secret_redacted(sf_dir: str):
     ).select_columns(["doc_id", "redacted_sha"])
 
 
+def _q_autogen_stats(sf_dir: str):
+    """Per-doc generated-code marker label (do_not_edit > @generated >
+    generated_by > automatically generated > none) over the lowercased
+    4096-char header — the Stack's pre-training exclusion signal."""
+    from europa_ray.pipelines.code import autogen_stats_batch
+    from europa_ray.sources.augment import with_autogen_docs, with_code_docs
+
+    return with_autogen_docs(with_code_docs(_docs(sf_dir))).map_batches(
+        autogen_stats_batch, fn_kwargs={"text_col": "content"},
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "autogen"])
+
+
+def _q_code_quality_filter(sf_dir: str):
+    """The-Stack-style code-quality gate bitmask (avg line len > 100 /
+    max line len > 1000 / alnum fraction < 1/4 / autogen banner) —
+    integer-exact on both sides."""
+    from europa_ray.pipelines.code import code_quality_filter_batch
+    from europa_ray.sources.augment import with_autogen_docs, with_code_docs
+
+    return with_autogen_docs(with_code_docs(_docs(sf_dir))).map_batches(
+        code_quality_filter_batch, fn_kwargs={"text_col": "content"},
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "n_alnum", "fail_mask"])
+
+
+def _q_identifier_stats(sf_dir: str):
+    """Per-doc identifier counts (total + distinct) over word-token splits
+    — code-corpus vocabulary density signals."""
+    from europa_ray.pipelines.code import identifier_stats_batch
+    from europa_ray.sources.augment import with_code_docs
+
+    return with_code_docs(_docs(sf_dir)).map_batches(
+        identifier_stats_batch, fn_kwargs={"text_col": "content"},
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "n_identifiers", "n_distinct_identifiers"])
+
+
+def _q_top_identifiers(sf_dir: str):
+    """Corpus-wide top-50 identifiers (reserved words excluded; partial
+    counts → vocabulary-sized groupby → tie-safe top-k)."""
+    from europa_ray.pipelines.code import top_identifiers
+    from europa_ray.sources.augment import with_code_docs
+
+    return top_identifiers(with_code_docs(_docs(sf_dir)), k=50)
+
+
+def _q_cross_repo_line_stats(sf_dir: str):
+    """Per-repo distinct nonblank lines + how many are shared with another
+    repo — the vendored/boilerplate mass signal; digest-only shuffle."""
+    from europa_ray.pipelines.crossrepo import cross_repo_line_stats
+    from europa_ray.sources.augment import with_code_docs
+
+    return cross_repo_line_stats(with_code_docs(_docs(sf_dir)))
+
+
 def _q_latest_file_versions(sf_dir: str):
     """Commit-aware version dedup over the version-augmented corpus: keep
     the newest commit per (repo, path) — metadata-only combiner + one
@@ -1218,6 +1274,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_license_files": wrap(_q_repo_license_files),
         "secret_stats": wrap(_q_secret_stats),
         "secret_redacted": wrap(_q_secret_redacted),
+        "autogen_stats": wrap(_q_autogen_stats),
+        "code_quality_filter": wrap(_q_code_quality_filter),
+        "identifier_stats": wrap(_q_identifier_stats),
+        "top_identifiers": wrap(_q_top_identifiers),
+        "cross_repo_line_stats": wrap(_q_cross_repo_line_stats),
         "latest_file_versions": wrap(_q_latest_file_versions),
         "doc_chunks": wrap(_q_doc_chunks),
         "chunk_dup_stats": wrap(_q_chunk_dup_stats),
@@ -1624,6 +1685,27 @@ _CODE_DOCS_CTE = r"""
               FROM documents WHERE text IS NOT NULL AND length(text) > 0
             )"""
 
+# code_docs + the autogen/quality fixture (mirrors sources/augment.py
+# _autogen_doc_text): generator banners prepended, a 1200-char line and a
+# ~3×-doc symbols block appended. `length(text)` inside the SELECT refers
+# to the source CTE's column (pre-concat), matching Python's `len(t)`.
+_AUTOGEN_DOCS_CTE = _CODE_DOCS_CTE + r""",
+            autogen_docs AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 11 = 0 THEN '// Code generated by protoc. DO NOT EDIT.' || chr(10) ELSE '' END ||
+                CASE WHEN doc_id % 13 = 1 THEN '/* @Generated */' || chr(10) ELSE '' END ||
+                CASE WHEN doc_id % 17 = 2 THEN '# Automatically Generated file' || chr(10) ELSE '' END ||
+                text ||
+                CASE WHEN doc_id % 23 = 3 THEN chr(10) || repeat('x', 1200) ELSE '' END ||
+                CASE WHEN doc_id % 29 = 4 THEN chr(10) || repeat('.#! ', length(text) // 4 * 3 + 1) ELSE '' END
+                AS text
+              FROM code_docs
+            )"""
+
+# the four autogen-marker predicates over the lowercased 4096-char header,
+# shared by the autogen_stats CASE chain and the quality-gate OR
+_AUTOGEN_HDR = "lower(substr(text, 1, 4096))"
+
 _SECRET_DOCS_CTE = r"""
             WITH secret_docs AS (
               SELECT doc_id,
@@ -1680,6 +1762,15 @@ _CONTAINMENT_CTE = r"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from europa_ray.pipelines.code import IDENT_KEYWORDS
+
+    _kw_list = ", ".join(f"'{k}'" for k in IDENT_KEYWORDS)
+    _autogen_case = f"""CASE
+              WHEN contains({_AUTOGEN_HDR}, 'do not edit') THEN 'do_not_edit'
+              WHEN contains({_AUTOGEN_HDR}, '@generated') THEN 'generated_marker'
+              WHEN contains({_AUTOGEN_HDR}, 'generated by') THEN 'generated_by'
+              WHEN contains({_AUTOGEN_HDR}, 'automatically generated') THEN 'auto_generated'
+              ELSE 'none' END"""
     sql = {
         # dupdocs mirrors sources/augment.py with_exact_dups: verbatim
         # copies of every 40th doc under doc_id + 40000000
@@ -2513,6 +2604,76 @@ def oracle_sql() -> dict[str, str]:
                        '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY>', 'g')
                    ) AS redacted_sha
             FROM secret_docs
+        """,
+        "autogen_stats": _AUTOGEN_DOCS_CTE
+        + f"""
+            SELECT doc_id, {_autogen_case} AS autogen
+            FROM autogen_docs
+        """,
+        # quality gate: avg-line check as sum(line lens) > 100*n_lines with
+        # sum(line lens) = chars − newlines — integer-exact on both sides
+        "code_quality_filter": _AUTOGEN_DOCS_CTE
+        + f""",
+            m AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                length(text) - length(replace(text, chr(10), '')) AS n_nl,
+                CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+                list_max(list_transform(string_split(text, chr(10)), x -> length(x))) AS max_line_len,
+                ({_autogen_case}) <> 'none' AS autogen
+              FROM autogen_docs
+            )
+            SELECT doc_id, n_alnum,
+              CAST(CASE WHEN n_chars - n_nl > 100 * (n_nl + 1) THEN 1 ELSE 0 END
+                 + CASE WHEN max_line_len > 1000 THEN 2 ELSE 0 END
+                 + CASE WHEN 4 * n_alnum < n_chars THEN 4 ELSE 0 END
+                 + CASE WHEN autogen THEN 8 ELSE 0 END AS BIGINT) AS fail_mask
+            FROM m
+        """,
+        "identifier_stats": _CODE_DOCS_CTE
+        + r""",
+            toks AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '[^A-Za-z0-9_]+')) AS t
+                FROM code_docs)
+              WHERE t <> '' AND regexp_matches(t, '^[A-Za-z_]')
+            ),
+            c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_identifiers,
+                         CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_identifiers
+                  FROM toks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(c.n_identifiers, 0) AS n_identifiers,
+                   coalesce(c.n_distinct_identifiers, 0) AS n_distinct_identifiers
+            FROM code_docs d LEFT JOIN c USING (doc_id)
+        """,
+        "top_identifiers": _CODE_DOCS_CTE
+        + f"""
+            SELECT t AS identifier, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z0-9_]+')) AS t
+                  FROM code_docs)
+            WHERE t <> '' AND regexp_matches(t, '^[A-Za-z_]')
+              AND t NOT IN ({_kw_list})
+            GROUP BY t
+            ORDER BY n DESC, identifier ASC
+            LIMIT 50
+        """,
+        # distinct nonblank (has a non-space/tab char) lines per repo; a
+        # line is shared iff it occurs in >1 distinct repo
+        "cross_repo_line_stats": _CODE_DOCS_CTE.replace(
+            "SELECT doc_id,", "SELECT doc_id, source AS repo,", 1
+        )
+        + r""",
+            lines AS (
+              SELECT DISTINCT repo, x AS line FROM (
+                SELECT repo, unnest(string_split(text, chr(10))) AS x
+                FROM code_docs)
+              WHERE regexp_matches(x, '[^ \t]')
+            ),
+            multi AS (SELECT line AS ml FROM lines GROUP BY line HAVING count(*) > 1)
+            SELECT repo, CAST(count(*) AS BIGINT) AS n_distinct_lines,
+                   CAST(count(m.ml) AS BIGINT) AS n_shared_lines
+            FROM lines l LEFT JOIN multi m ON l.line = m.ml
+            GROUP BY repo
         """,
         # Latest-version dedup over the versioned fixture (CTE mirrors
         # sources/augment.py with_versions; repo/path/commit synthesis

@@ -364,6 +364,45 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("secret_scan", secrets)
 
+    def code_quality():
+        """Generated-code marker + Stack-filter gate fused in one scan
+        (header substring scan + RE2 alnum count + line-max reduction)."""
+        from europa_ray.pipelines.code import (
+            autogen_stats_batch,
+            code_quality_filter_batch,
+        )
+
+        def fused(b):
+            out = code_quality_filter_batch(b)
+            return out.append_column(
+                "autogen", autogen_stats_batch(b)["autogen"]
+            )
+
+        return read().map_batches(fused, batch_format="pyarrow").count()
+
+    bench("code_quality", code_quality)
+
+    def identifiers():
+        """Corpus top-50 identifiers (split+filter → per-batch partial
+        counts → vocabulary-sized groupby → tie-safe top-k)."""
+        from europa_ray.pipelines.code import top_identifiers
+
+        return top_identifiers(read(), k=50).count()
+
+    bench("top_identifiers", identifiers)
+
+    def crossrepo():
+        """Per-repo shared-line profile (distinct (repo, line-sha) pairs →
+        digest-keyed dup detection → per-repo counts)."""
+        from europa_ray.pipelines.crossrepo import cross_repo_line_stats
+
+        out = cross_repo_line_stats(read())
+        import ray.data as rd
+
+        return out.count() if isinstance(out, rd.Dataset) else out.num_rows
+
+    bench("cross_repo_lines", crossrepo)
+
     def chunks():
         """Fixed-size disjoint chunking plan (one zero-copy re-offsetting
         pass; rows ≈ tokens/C per doc)."""

@@ -222,6 +222,190 @@ def secret_redact_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Tab
     return pii_redact_batch(batch, text_col=text_col, patterns=SECRET_PATTERNS)
 
 
+AUTOGEN_HEADER_CHARS = 4096
+#: (label, lowercase phrase) in priority order — first phrase found in the
+#: lowercased header wins (the license_stats pattern). Markers are the
+#: standard generator banners (protoc/thrift "DO NOT EDIT", Facebook's
+#: ``@generated``, generic "generated by"/"automatically generated") The
+#: Stack excludes before training use (Kocetkov et al. 2022 §3.1).
+AUTOGEN_RULES = (
+    ("do_not_edit", "do not edit"),
+    ("generated_marker", "@generated"),
+    ("generated_by", "generated by"),
+    ("auto_generated", "automatically generated"),
+)
+
+
+def _autogen_label(col: pa.Array) -> pa.Array:
+    """Generator-marker label per doc from the lowercased header (first
+    ``AUTOGEN_HEADER_CHARS`` chars); first matching ``AUTOGEN_RULES`` phrase
+    wins, else ``'none'`` — applied lowest-priority-first so later
+    ``if_else`` writes override (the license_stats CASE-chain shape)."""
+    hdr = pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, AUTOGEN_HEADER_CHARS))
+    lab = pa.array(np.full(len(col), "none", dtype=object), pa.string())
+    for name, phrase in reversed(AUTOGEN_RULES):
+        lab = pc.if_else(pc.match_substring(hdr, phrase), pa.scalar(name), lab)
+    return lab
+
+
+def autogen_stats_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Per-doc generated-code marker: (…, autogen) with the matched rule
+    label or ``'none'`` — header-only scan (generators put banners at the
+    top), so at 100 TB the pass reads 4 KB/doc, not the whole content."""
+    col, out = _valid_content(batch, text_col)
+    return out.append_column("autogen", _autogen_label(col))
+
+
+# quality-gate failure bits (The Stack v1 file filters, Kocetkov et al.
+# 2022: drop when avg line length > 100, max line length > 1000, or
+# alphanumeric fraction < 0.25; plus the generated-code marker)
+QF_AVG_LINE = 1
+QF_MAX_LINE = 2
+QF_ALNUM_FRAC = 4
+QF_AUTOGEN = 8
+
+
+def code_quality_filter_batch(
+    batch: pa.Table, *, text_col: str = "content"
+) -> pa.Table:
+    """The-Stack-style code-quality gate: (…, n_alnum, fail_mask) with
+    ``fail_mask`` an integer-exact failure bitmask (0 = keep):
+
+    - bit 0: avg line length > 100 — compared as ``sum(line lens) >
+      100 * n_lines`` (sum of line lengths = chars − newlines), so the
+      check is integer-exact on both the Arrow and the SQL side;
+    - bit 1: max line length > 1000;
+    - bit 2: alphanumeric fraction < 0.25 — ``4 * n_alnum < n_chars``;
+    - bit 3: a generated-code banner in the header (``AUTOGEN_RULES``).
+
+    One fused pass: the line split feeds only the max-line reduction; the
+    alnum count is an RE2 scan (the engine DuckDB embeds, so the oracle's
+    ``regexp_replace`` count agrees by construction)."""
+    col, out = _valid_content(batch, text_col)
+    n_rows = len(col)
+    n_chars = pc.utf8_length(col).cast(pa.int64()).to_numpy()
+    n_alnum = (
+        pc.count_substring_regex(col, "[A-Za-z0-9]").cast(pa.int64()).to_numpy()
+    )
+    flat, n_lines, row_of = _split_lines(col)
+    max_len = np.zeros(n_rows, np.int64)
+    if len(flat):
+        lens = pc.utf8_length(flat).cast(pa.int64()).to_numpy()
+        np.maximum.at(max_len, row_of, lens)
+    line_chars = n_chars - (n_lines - 1)
+    autogen = pc.not_equal(_autogen_label(col), "none").to_numpy(
+        zero_copy_only=False
+    )
+    mask = (
+        np.where(line_chars > 100 * n_lines, QF_AVG_LINE, 0)
+        | np.where(max_len > 1000, QF_MAX_LINE, 0)
+        | np.where(4 * n_alnum < n_chars, QF_ALNUM_FRAC, 0)
+        | np.where(autogen, QF_AUTOGEN, 0)
+    )
+    out = out.append_column("n_alnum", pa.array(n_alnum, pa.int64()))
+    return out.append_column("fail_mask", pa.array(mask.astype(np.int64)))
+
+
+# identifier tokens: split on non-word runs; a token is an identifier iff
+# it starts with a letter or underscore. The split/filter regexes are RE2
+# and shared verbatim with the SQL oracle.
+IDENT_SPLIT_RE = r"[^A-Za-z0-9_]+"
+IDENT_START_RE = r"^[A-Za-z_]"
+#: exact-match (case-sensitive) reserved words excluded from the corpus
+#: top-k ranking (kept in per-doc counts: a doc's identifier density
+#: includes keywords; the corpus ranking should not be all `if`/`return`)
+IDENT_KEYWORDS = (
+    "break", "case", "class", "const", "continue", "def", "elif", "else",
+    "enum", "false", "for", "from", "if", "import", "include", "int",
+    "let", "new", "none", "null", "public", "return", "static", "struct",
+    "switch", "true", "try", "var", "void", "while",
+)
+
+
+def _ident_tokens(col: pa.Array):
+    """(flat identifier tokens, row index per token) after split+filter."""
+    split = pc.split_pattern_regex(col, IDENT_SPLIT_RE)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    n_tok = pc.list_value_length(split).cast(pa.int64()).to_numpy()
+    flat = split.flatten()
+    row_of = np.repeat(np.arange(len(col), dtype=np.int64), n_tok)
+    if len(flat) == 0:
+        return flat, row_of
+    keep = pc.match_substring_regex(flat, IDENT_START_RE).to_numpy(
+        zero_copy_only=False
+    )
+    return flat.filter(pa.array(keep)), row_of[keep]
+
+
+def identifier_stats_batch(
+    batch: pa.Table, *, text_col: str = "content"
+) -> pa.Table:
+    """Per-doc identifier profile: (…, n_identifiers,
+    n_distinct_identifiers). Distinct counting is dictionary-encode +
+    one ``np.unique`` over packed (row, code) keys — no per-row Python."""
+    col, out = _valid_content(batch, text_col)
+    n_rows = len(col)
+    toks, row_of = _ident_tokens(col)
+    n_ident = np.bincount(row_of, minlength=n_rows).astype(np.int64)
+    n_distinct = np.zeros(n_rows, np.int64)
+    if len(toks):
+        codes = pc.dictionary_encode(toks).indices.cast(pa.int64()).to_numpy()
+        vocab = int(codes.max()) + 1
+        uniq_keys = np.unique(row_of * vocab + codes)
+        n_distinct = np.bincount(uniq_keys // vocab, minlength=n_rows).astype(
+            np.int64
+        )
+    out = out.append_column("n_identifiers", pa.array(n_ident, pa.int64()))
+    return out.append_column(
+        "n_distinct_identifiers", pa.array(n_distinct, pa.int64())
+    )
+
+
+def _partial_ident_counts(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    empty = pa.table(
+        {"identifier": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+    col, _ = _valid_content(batch, text_col)
+    if len(col) == 0:
+        return empty
+    toks, _ = _ident_tokens(col)
+    if len(toks):
+        kw = pa.array(list(IDENT_KEYWORDS), pa.string())
+        toks = toks.filter(pc.invert(pc.is_in(toks, value_set=kw)))
+    if len(toks) == 0:
+        return empty
+    vc = pc.value_counts(toks)
+    return pa.table(
+        {"identifier": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def top_identifiers(
+    files: ray.data.Dataset, *, k: int = 50, text_col: str = "content"
+) -> ray.data.Dataset:
+    """Top-``k`` identifiers corpus-wide (reserved words excluded),
+    tie-broken (n DESC, identifier ASC) — per-batch partial counts bound
+    the shuffle at (batches × batch identifier vocabulary) rows; the
+    global aggregate is vocabulary-sized (the top_imports shape)."""
+    partials = files.map_batches(
+        _partial_ident_counts, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+    )
+    agg = (
+        partials.groupby("identifier")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+        .map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("n"), "n", b["n"].cast(pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort(["n", "identifier"], descending=[True, False]).limit(k)
+
+
 REPO_LICENSE_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.int64()),

@@ -696,6 +696,55 @@ def with_code_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
     return files_ds.map_batches(_code_docs_batch, batch_format="pyarrow")
 
 
+# --- generated-code / quality-gate fixture --------------------------------
+# Applied ON TOP of the code-shaped fixture: plants generator markers
+# (mixed case, to exercise case-insensitive detection) and the two
+# stack-filter pathologies (a >1000-char line; a symbols block ~3× the doc
+# so the alphanumeric fraction drops below 1/4). Pure function of
+# (doc_id, text), mirrored by the ``autogen_docs`` CTE in ``oracle_sql()``.
+AUTOGEN_DNE_EVERY = 11    # d % 11 == 0 → "DO NOT EDIT" header
+AUTOGEN_GEN_MARK = 13     # d % 13 == 1 → "@Generated" header
+AUTOGEN_AUTO_MARK = 17    # d % 17 == 2 → "Automatically Generated" header
+AUTOGEN_LONGLINE_MARK = 23  # d % 23 == 3 → 1200-char line appended
+AUTOGEN_SYMBOLS_MARK = 29   # d % 29 == 4 → ~3×-doc symbols block appended
+
+
+def _autogen_doc_text(d: int, t: str) -> str:
+    parts = []
+    if d % AUTOGEN_DNE_EVERY == 0:
+        parts.append("// Code generated by protoc. DO NOT EDIT.\n")
+    if d % AUTOGEN_GEN_MARK == 1:
+        parts.append("/* @Generated */\n")
+    if d % AUTOGEN_AUTO_MARK == 2:
+        parts.append("# Automatically Generated file\n")
+    out = "".join(parts) + t
+    if d % AUTOGEN_LONGLINE_MARK == 3:
+        out += "\n" + "x" * 1200
+    if d % AUTOGEN_SYMBOLS_MARK == 4:
+        out += "\n" + ".#! " * (len(t) // 4 * 3 + 1)
+    return out
+
+
+def _autogen_docs_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["content"].to_pylist()
+    new = [
+        t if (t is None or len(t) == 0) else _autogen_doc_text(d, t)
+        for d, t in zip(ids, texts)
+    ]
+    return batch.set_column(
+        batch.column_names.index("content"), "content", pa.array(new, pa.string())
+    )
+
+
+def with_autogen_docs(files_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """files-shaped Dataset with planted generated-code markers and
+    stack-filter pathologies (see ``_autogen_doc_text``) — compose over
+    :func:`with_code_docs`; the fixture for the autogen-detection and
+    code-quality-gate operators."""
+    return files_ds.map_batches(_autogen_docs_batch, batch_format="pyarrow")
+
+
 SECRET_AWS_EVERY = 10
 SECRET_GHP_EVERY = 12
 SECRET_PK_EVERY = 15

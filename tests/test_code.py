@@ -223,3 +223,93 @@ def test_repo_license_files(ray_session, budget):
     assert len(got) == 10
     # per-file detected license preserved alongside the repo label
     assert set(got[got.repo == "B"].license) == {"apache-2.0", "gpl", "none"}
+
+
+def test_autogen_stats_hand_computed(ray_session):
+    from europa_ray.pipelines.code import AUTOGEN_HEADER_CHARS, autogen_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "content": pa.array(
+                [
+                    "// Code generated by protoc. DO NOT EDIT.\nbody",
+                    "/* @Generated */\nbody",  # mixed case, case-insensitive
+                    "# this was Generated By a tool\nbody",
+                    "header\n# automatically generated\nbody",
+                    "plain file",
+                    # both markers: priority picks do_not_edit
+                    "// @generated — do not edit\nbody",
+                    # marker beyond the 4096-char header window: not seen
+                    ("x" * AUTOGEN_HEADER_CHARS) + " DO NOT EDIT",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = autogen_stats_batch(t)
+    assert out["autogen"].to_pylist() == [
+        "do_not_edit", "generated_marker", "generated_by",
+        "auto_generated", "none", "do_not_edit", "none",
+    ]
+
+
+def test_code_quality_filter_bits(ray_session):
+    from europa_ray.pipelines.code import code_quality_filter_batch
+
+    long_line = "a" * 150               # avg line len 150 > 100 → bit 0
+    huge_line = "ok\n" + "b" * 1001     # avg (2+1001)/2 > 100 and max > 1000
+    symbols = "!@# $%^"                 # 0 alnum of 7 chars → bit 2
+    autogen = "# DO NOT EDIT\nok"       # bit 3 only (avg 15/2 ≤ 100)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "content": pa.array(
+                [long_line, huge_line, symbols, autogen, ""], pa.string()
+            ),
+        }
+    )
+    out = code_quality_filter_batch(t)
+    assert out["doc_id"].to_pylist() == [1, 2, 3, 4]
+    assert out["fail_mask"].to_pylist() == [1, 1 | 2, 4, 8]
+    assert out["n_alnum"].to_pylist() == [150, 1003, 0, 11]
+
+
+def test_identifier_stats_hand_computed(ray_session):
+    from europa_ray.pipelines.code import identifier_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "content": pa.array(
+                [
+                    # 123 and 9abc start with a digit → not identifiers
+                    "foo bar foo 123 _x 9abc",
+                    "a-b a.b",
+                    "42 1_000",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = identifier_stats_batch(t)
+    assert out["n_identifiers"].to_pylist() == [4, 4, 0]
+    assert out["n_distinct_identifiers"].to_pylist() == [3, 2, 0]
+
+
+def test_top_identifiers_excludes_keywords(ray_session):
+    from europa_ray.pipelines.code import top_identifiers
+
+    rows = ["return foo" for _ in range(5)] + ["bar baz", "bar"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "content": pa.array(rows, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = top_identifiers(ds, k=3).to_pandas()
+    # 'return' (freq 5) is a reserved word and must not appear
+    assert got.identifier.tolist() == ["foo", "bar", "baz"]
+    assert got.n.tolist() == [5, 2, 1]
