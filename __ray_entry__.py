@@ -1053,6 +1053,36 @@ def _q_split_assign(sf_dir: str):
     return split_assign(_docs(sf_dir))
 
 
+def _q_gram_novelty(sf_dir: str):
+    """Per-doc duplicate-n-gram profile (RefinedWeb's cross-doc duplicated
+    n-gram signal) over the excerpt-augmented corpus — every excerpt's
+    grams are fully duplicated in its source doc."""
+    from europa_ray.pipelines.novelty import gram_novelty
+    from europa_ray.sources.augment import with_excerpts
+
+    return gram_novelty(with_excerpts(_docs(sf_dir)), k=5)
+
+
+def _q_dup_rate_by_lang(sf_dir: str):
+    """Per-language exact-duplication profile over the dup-augmented
+    corpus: docs, docs-in-a-dup-group, distinct dup digests per lang."""
+    from europa_ray.pipelines.exact import dup_rate_by_lang
+    from europa_ray.sources.augment import with_exact_dups
+
+    return dup_rate_by_lang(with_exact_dups(_docs(sf_dir)))
+
+
+def _q_split_leakage(sf_dir: str):
+    """Near-dup train/test leakage audit: per ordered split pair, the
+    normalization-tier digest groups with a member in BOTH splits —
+    formatting-only variants CAN straddle the content-hash-keyed split,
+    and this counts exactly those leaks (over the format-mutant fixture)."""
+    from europa_ray.pipelines.leakage import split_leakage
+    from europa_ray.sources.augment import with_format_mutants
+
+    return split_leakage(with_format_mutants(_docs(sf_dir)))
+
+
 def _q_length_outliers(sf_dir: str):
     """Per-language Tukey-IQR length outliers over exact discrete
     quartiles (doubled-integer fence arithmetic, no floats). k=0.5
@@ -1291,6 +1321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": wrap(_q_event_sessions),
         "hash_sample": wrap(_q_hash_sample),
         "split_assign": wrap(_q_split_assign),
+        "split_leakage": wrap(_q_split_leakage),
+        "dup_rate_by_lang": wrap(_q_dup_rate_by_lang),
+        "gram_novelty": wrap(_q_gram_novelty),
         "length_outliers": wrap(_q_length_outliers),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
@@ -2929,6 +2962,97 @@ def oracle_sql() -> dict[str, str]:
                              < 17524406870024075264::UBIGINT THEN 'val'
                         ELSE 'test' END AS split
             FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        """,
+        # Per-doc duplicate-n-gram counts over the excerpt fixture; the
+        # toks/grams CTEs replicate the containment oracle's tokenizer and
+        # k=5 shingle semantics (sliding windows + whole-row fallback <k)
+        "gram_novelty": r"""
+            WITH exdocs AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0
+              UNION ALL
+              SELECT doc_id + 20000000,
+                     array_to_string(
+                       tk[(len(tk) // 5 + 1):(len(tk) // 5 + 3 * len(tk) // 5)], ' ')
+              FROM (
+                SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+              )
+              WHERE doc_id % 3 = 0 AND len(tk) >= 20
+            ),
+            toks AS (SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS tk
+                     FROM exdocs WHERE length(text) > 0),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)
+              UNION
+              SELECT doc_id, array_to_string(tk, ' ') AS gram
+              FROM toks WHERE len(tk) BETWEEN 1 AND 4
+            ),
+            dupg AS (SELECT gram AS dg FROM grams GROUP BY gram HAVING count(*) > 1),
+            c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                         CAST(count(d.dg) AS BIGINT) AS n_dup_grams
+                  FROM grams g LEFT JOIN dupg d ON g.gram = d.dg
+                  GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(c.n_grams, 0) AS n_grams,
+                   coalesce(c.n_dup_grams, 0) AS n_dup_grams
+            FROM toks t LEFT JOIN c USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        # Per-lang exact-dup profile over the dup-augmented corpus; a
+        # digest spanning languages duplicates in each (JOIN on total)
+        "dup_rate_by_lang": """
+            WITH dupdocs AS (
+                SELECT doc_id, lang, text FROM documents
+                UNION ALL
+                SELECT doc_id + 40000000, lang, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+            ),
+            d AS (SELECT lang, sha256(text) AS sha FROM dupdocs
+                  WHERE text IS NOT NULL AND length(text) > 0),
+            g AS (SELECT lang, sha, count(*) AS c FROM d GROUP BY lang, sha),
+            t AS (SELECT sha, sum(c) AS total FROM g GROUP BY sha)
+            SELECT lang,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN total > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                   CAST(count(CASE WHEN total > 1 THEN 1 END) AS BIGINT) AS n_dup_groups
+            FROM g JOIN t USING (sha)
+            GROUP BY lang ORDER BY lang
+        """,
+        # Near-dup split leakage: norm-digest groups spanning two splits.
+        # fmtdocs/norm replicate the norm_exact_dup_members CTEs; the split
+        # CASE embeds split_assign's exact u64 threshold literals.
+        "split_leakage": """
+            WITH fmtdocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 50000000,
+                       '# fmt' || chr(10) || replace(upper(text), ' ', '   ')
+                         || '  ' || chr(10) || chr(9)
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 7 = 3
+            ),
+            d AS (
+                SELECT trim(regexp_replace(
+                           lower(regexp_replace(text,
+                               '(//|#)[^' || chr(10) || ']*', '', 'g')),
+                           '[ ' || chr(9) || chr(13) || chr(10) || ']+',
+                           ' ', 'g'), ' ') AS n,
+                       CASE WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                 < 16602069666338596864::UBIGINT THEN 'train'
+                            WHEN ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                                 < 17524406870024075264::UBIGINT THEN 'val'
+                            ELSE 'test' END AS split
+                FROM fmtdocs WHERE length(text) > 0
+            ),
+            gs AS (SELECT DISTINCT sha256(n) AS norm_sha, split
+                   FROM d WHERE length(n) > 0)
+            SELECT a.split AS split_a, b.split AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM gs a JOIN gs b
+              ON a.norm_sha = b.norm_sha AND a.split < b.split
+            GROUP BY split_a, split_b
+            ORDER BY split_a, split_b
         """,
         # Tukey fences on exact discrete quartiles; doubled-integer
         # arithmetic (2n vs 2q1−3·iqr / 2q3+3·iqr) keeps both sides

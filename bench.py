@@ -403,6 +403,38 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("cross_repo_lines", crossrepo)
 
+    def leakage():
+        """Near-dup split-leakage audit (norm digest + split bitmask)."""
+        from europa_ray.pipelines.leakage import split_leakage
+
+        return split_leakage(read()).num_rows
+
+    bench("split_leakage", leakage)
+
+    def dup_rate():
+        """Per-lang exact-dup profile (digest partial counts + totals)."""
+        import ray.data as rd
+
+        from europa_ray.pipelines.exact import dup_rate_by_lang
+
+        out = dup_rate_by_lang(read())
+        return out.count() if isinstance(out, rd.Dataset) else out.num_rows
+
+    bench("dup_rate_by_lang", dup_rate)
+
+    def novelty():
+        """Per-doc duplicate-n-gram profile (unique-shingle explode →
+        gram-keyed dup detection → per-doc counts)."""
+        import ray.data as rd
+
+        from europa_ray.cli import _with_row_id
+        from europa_ray.pipelines.novelty import gram_novelty
+
+        out = gram_novelty(_with_row_id(read()), id_col="row_id")
+        return out.count() if isinstance(out, rd.Dataset) else out.num_rows
+
+    bench("gram_novelty", novelty)
+
     def chunks():
         """Fixed-size disjoint chunking plan (one zero-copy re-offsetting
         pass; rows ≈ tokens/C per doc)."""

@@ -509,3 +509,218 @@ def cross_corpus_new_docs_bloom(
         return batch.filter(mask).select([id_col, "sha256"])
 
     return definite_new.union(joined.map_batches(keep_unseen, batch_format="pyarrow"))
+
+
+DUP_RATE_SCHEMA = pa.schema(
+    [
+        pa.field("lang", pa.string()),
+        pa.field("n_docs", pa.int64()),
+        pa.field("n_dup_docs", pa.int64()),
+        pa.field("n_dup_groups", pa.int64()),
+    ]
+)
+
+
+def _lang_sha_partials(
+    batch: pa.Table, *, text_col: str, lang_col: str
+) -> pa.Table:
+    """Per-batch (sha, lang, c) partial counts over nonempty content — the
+    combiner that keeps the digest shuffle at distinct-(sha, lang) volume."""
+    import pyarrow.compute as pc
+
+    from europa_ray.util import sha256_hex_arrow
+
+    empty = pa.table(
+        {
+            "sha": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+    col = col.filter(valid)
+    if len(col) == 0:
+        return empty
+    langs = np.asarray(
+        batch[lang_col].filter(valid).to_pylist(), dtype=object
+    )
+    shas = np.asarray(sha256_hex_arrow(col), dtype="S64")
+    lcodes_all, lcode = np.unique(langs, return_inverse=True)
+    scodes_all, scode = np.unique(shas, return_inverse=True)
+    key = scode.astype(np.int64) * lcodes_all.shape[0] + lcode
+    uk, counts = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "sha": pa.array(
+                scodes_all[uk // lcodes_all.shape[0]].astype("U64").astype(object),
+                pa.string(),
+            ),
+            "lang": pa.array(lcodes_all[uk % lcodes_all.shape[0]], pa.string()),
+            "c": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _dup_rate_table(
+    shas: np.ndarray, langs: np.ndarray, cs: np.ndarray
+) -> pa.Table:
+    """Driver-path per-lang rollup over gathered (sha, lang, c) partials
+    (may repeat (sha, lang) across batches)."""
+    if shas.shape[0] == 0:
+        return DUP_RATE_SCHEMA.empty_table()
+    lcodes_all, lcode = np.unique(langs, return_inverse=True)
+    scodes_all, scode = np.unique(shas, return_inverse=True)
+    key = scode.astype(np.int64) * lcodes_all.shape[0] + lcode
+    order = np.argsort(key, kind="stable")
+    k, c = key[order], cs[order]
+    new = np.ones(k.shape[0], dtype=bool)
+    new[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(new)[0]
+    gk = k[starts]
+    gc = np.add.reduceat(c, starts)
+    gs, gl = gk // lcodes_all.shape[0], gk % lcodes_all.shape[0]
+    total = np.zeros(scodes_all.shape[0], np.int64)
+    np.add.at(total, gs, gc)
+    dup = total[gs] > 1
+    n_langs = lcodes_all.shape[0]
+    n_docs = np.zeros(n_langs, np.int64)
+    n_dup_docs = np.zeros(n_langs, np.int64)
+    n_dup_groups = np.zeros(n_langs, np.int64)
+    np.add.at(n_docs, gl, gc)
+    np.add.at(n_dup_docs, gl[dup], gc[dup])
+    np.add.at(n_dup_groups, gl[dup], 1)
+    return pa.table(
+        {
+            "lang": pa.array(lcodes_all, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_dup_docs": pa.array(n_dup_docs, pa.int64()),
+            "n_dup_groups": pa.array(n_dup_groups, pa.int64()),
+        }
+    )  # np.unique → lang-sorted
+
+
+def dup_rate_by_lang(
+    files: ray.data.Dataset,
+    *,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    driver_max_rows: int = 50_000_000,
+    num_partitions: int | None = None,
+):
+    """Per-language exact-duplication profile: (lang, n_docs, n_dup_docs,
+    n_dup_groups), lang-sorted. ``n_dup_docs`` counts the lang's documents
+    whose content digest occurs more than once CORPUS-WIDE (a digest
+    spanning languages duplicates in each); ``n_dup_groups`` the lang's
+    distinct duplicated digests. Digest-only shuffle; driver/distributed
+    dispatch (forced-budget-0 equivalence-tested)."""
+    import pyarrow.compute as pc
+
+    from europa_ray.util import scrub_empty_blocks
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    partials = files.map_batches(
+        _lang_sha_partials,
+        fn_kwargs={"text_col": text_col, "lang_col": lang_col},
+        batch_format="pyarrow",
+    )
+
+    # --- driver fast path ---
+    sha_p: list[np.ndarray] = []
+    lang_p: list[np.ndarray] = []
+    c_p: list[np.ndarray] = []
+    total = 0
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += b.num_rows
+        if total > driver_max_rows:
+            sha_p = []
+            break
+        sha_p.append(b["sha"].to_numpy(zero_copy_only=False).astype("S64"))
+        lang_p.append(np.asarray(b["lang"].to_pylist(), dtype=object))
+        c_p.append(b["c"].to_numpy())
+    else:
+        if not sha_p:
+            return DUP_RATE_SCHEMA.empty_table()
+        return _dup_rate_table(
+            np.concatenate(sha_p), np.concatenate(lang_p), np.concatenate(c_p)
+        )
+
+    # --- distributed fallback ---
+    grouped = (
+        partials.groupby(["sha", "lang"])
+        .sum("c")
+        .rename_columns({"sum(c)": "c"})
+        .materialize()
+    )
+    totals = (
+        grouped.groupby("sha")
+        .sum("c")
+        .map_batches(
+            lambda b: pa.table(
+                {"__s": b["sha"], "total": b["sum(c)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    totals = scrub_empty_blocks(
+        totals,
+        pa.schema([pa.field("__s", pa.string()), pa.field("total", pa.int64())]),
+    )
+    joined = grouped.join(
+        totals,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sha",),
+        right_on=("__s",),
+    )
+
+    def per_lang_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].cast(pa.int64()).to_numpy()
+        tot = b["total"].cast(pa.int64()).to_numpy()
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        lcodes_all, lcode = np.unique(langs, return_inverse=True)
+        dup = tot > 1
+        n_langs = lcodes_all.shape[0]
+        nd = np.zeros(n_langs, np.int64)
+        ndd = np.zeros(n_langs, np.int64)
+        ndg = np.zeros(n_langs, np.int64)
+        np.add.at(nd, lcode, c)
+        np.add.at(ndd, lcode[dup], c[dup])
+        np.add.at(ndg, lcode[dup], 1)
+        return pa.table(
+            {
+                "lang": pa.array(lcodes_all, pa.string()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_dup_docs": pa.array(ndd, pa.int64()),
+                "n_dup_groups": pa.array(ndg, pa.int64()),
+            }
+        )
+
+    rolled = joined.map_batches(per_lang_partial, batch_format="pyarrow")
+    agg = (
+        rolled.groupby("lang")
+        .sum(["n_docs", "n_dup_docs", "n_dup_groups"])
+        .rename_columns(
+            {
+                "sum(n_docs)": "n_docs",
+                "sum(n_dup_docs)": "n_dup_docs",
+                "sum(n_dup_groups)": "n_dup_groups",
+            }
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+                "n_dup_docs": b["n_dup_docs"].cast(pa.int64()),
+                "n_dup_groups": b["n_dup_groups"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("lang")

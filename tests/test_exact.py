@@ -207,3 +207,36 @@ def test_dedup_report_distributed_equivalent(ray_session):
     b = dedup_report(files, driver_max_rows=0).to_pandas()
     assert a.values.tolist() == b.values.tolist()
     assert list(a.columns) == list(b.columns)
+
+
+@pytest.mark.parametrize("budget", [50_000_000, 0])
+def test_dup_rate_by_lang(ray_session, budget):
+    """Hand-computed per-lang dup profile, incl. a digest spanning langs
+    (duplicates in each) and excluded empty/null rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.exact import dup_rate_by_lang
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "lang": pa.array(
+                ["en", "en", "en", "de", "de", "en", "de", "en"], pa.string()
+            ),
+            "content": pa.array(
+                # "dup" ×2 in en; "xlang" in en AND de (cross-lang group);
+                # "solo"/"only" unique; empty + null excluded
+                ["dup", "dup", "xlang", "xlang", "solo", "only", "", None],
+                pa.string(),
+            ),
+        }
+    )
+    got = dup_rate_by_lang(
+        ray.data.from_arrow(t).repartition(3), driver_max_rows=budget
+    )
+    df = got.to_pandas() if isinstance(got, ray.data.Dataset) else got.to_pandas()
+    assert df.lang.tolist() == ["de", "en"]
+    assert df.n_docs.tolist() == [2, 4]          # de: xlang,solo; en: dup×2,xlang,only
+    assert df.n_dup_docs.tolist() == [1, 3]      # de: xlang; en: dup×2 + xlang
+    assert df.n_dup_groups.tolist() == [1, 2]    # de: {xlang}; en: {dup, xlang}
