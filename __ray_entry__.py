@@ -1053,6 +1053,25 @@ def _q_split_assign(sf_dir: str):
     return split_assign(_docs(sf_dir))
 
 
+def _q_vocab_kmv_sketch(sf_dir: str):
+    """Bottom-k (KMV) sketch of the corpus vocabulary: the 256 smallest
+    distinct 16-hex word-hash prefixes — deterministic, so the
+    'approximate' sketch is value-checked exactly."""
+    from europa_ray.pipelines.sketch import vocab_kmv_sketch
+
+    return vocab_kmv_sketch(_docs(sf_dir), k=16)
+
+
+def _q_distinct_word_estimate(sf_dir: str):
+    """KMV distinct-word estimator (k−1)·2^64 // h_k in exact integer
+    arithmetic — one row, no shuffle at any scale. k=16 < corpus
+    vocabulary, so the ESTIMATOR branch (not the exact-count fallback)
+    is what the oracle checks."""
+    from europa_ray.pipelines.sketch import distinct_word_estimate
+
+    return distinct_word_estimate(_docs(sf_dir), k=16)
+
+
 def _q_gram_novelty(sf_dir: str):
     """Per-doc duplicate-n-gram profile (RefinedWeb's cross-doc duplicated
     n-gram signal) over the excerpt-augmented corpus — every excerpt's
@@ -1324,6 +1343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": wrap(_q_split_leakage),
         "dup_rate_by_lang": wrap(_q_dup_rate_by_lang),
         "gram_novelty": wrap(_q_gram_novelty),
+        "vocab_kmv_sketch": wrap(_q_vocab_kmv_sketch),
+        "distinct_word_estimate": wrap(_q_distinct_word_estimate),
         "length_outliers": wrap(_q_length_outliers),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
@@ -2962,6 +2983,40 @@ def oracle_sql() -> dict[str, str]:
                              < 17524406870024075264::UBIGINT THEN 'val'
                         ELSE 'test' END AS split
             FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        """,
+        # KMV bottom-k sketch: deterministic given the hash, so the
+        # approximate-distinct machinery is value-checked exactly; hex
+        # prefix order ≡ u64 order (fixed-width lowercase hex)
+        "vocab_kmv_sketch": """
+            WITH ws AS (
+              SELECT DISTINCT substr(sha256(w), 1, 16) AS h
+              FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+              ) WHERE w <> ''
+            )
+            SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank, h
+            FROM ws ORDER BY h LIMIT 16
+        """,
+        # (k−1)·2^64 // h_k in HUGEINT floor arithmetic (no floats); below
+        # k distinct hashes the sketch is the exact count
+        "distinct_word_estimate": """
+            WITH ws AS (
+              SELECT DISTINCT substr(sha256(w), 1, 16) AS h
+              FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+              ) WHERE w <> ''
+            ),
+            sk AS (SELECT h FROM ws ORDER BY h LIMIT 16),
+            agg AS (SELECT count(*) AS n, max(h) AS hk FROM sk)
+            SELECT CAST(n AS BIGINT) AS n_hashes,
+                   CASE WHEN n < 16 THEN CAST(n AS BIGINT)
+                        WHEN ('0x' || hk)::UBIGINT = 0 THEN CAST(n AS BIGINT)
+                        ELSE CAST((15::HUGEINT * 18446744073709551616::HUGEINT)
+                                  // ('0x' || hk)::UBIGINT::HUGEINT AS BIGINT)
+                   END AS estimate
+            FROM agg
         """,
         # Per-doc duplicate-n-gram counts over the excerpt fixture; the
         # toks/grams CTEs replicate the containment oracle's tokenizer and

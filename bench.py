@@ -435,6 +435,15 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("gram_novelty", novelty)
 
+    def kmv():
+        """KMV bottom-k vocabulary sketch + distinct estimate (≤k rows per
+        block, streaming O(k) driver fold — zero shuffle)."""
+        from europa_ray.pipelines.sketch import distinct_word_estimate
+
+        return distinct_word_estimate(read(), k=1024).num_rows
+
+    bench("kmv_distinct", kmv)
+
     def chunks():
         """Fixed-size disjoint chunking plan (one zero-copy re-offsetting
         pass; rows ≈ tokens/C per doc)."""

@@ -1,0 +1,132 @@
+"""KMV (bottom-k / K-Minimum-Values) distinct-counting sketch over the
+corpus vocabulary — approximate COUNT(DISTINCT word) with a fixed-size,
+mergeable, DETERMINISTIC summary (Bar-Yossef et al., RANDOM 2002; the
+bottom-k form of Beyer et al., SIGMOD 2007).
+
+Every distinct word hashes to ``u64(sha256(word)[:16])``; the sketch is the
+k smallest distinct hash values corpus-wide. Because the hash is fixed and
+the k-min set is a pure function of the input, the sketch (and the derived
+estimator) is exactly reproducible — the DuckDB oracle computes the
+identical rows, so this "approximate" operator is value-checked exactly.
+The estimator is the classic ``(k−1) · 2^64 / h_k`` (h_k = k-th smallest),
+evaluated in INTEGER floor arithmetic on both sides (no floats anywhere).
+
+100-TB shape: this is the cheapest aggregation in the engine — one content
+scan emits ≤ k rows per BLOCK (per-block distinct words → hash → k-min),
+and the driver folds the block sketches with a running k-min merge in O(k)
+memory; no shuffle of any kind, at any scale. The sketch doubles as a
+bottom-k MinHash signature of the corpus vocabulary, so two corpora's
+sketches also estimate vocabulary Jaccard (not exposed as a query; the
+merge is ``np.union1d`` + truncate).
+
+Reference parity: the reference keeps per-file hash summaries in a
+signature store (``/root/reference/Api/Implementations/Commons/
+HashGenerator.cs``); this is the corpus-level summary analog (SURVEY §2
+SF-family hashing re-used as a sketch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from europa_ray.util import sha256_hex_arrow
+
+DEFAULT_K = 256
+
+SKETCH_SCHEMA = pa.schema(
+    [pa.field("rank", pa.int64()), pa.field("h", pa.string())]
+)
+
+ESTIMATE_SCHEMA = pa.schema(
+    [pa.field("n_hashes", pa.int64()), pa.field("estimate", pa.int64())]
+)
+
+
+def _kmin_batch(batch: pa.Table, *, k: int, text_col: str) -> pa.Table:
+    """k smallest word-hash prefixes of this block: distinct whitespace
+    words → 16-hex sha256 prefix → sorted head. Fixed-width lowercase hex
+    sorts exactly like the u64 it encodes, so string order IS hash order."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.filter(
+        pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+    )
+    if len(col) == 0:
+        return pa.table({"h": pa.array([], pa.string())})
+    split = pc.split_pattern(col, " ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    words = pc.unique(split.flatten())
+    words = words.filter(pc.greater(pc.utf8_length(words), 0))
+    if len(words) == 0:
+        return pa.table({"h": pa.array([], pa.string())})
+    # S64 → S16 astype truncates to the leading 16 bytes (vectorized)
+    h = np.asarray(sha256_hex_arrow(words), dtype="S64").astype("S16")
+    h = np.unique(h)[:k]
+    return pa.table({"h": pa.array(h.astype("U16").astype(object), pa.string())})
+
+
+def _fold_kmin(
+    parts: ray.data.Dataset, k: int
+) -> np.ndarray:
+    """Streaming k-min merge over the per-block sketches: O(k) memory on
+    the driver regardless of corpus size (each block contributes ≤ k)."""
+    running = np.empty(0, dtype="S16")
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        if b.num_rows == 0:
+            continue
+        incoming = b["h"].to_numpy(zero_copy_only=False).astype("S16")
+        running = np.unique(np.concatenate([running, incoming]))[:k]
+    return running
+
+
+def vocab_kmv_sketch(
+    files: ray.data.Dataset, *, k: int = DEFAULT_K, text_col: str = "content"
+) -> pa.Table:
+    """The corpus vocabulary's bottom-k sketch: (rank, h) for the k
+    smallest distinct 16-hex word-hash prefixes, hash-ordered."""
+    parts = files.map_batches(
+        _kmin_batch,
+        fn_kwargs={"k": k, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    h = _fold_kmin(parts, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, h.shape[0] + 1, dtype=np.int64)),
+            "h": pa.array(h.astype("U16").astype(object), pa.string()),
+        }
+    )
+
+
+def distinct_word_estimate(
+    files: ray.data.Dataset, *, k: int = DEFAULT_K, text_col: str = "content"
+) -> pa.Table:
+    """One-row distinct-word estimate from the bottom-k sketch:
+    (n_hashes, estimate). With fewer than k distinct hashes the sketch IS
+    the exact count; at k the estimator is ``(k−1) · 2^64 // h_k`` in
+    exact integer arithmetic (both sides; no floats)."""
+    parts = files.map_batches(
+        _kmin_batch,
+        fn_kwargs={"k": k, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    h = _fold_kmin(parts, k)
+    n = int(h.shape[0])
+    if n < k:
+        est = n
+    else:
+        hk = int(h[-1].decode(), 16)
+        est = ((k - 1) << 64) // hk if hk else n
+    return pa.table(
+        {
+            "n_hashes": pa.array([n], pa.int64()),
+            "estimate": pa.array([est], pa.int64()),
+        }
+    )

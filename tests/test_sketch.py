@@ -1,0 +1,72 @@
+"""KMV bottom-k vocabulary sketch (pipelines/sketch.py) — independent
+hashlib brute force, merge invariance across partitionings, estimator
+accuracy sanity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+K = 16
+
+
+def _hashes(texts) -> list[str]:
+    words = set()
+    for t in texts:
+        if t:
+            words.update(w for w in t.split(" ") if w)
+    return sorted(hashlib.sha256(w.encode()).hexdigest()[:16] for w in words)
+
+
+def _mk(texts) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "content": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_kmv_sketch_matches_brute_force(ray_session, parts):
+    from europa_ray.pipelines.sketch import vocab_kmv_sketch
+
+    texts = [f"w{i} w{i + 1} shared common" for i in range(0, 60, 2)]
+    texts += ["", None]
+    expect = _hashes(texts)[:K]
+    got = vocab_kmv_sketch(_mk(texts).repartition(parts), k=K)
+    assert got["h"].to_pylist() == expect
+    assert got["rank"].to_pylist() == list(range(1, len(expect) + 1))
+
+
+def test_kmv_sketch_under_k_is_exact(ray_session):
+    from europa_ray.pipelines.sketch import distinct_word_estimate, vocab_kmv_sketch
+
+    texts = ["a b c", "b c d"]  # 4 distinct words < K
+    got = vocab_kmv_sketch(_mk(texts), k=K)
+    assert got.num_rows == 4
+    est = distinct_word_estimate(_mk(texts), k=K)
+    assert est["n_hashes"].to_pylist() == [4]
+    assert est["estimate"].to_pylist() == [4]
+
+
+def test_kmv_estimator_formula_and_accuracy(ray_session):
+    from europa_ray.pipelines.sketch import distinct_word_estimate
+
+    n_true = 4000
+    texts = [
+        " ".join(f"tok{j}" for j in range(i, min(i + 100, n_true)))
+        for i in range(0, n_true, 100)
+    ]
+    k = 256
+    est = distinct_word_estimate(_mk(texts).repartition(3), k=k)
+    hk = int(_hashes(texts)[k - 1], 16)
+    assert est["n_hashes"].to_pylist() == [k]
+    assert est["estimate"].to_pylist() == [((k - 1) << 64) // hk]
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(est["estimate"][0].as_py() - n_true) / n_true < 0.25
