@@ -1053,6 +1053,15 @@ def _q_split_assign(sf_dir: str):
     return split_assign(_docs(sf_dir))
 
 
+def _q_repo_stats(sf_dir: str):
+    """Per-repo rollup over the dup-augmented corpus: files, chars,
+    distinct langs, and files duplicated corpus-wide."""
+    from europa_ray.pipelines.repostats import repo_stats
+    from europa_ray.sources.augment import with_exact_dups
+
+    return repo_stats(with_exact_dups(_docs(sf_dir)))
+
+
 def _q_vocab_kmv_sketch(sf_dir: str):
     """Bottom-k (KMV) sketch of the corpus vocabulary: the 256 smallest
     distinct 16-hex word-hash prefixes — deterministic, so the
@@ -1343,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": wrap(_q_split_leakage),
         "dup_rate_by_lang": wrap(_q_dup_rate_by_lang),
         "gram_novelty": wrap(_q_gram_novelty),
+        "repo_stats": wrap(_q_repo_stats),
         "vocab_kmv_sketch": wrap(_q_vocab_kmv_sketch),
         "distinct_word_estimate": wrap(_q_distinct_word_estimate),
         "length_outliers": wrap(_q_length_outliers),
@@ -2983,6 +2993,27 @@ def oracle_sql() -> dict[str, str]:
                              < 17524406870024075264::UBIGINT THEN 'val'
                         ELSE 'test' END AS split
             FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        """,
+        # Per-repo rollup over the dup-augmented corpus (dup decision is
+        # corpus-wide via the totals join, like dup_rate_by_lang)
+        "repo_stats": """
+            WITH dupdocs AS (
+                SELECT doc_id, source AS repo, lang, text FROM documents
+                UNION ALL
+                SELECT doc_id + 40000000, source AS repo, lang, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND doc_id % 40 = 0
+            ),
+            d AS (SELECT repo, lang, sha256(text) AS sha,
+                         CAST(length(text) AS BIGINT) AS nch
+                  FROM dupdocs WHERE text IS NOT NULL AND length(text) > 0),
+            t AS (SELECT sha, count(*) AS total FROM d GROUP BY sha)
+            SELECT repo,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(nch) AS BIGINT) AS n_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(CASE WHEN total > 1 THEN 1 END) AS BIGINT) AS n_dup_files
+            FROM d JOIN t USING (sha)
+            GROUP BY repo ORDER BY repo
         """,
         # KMV bottom-k sketch: deterministic given the hash, so the
         # approximate-distinct machinery is value-checked exactly; hex

@@ -444,6 +444,17 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("kmv_distinct", kmv)
 
+    def repostats():
+        """Per-repo rollup (digest partials + lang markers, totals join)."""
+        import ray.data as rd
+
+        from europa_ray.pipelines.repostats import repo_stats
+
+        out = repo_stats(read())
+        return out.count() if isinstance(out, rd.Dataset) else out.num_rows
+
+    bench("repo_stats", repostats)
+
     def chunks():
         """Fixed-size disjoint chunking plan (one zero-copy re-offsetting
         pass; rows ≈ tokens/C per doc)."""
