@@ -214,7 +214,10 @@ def cmd_textstats(args) -> dict:
         return out
 
     out = ds.map_batches(stats, batch_format="pyarrow")
-    out.write_parquet(args.output + "/textstats")
+    pcols = [args.partition_by] if getattr(args, "partition_by", None) else None
+    # hive-partitioned output (one directory per key value) makes a failed
+    # run resumable per key range — the S4 partitioned-sink criterion
+    out.write_parquet(args.output + "/textstats", partition_cols=pcols)
     return {"rows": out.count()}
 
 
@@ -510,6 +513,11 @@ def main(argv=None) -> int:
         if name == "semdedup":
             sp.add_argument("--threshold", type=float, default=0.9)
             sp.add_argument("--nlist", type=int, default=64)
+        if name == "textstats":
+            sp.add_argument("--partition-by", default=None,
+                            help="hive-partition the output by this column "
+                                 "(e.g. lang): one directory per key value, "
+                                 "resumable per key range")
         if name == "audit":
             sp.add_argument("--sketch-k", type=int, default=1024,
                             help="KMV sketch size for the distinct-word estimate")

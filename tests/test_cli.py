@@ -260,3 +260,21 @@ def test_cli_audit_subcommand(ray_session, tiny_corpus, tmp_path, capsys):
         files = glob.glob(out + f"/{name}/*.parquet")
         assert files, name
         assert want_cols <= set(pq.read_table(files).column_names), name
+
+
+def test_cli_textstats_partitioned_output(ray_session, tiny_corpus, tmp_path, capsys):
+    import os
+
+    from europa_ray.cli import main
+
+    out = str(tmp_path / "ts")
+    assert main(["textstats", "--input", tiny_corpus, "--output", out,
+                 "--partition-by", "lang"]) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # hive layout: one directory per lang value
+    dirs = sorted(os.listdir(out + "/textstats"))
+    assert any(d.startswith("lang=") for d in dirs), dirs
+    files = glob.glob(out + "/textstats/lang=*/*.parquet")
+    assert files
+    tbl = pq.read_table(out + "/textstats")
+    assert "n_tokens" in tbl.column_names
