@@ -1012,6 +1012,15 @@ def _q_range_join_counts(sf_dir: str):
     )
 
 
+def _q_event_dedup_stats(sf_dir: str):
+    """Streaming debounce-dedup accounting: per (user, event_type), events
+    that follow the previous same-key event within 1 h (the LAG-gap rule of
+    at-least-once delivery dedup) — user-co-located vectorized map_groups."""
+    from europa_ray.pipelines.events import event_dedup_stats
+
+    return event_dedup_stats(_load_events(sf_dir))
+
+
 def _q_event_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): per-user co-located
     vectorized map_groups; value-checked against the SQL lag+running-sum
@@ -1347,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts": wrap(_q_range_join_counts),
         "top_docs_per_lang": wrap(_q_top_docs_per_lang),
         "event_sessions": wrap(_q_event_sessions),
+        "event_dedup_stats": wrap(_q_event_dedup_stats),
         "hash_sample": wrap(_q_hash_sample),
         "split_assign": wrap(_q_split_assign),
         "split_leakage": wrap(_q_split_leakage),
@@ -2958,6 +2968,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # gap-based sessionization: lag + running-sum window construction,
         # 30-minute inactivity gap, (t, event_id) tie order on both sides
+        # Streaming debounce-dedup: LAG gap within (user, type); first
+        # event has NULL gap (NULL < w is NULL → never counted)
+        "event_dedup_stats": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(CASE WHEN gap < 3600000000 THEN 1 END) AS BIGINT) AS n_dups
+            FROM e GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
         "event_sessions": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
             g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL

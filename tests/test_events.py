@@ -287,3 +287,43 @@ def test_asof_left_only_key(ray_session):
     right = ev([2], [10], [50])               # right events for user 10 only
     out = asof_prev_ts(left, right).to_pandas().set_index("event_id").sort_index()
     assert list(out.prev_ts_us) == [-1, -1]
+
+
+def test_event_dedup_stats(ray_session):
+    """Debounce-dedup: hand-built (user, type) streams with a 20-min
+    window — same-type gaps under/over the window, a cross-type
+    interleave that must NOT suppress, and a null-ts row excluded."""
+    import ray.data
+
+    from europa_ray.pipelines.events import event_dedup_stats
+
+    rows = [
+        # (event_id, t_us or None, user_id, type)
+        (1, 0, 1, "a"),
+        (2, 10 * _MIN, 1, "a"),        # 10min after #1 → dup
+        (3, 15 * _MIN, 1, "b"),        # different type → not a dup
+        (4, 40 * _MIN, 1, "a"),        # 30min after #2 → kept
+        (5, 41 * _MIN, 1, "a"),        # 1min after #4 → dup
+        (6, None, 1, "a"),             # null ts → excluded
+        (7, 0, 2, "a"),                # other user, singleton
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [None if r[1] is None else r[1] for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+        }
+    )
+    got = event_dedup_stats(
+        ray.data.from_arrow(t).repartition(3), window_us=20 * _MIN
+    ).to_pandas()
+    assert list(map(tuple, got.values.tolist())) == [
+        (1, "a", 4, 2),
+        (1, "b", 1, 0),
+        (2, "a", 1, 0),
+    ]
