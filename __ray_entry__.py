@@ -1090,6 +1090,18 @@ def _q_distinct_word_estimate(sf_dir: str):
     return distinct_word_estimate(_docs(sf_dir), k=16)
 
 
+def _q_vocab_jaccard_kmv(sf_dir: str):
+    """Two-corpus vocabulary Jaccard from bottom-k sketches (documents vs
+    the code-shaped fixture): (k_union, n_common) integers, k=16 < both
+    vocabularies so both sketches truncate."""
+    from europa_ray.pipelines.sketch import vocab_jaccard_kmv
+    from europa_ray.sources.augment import with_code_docs
+
+    return vocab_jaccard_kmv(
+        _docs(sf_dir), with_code_docs(_docs(sf_dir)), k=16
+    )
+
+
 def _q_gram_novelty(sf_dir: str):
     """Per-doc duplicate-n-gram profile (RefinedWeb's cross-doc duplicated
     n-gram signal) over the excerpt-augmented corpus — every excerpt's
@@ -1365,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_stats": wrap(_q_repo_stats),
         "vocab_kmv_sketch": wrap(_q_vocab_kmv_sketch),
         "distinct_word_estimate": wrap(_q_distinct_word_estimate),
+        "vocab_jaccard_kmv": wrap(_q_vocab_jaccard_kmv),
         "length_outliers": wrap(_q_length_outliers),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
@@ -3074,6 +3087,33 @@ def oracle_sql() -> dict[str, str]:
                                   // ('0x' || hk)::UBIGINT::HUGEINT AS BIGINT)
                    END AS estimate
             FROM agg
+        """,
+        # Two-corpus KMV vocabulary Jaccard (documents vs the code fixture):
+        # bottom-k of each side, bottom-k of the union, common membership —
+        # all integers, deterministic given the hash
+        "vocab_jaccard_kmv": _CODE_DOCS_CTE
+        + """,
+            wa AS (
+              SELECT DISTINCT substr(sha256(w), 1, 16) AS h
+              FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+              ) WHERE w <> ''
+            ),
+            wb AS (
+              SELECT DISTINCT substr(sha256(w), 1, 16) AS h
+              FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM code_docs
+              ) WHERE w <> ''
+            ),
+            ska AS (SELECT h FROM wa ORDER BY h LIMIT 16),
+            skb AS (SELECT h FROM wb ORDER BY h LIMIT 16),
+            u AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+                  ORDER BY h LIMIT 16)
+            SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS k_union,
+                   CAST((SELECT count(*) FROM u
+                         WHERE h IN (SELECT h FROM ska)
+                           AND h IN (SELECT h FROM skb)) AS BIGINT) AS n_common
         """,
         # Per-doc duplicate-n-gram counts over the excerpt fixture; the
         # toks/grams CTEs replicate the containment oracle's tokenizer and

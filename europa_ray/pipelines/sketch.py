@@ -16,8 +16,7 @@ scan emits ≤ k rows per BLOCK (per-block distinct words → hash → k-min),
 and the driver folds the block sketches with a running k-min merge in O(k)
 memory; no shuffle of any kind, at any scale. The sketch doubles as a
 bottom-k MinHash signature of the corpus vocabulary, so two corpora's
-sketches also estimate vocabulary Jaccard (not exposed as a query; the
-merge is ``np.union1d`` + truncate).
+sketches also estimate vocabulary Jaccard (:func:`vocab_jaccard_kmv`).
 
 Reference parity: the reference keeps per-file hash summaries in a
 signature store (``/root/reference/Api/Implementations/Commons/
@@ -128,5 +127,56 @@ def distinct_word_estimate(
         {
             "n_hashes": pa.array([n], pa.int64()),
             "estimate": pa.array([est], pa.int64()),
+        }
+    )
+
+
+JACCARD_SCHEMA = pa.schema(
+    [pa.field("k_union", pa.int64()), pa.field("n_common", pa.int64())]
+)
+
+
+def vocab_jaccard_kmv(
+    files_a: ray.data.Dataset,
+    files_b: ray.data.Dataset,
+    *,
+    k: int = DEFAULT_K,
+    text_col: str = "content",
+) -> pa.Table:
+    """Two-corpus vocabulary resemblance from bottom-k sketches (Beyer et
+    al., SIGMOD 2007 §4: J ≈ |KMV_k(A ∪ B) ∩ KMV(A) ∩ KMV(B)| / k' with
+    k' = |KMV_k(A ∪ B)|): one row ``(k_union, n_common)`` — both integers,
+    so the estimate ``n_common / k_union`` is value-checked exactly via its
+    numerator and denominator (no floats on either side).
+
+    Scale shape: two independent sketch passes (≤ k rows per block, O(k)
+    driver folds) and an O(k) set intersection on the driver — the corpora
+    are never co-shuffled or joined."""
+    ska = _fold_kmin(
+        files_a.map_batches(
+            _kmin_batch,
+            fn_kwargs={"k": k, "text_col": text_col},
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        k,
+    )
+    skb = _fold_kmin(
+        files_b.map_batches(
+            _kmin_batch,
+            fn_kwargs={"k": k, "text_col": text_col},
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        k,
+    )
+    union = np.unique(np.concatenate([ska, skb]))[:k]
+    common = np.intersect1d(
+        union, np.intersect1d(ska, skb, assume_unique=True), assume_unique=True
+    )
+    return pa.table(
+        {
+            "k_union": pa.array([int(union.shape[0])], pa.int64()),
+            "n_common": pa.array([int(common.shape[0])], pa.int64()),
         }
     )

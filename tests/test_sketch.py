@@ -70,3 +70,33 @@ def test_kmv_estimator_formula_and_accuracy(ray_session):
     assert est["estimate"].to_pylist() == [((k - 1) << 64) // hk]
     # KMV standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
     assert abs(est["estimate"][0].as_py() - n_true) / n_true < 0.25
+
+
+def test_vocab_jaccard_kmv_matches_brute_force(ray_session):
+    from europa_ray.pipelines.sketch import vocab_jaccard_kmv
+
+    a_texts = [f"common{i} onlya{i}" for i in range(40)]
+    b_texts = [f"common{i} onlyb{i}" for i in range(40)]
+    ha, hb = set(_hashes(a_texts)), set(_hashes(b_texts))
+    union = sorted(ha | hb)[:K]
+    expect_common = sum(1 for h in sorted(ha)[:K] if h in hb and h in union
+                        and h in set(sorted(hb)[:K]))
+    got = vocab_jaccard_kmv(_mk(a_texts), _mk(b_texts).repartition(3), k=K)
+    assert got["k_union"].to_pylist() == [len(union)]
+    assert got["n_common"].to_pylist() == [expect_common]
+    # sanity: the estimate tracks the true Jaccard (1/3) loosely at k=16
+    j = got["n_common"][0].as_py() / got["k_union"][0].as_py()
+    true_j = len(ha & hb) / len(ha | hb)
+    assert abs(j - true_j) < 0.35
+
+
+def test_vocab_jaccard_kmv_identical_and_disjoint(ray_session):
+    from europa_ray.pipelines.sketch import vocab_jaccard_kmv
+
+    texts = [f"tok{i}" for i in range(50)]
+    same = vocab_jaccard_kmv(_mk(texts), _mk(texts), k=K)
+    assert same["n_common"][0].as_py() == same["k_union"][0].as_py() == K
+    other = [f"zzz{i}" for i in range(50)]
+    disj = vocab_jaccard_kmv(_mk(texts), _mk(other), k=K)
+    assert disj["n_common"].to_pylist() == [0]
+    assert disj["k_union"].to_pylist() == [K]
