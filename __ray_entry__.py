@@ -1090,6 +1090,14 @@ def _q_distinct_word_estimate(sf_dir: str):
     return distinct_word_estimate(_docs(sf_dir), k=16)
 
 
+def _q_wordcount_cm_sketch(sf_dir: str):
+    """Count-Min sketch of word occurrences (3×512 counter matrix) —
+    deterministic given the fixed row hashes, every cell value-checked."""
+    from europa_ray.pipelines.sketch import wordcount_cm_sketch
+
+    return wordcount_cm_sketch(_docs(sf_dir))
+
+
 def _q_vocab_jaccard_kmv(sf_dir: str):
     """Two-corpus vocabulary Jaccard from bottom-k sketches (documents vs
     the code-shaped fixture): (k_union, n_common) integers, k=16 < both
@@ -1378,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_kmv_sketch": wrap(_q_vocab_kmv_sketch),
         "distinct_word_estimate": wrap(_q_distinct_word_estimate),
         "vocab_jaccard_kmv": wrap(_q_vocab_jaccard_kmv),
+        "wordcount_cm_sketch": wrap(_q_wordcount_cm_sketch),
         "length_outliers": wrap(_q_length_outliers),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
@@ -1846,6 +1855,45 @@ _CONTAINMENT_CTE = r"""
               FROM grams g1 JOIN grams g2 USING (gram)
               WHERE g1.node <> g2.node GROUP BY 1, 2
             )"""
+
+
+def _cm_sketch_sql(width: int = 512) -> str:
+    """Count-Min oracle: per token occurrence, bucket_r =
+    splitmix64(xor(u64(sha256(word)[:16]), seed_r)) % width via the shared
+    ``_sm_sql_stages`` scaffold; cells = per-(row, bucket) counts."""
+    from europa_ray.pipelines.sketch import CM_SEEDS
+
+    ctes = [
+        """toks AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        )""",
+        """h AS (
+            SELECT ('0x' || substr(sha256(w), 1, 16))::UBIGINT AS u
+            FROM toks WHERE w <> ''
+        )""",
+    ]
+    cur = "h"
+    step = 0
+    outs = []
+    for r, seed in enumerate(CM_SEEDS):
+        defs, out = _sm_sql_stages(f"r{r}", f"xor(u, {seed}::UBIGINT)")
+        for d in defs:
+            step += 1
+            ctes.append(f"c{step} AS (SELECT *, {d} FROM {cur})")
+            cur = f"c{step}"
+        outs.append(out)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS cm_row, CAST({out} % {width} AS BIGINT) AS bucket FROM {cur}"
+        for r, out in enumerate(outs)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f", cells AS ({sel}) "
+        + "SELECT cm_row, bucket, CAST(count(*) AS BIGINT) AS c FROM cells "
+        + "GROUP BY cm_row, bucket ORDER BY cm_row, bucket"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3088,6 +3136,9 @@ def oracle_sql() -> dict[str, str]:
                    END AS estimate
             FROM agg
         """,
+        # Count-Min sketch matrix (deterministic row hashes via the shared
+        # splitmix64 scaffold; every cell count value-checked)
+        "wordcount_cm_sketch": _cm_sketch_sql(),
         # Two-corpus KMV vocabulary Jaccard (documents vs the code fixture):
         # bottom-k of each side, bottom-k of the union, common membership —
         # all integers, deterministic given the hash

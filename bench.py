@@ -444,6 +444,15 @@ def run_queries(num_cpus: int, only: str | None = None, reps_per_query: int = 3)
 
     bench("kmv_distinct", kmv)
 
+    def cm():
+        """Count-Min word-frequency sketch (fixed-size per-block partials,
+        driver matrix fold — zero shuffle)."""
+        from europa_ray.pipelines.sketch import wordcount_cm_sketch
+
+        return wordcount_cm_sketch(read()).num_rows
+
+    bench("cm_sketch", cm)
+
     def repostats():
         """Per-repo rollup (digest partials + lang markers, totals join)."""
         import ray.data as rd

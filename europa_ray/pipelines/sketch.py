@@ -180,3 +180,108 @@ def vocab_jaccard_kmv(
             "n_common": pa.array([int(common.shape[0])], pa.int64()),
         }
     )
+
+
+# Count-Min row seeds: first uint64 hex digits of pi (nothing-up-my-sleeve
+# constants), shared verbatim with the SQL oracle
+CM_SEEDS = (0x243F6A8885A308D3, 0x13198A2E03707344, 0xA4093822299F31D0)
+CM_WIDTH = 512
+
+CM_SCHEMA = pa.schema(
+    [
+        pa.field("cm_row", pa.int64()),
+        pa.field("bucket", pa.int64()),
+        pa.field("c", pa.int64()),
+    ]
+)
+
+
+def _cm_partial(
+    batch: pa.Table, *, width: int, seeds: tuple, text_col: str
+) -> pa.Table:
+    """Per-block Count-Min partial: word OCCURRENCE counts hashed into a
+    depth×width matrix (bucket = splitmix64(u64(sha256(word)[:16]) XOR
+    seed_r) mod width), emitted as nonzero (cm_row, bucket, c) cells —
+    ≤ depth·width rows per block regardless of block size."""
+    from europa_ray.util import hex_to_u64, splitmix64
+
+    empty = CM_SCHEMA.empty_table()
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.filter(
+        pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+    )
+    if len(col) == 0:
+        return empty
+    split = pc.split_pattern(col, " ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.flatten()
+    flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+    if len(flat) == 0:
+        return empty
+    vc = pc.value_counts(flat)
+    words, counts = vc.field("values"), vc.field("counts").to_numpy()
+    u = hex_to_u64(np.asarray(sha256_hex_arrow(words), dtype="U64"))
+    rows_out, buckets_out, c_out = [], [], []
+    for r, seed in enumerate(seeds):
+        b = (splitmix64(u ^ np.uint64(seed)) % np.uint64(width)).astype(np.int64)
+        mat = np.zeros(width, np.int64)
+        np.add.at(mat, b, counts.astype(np.int64))
+        nz = np.nonzero(mat)[0]
+        rows_out.append(np.full(nz.shape[0], r, np.int64))
+        buckets_out.append(nz.astype(np.int64))
+        c_out.append(mat[nz])
+    return pa.table(
+        {
+            "cm_row": pa.array(np.concatenate(rows_out)),
+            "bucket": pa.array(np.concatenate(buckets_out)),
+            "c": pa.array(np.concatenate(c_out)),
+        }
+    )
+
+
+def wordcount_cm_sketch(
+    files: ray.data.Dataset,
+    *,
+    width: int = CM_WIDTH,
+    seeds: tuple = CM_SEEDS,
+    text_col: str = "content",
+) -> pa.Table:
+    """Count-Min sketch of corpus word occurrences (Cormode & Muthukrishnan,
+    J. Algorithms 2005): a depth×width counter matrix whose cell sums are a
+    pure function of the input given the fixed row hashes — deterministic,
+    so the DuckDB oracle replicates every cell exactly. Point estimates are
+    ``min_r matrix[r][bucket_r(word)]`` (not exposed as a query; the matrix
+    itself is the checked artifact).
+
+    Scale shape: each block contributes ≤ depth·width nonzero cells (the
+    per-block partial is a fixed-size matrix), and the driver folds block
+    matrices with elementwise adds in O(depth·width) memory — zero shuffle
+    at any corpus size (the KMV fold shape). Output: nonzero
+    (cm_row, bucket, c), sorted."""
+    depth = len(seeds)
+    parts = files.map_batches(
+        _cm_partial,
+        fn_kwargs={"width": width, "seeds": seeds, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    mat = np.zeros((depth, width), np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        if b.num_rows == 0:
+            continue
+        np.add.at(
+            mat,
+            (b["cm_row"].to_numpy(), b["bucket"].to_numpy()),
+            b["c"].to_numpy(),
+        )
+    r, bk = np.nonzero(mat)
+    return pa.table(
+        {
+            "cm_row": pa.array(r.astype(np.int64)),
+            "bucket": pa.array(bk.astype(np.int64)),
+            "c": pa.array(mat[r, bk]),
+        }
+    )  # np.nonzero iterates row-major → (cm_row, bucket)-sorted

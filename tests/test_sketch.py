@@ -100,3 +100,41 @@ def test_vocab_jaccard_kmv_identical_and_disjoint(ray_session):
     disj = vocab_jaccard_kmv(_mk(texts), _mk(other), k=K)
     assert disj["n_common"].to_pylist() == [0]
     assert disj["k_union"].to_pylist() == [K]
+
+
+def test_wordcount_cm_sketch_matches_brute_force(ray_session):
+    import numpy as np
+
+    from europa_ray.pipelines.sketch import (
+        CM_SEEDS,
+        wordcount_cm_sketch,
+    )
+    from europa_ray.util import splitmix64
+
+    texts = ["a b a c", "b b d", "", None, "a"]
+    counts = {}
+    for t in texts:
+        if t:
+            for w in t.split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+    width = 32
+    mat = np.zeros((len(CM_SEEDS), width), np.int64)
+    for w, c in counts.items():
+        u = np.uint64(int(hashlib.sha256(w.encode()).hexdigest()[:16], 16))
+        for r, s in enumerate(CM_SEEDS):
+            mat[r][int(splitmix64(u ^ np.uint64(s)) % np.uint64(width))] += c
+    got = wordcount_cm_sketch(_mk(texts).repartition(3), width=width)
+    want = [
+        (r, b, int(mat[r][b]))
+        for r in range(mat.shape[0])
+        for b in range(width)
+        if mat[r][b]
+    ]
+    assert list(zip(
+        got["cm_row"].to_pylist(), got["bucket"].to_pylist(), got["c"].to_pylist()
+    )) == want
+    # every row's cell sum is the total token count
+    total = sum(counts.values())
+    for r in range(mat.shape[0]):
+        assert sum(c for rr, _, c in want if rr == r) == total
