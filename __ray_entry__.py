@@ -1098,6 +1098,14 @@ def _q_wordcount_cm_sketch(sf_dir: str):
     return wordcount_cm_sketch(_docs(sf_dir))
 
 
+def _q_cm_word_estimates(sf_dir: str):
+    """Count-Min accuracy audit: exact top-10 words probed against the
+    sketch matrix — (word, n_true, n_est) with n_est ≥ n_true guaranteed."""
+    from europa_ray.pipelines.sketch import cm_word_estimates
+
+    return cm_word_estimates(_docs(sf_dir), probe_k=10)
+
+
 def _q_vocab_jaccard_kmv(sf_dir: str):
     """Two-corpus vocabulary Jaccard from bottom-k sketches (documents vs
     the code-shaped fixture): (k_union, n_common) integers, k=16 < both
@@ -1387,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_word_estimate": wrap(_q_distinct_word_estimate),
         "vocab_jaccard_kmv": wrap(_q_vocab_jaccard_kmv),
         "wordcount_cm_sketch": wrap(_q_wordcount_cm_sketch),
+        "cm_word_estimates": wrap(_q_cm_word_estimates),
         "length_outliers": wrap(_q_length_outliers),
         "token_budget_sample": wrap(_q_token_budget_sample),
         "mixture_sample": wrap(_q_mixture_sample),
@@ -1857,10 +1866,10 @@ _CONTAINMENT_CTE = r"""
             )"""
 
 
-def _cm_sketch_sql(width: int = 512) -> str:
-    """Count-Min oracle: per token occurrence, bucket_r =
+def _cm_cells_ctes(width: int = 512) -> list[str]:
+    """Count-Min cell CTEs: per token occurrence, bucket_r =
     splitmix64(xor(u64(sha256(word)[:16]), seed_r)) % width via the shared
-    ``_sm_sql_stages`` scaffold; cells = per-(row, bucket) counts."""
+    ``_sm_sql_stages`` scaffold; ``cellagg`` = per-(row, bucket) counts."""
     from europa_ray.pipelines.sketch import CM_SEEDS
 
     ctes = [
@@ -1887,12 +1896,56 @@ def _cm_sketch_sql(width: int = 512) -> str:
         f"SELECT {r} AS cm_row, CAST({out} % {width} AS BIGINT) AS bucket FROM {cur}"
         for r, out in enumerate(outs)
     )
+    ctes.append(f"cells AS ({sel})")
+    ctes.append(
+        "cellagg AS (SELECT cm_row, bucket, CAST(count(*) AS BIGINT) AS c "
+        "FROM cells GROUP BY cm_row, bucket)"
+    )
+    return ctes
+
+
+def _cm_sketch_sql(width: int = 512) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_cm_cells_ctes(width))
+        + " SELECT cm_row, bucket, c FROM cellagg ORDER BY cm_row, bucket"
+    )
+
+
+def _cm_estimates_sql(probe_k: int = 10, width: int = 512) -> str:
+    """CM accuracy-audit oracle: exact top-``probe_k`` words probed against
+    the cell matrix — least() over the three row cells."""
+    from europa_ray.pipelines.sketch import CM_SEEDS
+
+    ctes = _cm_cells_ctes(width)
+    ctes.append(
+        f"""topk AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM toks
+            WHERE w <> '' GROUP BY w ORDER BY n DESC, word ASC LIMIT {probe_k}
+        )"""
+    )
+    ctes.append(
+        "ph AS (SELECT word, n, "
+        "('0x' || substr(sha256(word), 1, 16))::UBIGINT AS u FROM topk)"
+    )
+    cur = "ph"
+    step = 0
+    lookups = []
+    for r, seed in enumerate(CM_SEEDS):
+        defs, out = _sm_sql_stages(f"p{r}", f"xor(u, {seed}::UBIGINT)")
+        for d in defs:
+            step += 1
+            ctes.append(f"d{step} AS (SELECT *, {d} FROM {cur})")
+            cur = f"d{step}"
+        lookups.append(
+            f"coalesce((SELECT c FROM cellagg WHERE cm_row = {r} "
+            f"AND bucket = CAST({out} % {width} AS BIGINT)), 0)"
+        )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f", cells AS ({sel}) "
-        + "SELECT cm_row, bucket, CAST(count(*) AS BIGINT) AS c FROM cells "
-        + "GROUP BY cm_row, bucket ORDER BY cm_row, bucket"
+        + f" SELECT word, n AS n_true, least({', '.join(lookups)}) AS n_est "
+        + f"FROM {cur} ORDER BY word"
     )
 
 
@@ -3139,6 +3192,9 @@ def oracle_sql() -> dict[str, str]:
         # Count-Min sketch matrix (deterministic row hashes via the shared
         # splitmix64 scaffold; every cell count value-checked)
         "wordcount_cm_sketch": _cm_sketch_sql(),
+        # CM consumption audit: one-sided error means n_est >= n_true on
+        # every probe — checked exactly, not statistically
+        "cm_word_estimates": _cm_estimates_sql(),
         # Two-corpus KMV vocabulary Jaccard (documents vs the code fixture):
         # bottom-k of each side, bottom-k of the union, common membership —
         # all integers, deterministic given the hash

@@ -285,3 +285,66 @@ def wordcount_cm_sketch(
             "c": pa.array(mat[r, bk]),
         }
     )  # np.nonzero iterates row-major → (cm_row, bucket)-sorted
+
+
+EST_SCHEMA = pa.schema(
+    [
+        pa.field("word", pa.string()),
+        pa.field("n_true", pa.int64()),
+        pa.field("n_est", pa.int64()),
+    ]
+)
+
+
+def cm_word_estimates(
+    files: ray.data.Dataset,
+    *,
+    probe_k: int = 10,
+    width: int = CM_WIDTH,
+    seeds: tuple = CM_SEEDS,
+    text_col: str = "content",
+) -> pa.Table:
+    """Count-Min accuracy audit: the exact top-``probe_k`` words (by
+    occurrence, n DESC / word ASC — the vocab_top_words order) probed
+    against the sketch: (word, n_true, n_est), word-sorted. CM's one-sided
+    error guarantees ``n_est ≥ n_true`` cell-exactly, so the audit is
+    value-checkable, not just statistically plausible."""
+    from europa_ray.pipelines.vocab import vocab_top_words
+    from europa_ray.util import hex_to_u64, splitmix64
+
+    top = vocab_top_words(files, k=probe_k, text_col=text_col)
+    parts = [
+        b
+        for b in top.iter_batches(batch_format="pyarrow", batch_size=max(probe_k, 1))
+        if b.num_rows
+    ]
+    if not parts:
+        return EST_SCHEMA.empty_table()
+    tt = pa.concat_tables(parts)
+    words = tt["word"]
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n_true = tt["n"].to_numpy().astype(np.int64)
+
+    cells = wordcount_cm_sketch(files, width=width, seeds=seeds, text_col=text_col)
+    mat = np.zeros((len(seeds), width), np.int64)
+    np.add.at(
+        mat,
+        (cells["cm_row"].to_numpy(), cells["bucket"].to_numpy()),
+        cells["c"].to_numpy(),
+    )
+    u = hex_to_u64(np.asarray(sha256_hex_arrow(words), dtype="U64"))
+    est = np.full(u.shape[0], np.iinfo(np.int64).max, np.int64)
+    for r, seed in enumerate(seeds):
+        b = (splitmix64(u ^ np.uint64(seed)) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, mat[r][b])
+    order = np.argsort(np.asarray(words.to_pylist(), dtype=object), kind="stable")
+    return pa.table(
+        {
+            "word": pa.array(
+                np.asarray(words.to_pylist(), dtype=object)[order], pa.string()
+            ),
+            "n_true": pa.array(n_true[order], pa.int64()),
+            "n_est": pa.array(est[order], pa.int64()),
+        }
+    )

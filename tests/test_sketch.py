@@ -138,3 +138,25 @@ def test_wordcount_cm_sketch_matches_brute_force(ray_session):
     total = sum(counts.values())
     for r in range(mat.shape[0]):
         assert sum(c for rr, _, c in want if rr == r) == total
+
+
+def test_cm_word_estimates_one_sided(ray_session):
+    import numpy as np
+
+    from europa_ray.pipelines.sketch import cm_word_estimates
+
+    texts = [("hot " * 30 + f"w{i} " + f"v{i % 7}").strip() for i in range(40)]
+    counts = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    got = cm_word_estimates(_mk(texts).repartition(3), probe_k=5, width=32)
+    assert got.num_rows == 5
+    assert got["word"].to_pylist() == sorted(got["word"].to_pylist())
+    for w, nt, ne in zip(
+        got["word"].to_pylist(), got["n_true"].to_pylist(), got["n_est"].to_pylist()
+    ):
+        assert nt == counts[w]
+        assert ne >= nt  # CM one-sided error
+    # the runaway-frequent word is probed and estimated >= its true count
+    assert "hot" in got["word"].to_pylist()
