@@ -655,6 +655,18 @@ def dup_rate_by_lang(
         .rename_columns({"sum(c)": "c"})
         .materialize()
     )
+    # hash-shuffle groupby outputs can carry Ray 2.49 zero-column empty
+    # blocks on tiny corpora — scrub before using as a join side
+    grouped = scrub_empty_blocks(
+        grouped,
+        pa.schema(
+            [
+                pa.field("sha", pa.string()),
+                pa.field("lang", pa.string()),
+                pa.field("c", pa.int64()),
+            ]
+        ),
+    )
     totals = (
         grouped.groupby("sha")
         .sum("c")

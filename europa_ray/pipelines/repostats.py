@@ -235,6 +235,20 @@ def repo_stats(
         .rename_columns({"sum(c)": "c", "sum(bytes)": "bytes"})
         .materialize()
     )
+    # hash-shuffle groupby outputs can carry Ray 2.49 zero-column empty
+    # blocks (mostly-empty partitions on tiny corpora) that poison the
+    # join below even on its LEFT side — scrub first
+    grouped = scrub_empty_blocks(
+        grouped,
+        pa.schema(
+            [
+                pa.field("key", pa.string()),
+                pa.field("repo", pa.string()),
+                pa.field("c", pa.int64()),
+                pa.field("bytes", pa.int64()),
+            ]
+        ),
+    )
     totals = (
         grouped.groupby("key")
         .sum("c")
@@ -293,6 +307,20 @@ def repo_stats(
             }
         )
         .materialize()
+    )
+    # digest_side descends from a join: Ray 2.49 joins emit zero-column
+    # empty blocks that map_batches passes through UNCALLED and that poison
+    # the NEXT join ("no match ... on left side") — scrub before joining
+    digest_side = scrub_empty_blocks(
+        digest_side,
+        pa.schema(
+            [
+                pa.field("repo", pa.string()),
+                pa.field("n_files", pa.int64()),
+                pa.field("n_chars", pa.int64()),
+                pa.field("n_dup_files", pa.int64()),
+            ]
+        ),
     )
 
     lang_side = (

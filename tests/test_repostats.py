@@ -70,3 +70,23 @@ def test_repo_stats_empty(ray_session):
     assert got.schema.names == [
         "repo", "n_files", "n_chars", "n_langs", "n_dup_files"
     ]
+
+
+@pytest.mark.parametrize("texts", [["one small doc"], ["   ", "\t x"]], ids=["single", "tiny"])
+def test_repo_stats_tiny_corpus_distributed(ray_session, texts):
+    """Single/tiny corpora poison joins with Ray 2.49 zero-column empty
+    blocks on the forced-distributed path — regression probe."""
+    from europa_ray.pipelines.repostats import repo_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "repo": pa.array(["r"] * len(texts), pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+    got = repo_stats(ray.data.from_arrow(t).repartition(2), driver_max_rows=0)
+    df = got.to_pandas() if isinstance(got, ray.data.Dataset) else got.to_pandas()
+    assert df.repo.tolist() == ["r"]
+    assert df.n_files.tolist() == [len(texts)]
