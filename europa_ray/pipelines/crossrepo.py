@@ -188,10 +188,23 @@ def cross_repo_line_stats(
         .select_columns(["line_sha", "repo"])
         .materialize()
     )
-    n_distinct = (
+    # hash-shuffle groupby outputs can carry Ray 2.49 zero-column empty
+    # blocks (tiny/skewed partitions) that poison downstream joins on
+    # EITHER side — scrub every groupby-descended join input
+    distinct = scrub_empty_blocks(
+        distinct,
+        pa.schema(
+            [pa.field("line_sha", pa.string()), pa.field("repo", pa.string())]
+        ),
+    )
+    n_distinct = scrub_empty_blocks(
         distinct.groupby("repo")
         .count()
         .rename_columns({"count()": "n_distinct_lines"})
+        .materialize(),
+        pa.schema(
+            [pa.field("repo", pa.string()), pa.field("n_distinct_lines", pa.int64())]
+        ),
     )
     shared = (
         distinct.groupby("line_sha")

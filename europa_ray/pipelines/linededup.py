@@ -313,15 +313,30 @@ def line_dedup_stats(
         )  # np.unique → doc_id-sorted
 
     # --- distributed fallback ---
+    from europa_ray.util import scrub_empty_blocks
+
     rows = rows.materialize()  # two consumers: doc-line counts + drop join
-    doclines = (
+    # hash-shuffle groupby outputs can carry Ray 2.49 zero-column empty
+    # blocks (tiny/skewed partitions) that poison downstream joins on
+    # either side — scrub every groupby-descended join input
+    doclines = scrub_empty_blocks(
         rows.groupby("doc_id")
         .max("n_lines")
         .rename_columns({"max(n_lines)": "n_lines"})
-        .materialize()
+        .materialize(),
+        pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("n_lines", pa.int64())]
+        ),
     )
     agg = _sha_agg(rows)
-    dropmap = agg.filter(expr="n_docs > 1").select_columns(["line_sha", "min_doc"]).materialize()
+    dropmap = scrub_empty_blocks(
+        agg.filter(expr="n_docs > 1")
+        .select_columns(["line_sha", "min_doc"])
+        .materialize(),
+        pa.schema(
+            [pa.field("line_sha", pa.string()), pa.field("min_doc", pa.int64())]
+        ),
+    )
     if dropmap.count() == 0:
         return doclines.map_batches(_zero_drop_final, batch_format="pyarrow").sort("doc_id")
     real = rows.filter(expr="occ > 0")
@@ -346,12 +361,15 @@ def line_dedup_stats(
         ),
         batch_format="pyarrow",
     )
-    alldrop = (
+    alldrop = scrub_empty_blocks(
         dsum.union(zeros)
         .groupby("doc_id")
         .sum("n_dropped")
         .rename_columns({"sum(n_dropped)": "n_dropped"})
-        .materialize()
+        .materialize(),
+        pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("n_dropped", pa.int64())]
+        ),
     )
     final = doclines.join(
         alldrop, join_type="inner", num_partitions=num_partitions, on=("doc_id",)

@@ -288,6 +288,12 @@ def gram_novelty(
         .rename_columns({"max(n_grams)": "n_grams"})
         .materialize()
     )
+    # groupby outputs can carry Ray 2.49 zero-column empty blocks that
+    # poison downstream joins on either side — scrub
+    docs = scrub_empty_blocks(
+        docs,
+        pa.schema([pa.field("doc_id", pa.int64()), pa.field("n_grams", pa.int64())]),
+    )
     real = rows.filter(expr="real > 0")
     dupset = dup_ds.map_batches(
         lambda b: pa.table({"__g": b["gram"]}), batch_format="pyarrow"
@@ -325,12 +331,15 @@ def gram_novelty(
         ),
         batch_format="pyarrow",
     )
-    alldup = (
+    alldup = scrub_empty_blocks(
         dsum.union(zeros)
         .groupby("doc_id")
         .sum("n_dup_grams")
         .rename_columns({"sum(n_dup_grams)": "n_dup_grams"})
-        .materialize()
+        .materialize(),
+        pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("n_dup_grams", pa.int64())]
+        ),
     )
     final = docs.join(
         alldup,

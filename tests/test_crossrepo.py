@@ -87,3 +87,23 @@ def test_cross_repo_empty_corpus(ray_session):
     got = cross_repo_line_stats(ray.data.from_arrow(t))
     df = got.to_pandas() if not isinstance(got, pa.Table) else got.to_pandas()
     assert len(df) == 0
+
+
+def test_cross_repo_tiny_shared_distributed(ray_session):
+    """Tiny corpus WITH a shared line on the forced-distributed path —
+    regression for Ray 2.49 zero-column blocks out of groupby outputs."""
+    from europa_ray.pipelines.crossrepo import cross_repo_line_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "repo": pa.array(["a", "b"], pa.string()),
+            "content": pa.array(["shared line\nonly a", "shared line"], pa.string()),
+        }
+    )
+    got = cross_repo_line_stats(
+        ray.data.from_arrow(t).repartition(3), driver_max_rows=0
+    )
+    df = got.to_pandas()
+    assert df.repo.tolist() == ["a", "b"]
+    assert df.n_shared_lines.tolist() == [1, 1]

@@ -152,3 +152,25 @@ def test_marker_and_empty_schema_stability(ray_session):
         assert out.schema.names == _ROWS_SCHEMA.names
         assert [f.type for f in out.schema] == [f.type for f in _ROWS_SCHEMA]
     assert _explode_lines(short)["occ"].to_pylist() == [0]
+
+
+def test_line_dedup_tiny_corpus_distributed(ray_session):
+    """Two-doc corpus with one duplicated dedupable line, forced
+    distributed — regression for groupby-emitted zero-column blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.linededup import line_dedup_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "content": pa.array(["x" * 40 + "\nfiller", "x" * 40], pa.string()),
+        }
+    )
+    got = line_dedup_stats(
+        ray.data.from_arrow(t).repartition(3), driver_max_rows=0
+    )
+    df = got.to_pandas() if isinstance(got, ray.data.Dataset) else got.to_pandas()
+    assert df.doc_id.tolist() == [1, 2]
+    assert df.n_dropped.tolist() == [0, 1]

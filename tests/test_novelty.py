@@ -93,3 +93,25 @@ def test_gram_novelty_no_dups(ray_session):
     assert df.doc_id.tolist() == [5, 9]
     assert df.n_grams.tolist() == [2, 2]
     assert df.n_dup_grams.tolist() == [0, 0]
+
+
+def test_gram_novelty_tiny_dup_join_path(ray_session):
+    """Tiny corpus WITH dup grams on the forced-JOIN path (broadcast max
+    0) — regression for groupby-emitted zero-column blocks."""
+    from europa_ray.pipelines.novelty import gram_novelty
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "content": pa.array(["t1 t2 t3 t4", "t1 t2 t3 t4"], pa.string()),
+        }
+    )
+    got = gram_novelty(
+        ray.data.from_arrow(t).repartition(3),
+        k=3,
+        driver_max_rows=0,
+        dup_broadcast_max=0,
+    )
+    df = got.to_pandas() if isinstance(got, ray.data.Dataset) else got.to_pandas()
+    assert df.doc_id.tolist() == [1, 2]
+    assert df.n_dup_grams.tolist() == df.n_grams.tolist()  # full dup
