@@ -409,6 +409,16 @@ def cross_corpus_new_docs(
     marked = ref_digests.rename_columns({"sha256": "__ref_sha"}).add_column(
         "__seen", lambda df: np.ones(len(df), dtype=np.int8)
     ).materialize()
+    # ref_digests descends from a shuffle: scrub Ray 2.49 zero-column
+    # empty blocks before using as a join side (see util.scrub_empty_blocks)
+    from europa_ray.util import scrub_empty_blocks as _scrub
+
+    marked = _scrub(
+        marked,
+        pa.schema(
+            [pa.field("__ref_sha", pa.string()), pa.field("__seen", pa.int8())]
+        ),
+    )
     joined = new_hashed.select_columns([id_col, "sha256"]).join(
         marked,
         join_type="left_outer",
@@ -496,6 +506,16 @@ def cross_corpus_new_docs_bloom(
     marked = ref_digests.rename_columns({"sha256": "__ref_sha"}).add_column(
         "__seen", lambda df: np.ones(len(df), dtype=np.int8)
     ).materialize()
+    # ref_digests descends from a shuffle: scrub Ray 2.49 zero-column
+    # empty blocks before using as a join side (see util.scrub_empty_blocks)
+    from europa_ray.util import scrub_empty_blocks as _scrub
+
+    marked = _scrub(
+        marked,
+        pa.schema(
+            [pa.field("__ref_sha", pa.string()), pa.field("__seen", pa.int8())]
+        ),
+    )
     joined = survivors.join(
         marked,
         join_type="left_outer",

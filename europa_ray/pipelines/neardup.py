@@ -562,21 +562,33 @@ def near_dup_representatives(
             {"cluster_id": batch["cluster_id"], id_col: batch[id_col], "repkey": key}
         )
 
+    from europa_ray.util import scrub_empty_blocks as _scrub
+
     keyed = clusters.map_batches(with_key, batch_format="pyarrow").materialize()
-    mins = (
+    # groupby/join outputs can carry Ray 2.49 zero-column empty blocks that
+    # poison the next join on either side — scrub both join inputs
+    mins = _scrub(
         keyed.groupby("cluster_id")
         .min("repkey")
         .rename_columns({"min(repkey)": "repkey_min"})
-        .materialize()
+        .materialize(),
+        pa.schema(
+            [pa.field("cluster_id", pa.string()), pa.field("repkey_min", pa.string())]
+        ),
     )
-    drops_ds = (
+    drops_ds = _scrub(
         keyed.join(mins, join_type="inner", num_partitions=nparts, on=("cluster_id",))
         .filter(expr="repkey != repkey_min")
         .select_columns([id_col])
         .rename_columns({id_col: "__drop_id"})
         .add_column("__drop", lambda df: np.ones(len(df), dtype=np.int8))
-        .materialize()
+        .materialize(),
+        pa.schema(
+            [pa.field("__drop_id", pa.int64()), pa.field("__drop", pa.int8())]
+        ),
     )
+    if drops_ds.count() == 0:  # all clusters singleton → nothing to drop
+        return files.select_columns([id_col, "lang"])
     out = files.select_columns([id_col, "lang"]).join(
         drops_ds,
         join_type="left_outer",

@@ -109,3 +109,33 @@ def test_cross_near_dup_pair_budget_dispatch(corpora):
     a = _as_table(cross_corpus_near_dup_stats(new, ref))
     b = _as_table(cross_corpus_near_dup_stats(new, ref, driver_max_pairs=0))
     assert a.to_pylist() == b.to_pylist()
+
+
+def test_cross_corpus_join_fallback_tiny(ray_session):
+    """Tiny corpora on the forced-JOIN path (broadcast budget 0) —
+    regression for zero-column blocks out of the ref-digest shuffle."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.exact import cross_corpus_new_docs
+
+    def mk(texts):
+        n = len(texts)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "repo": pa.array(["r"] * n, pa.string()),
+                    "path": pa.array([f"{i}.py" for i in range(n)], pa.string()),
+                    "commit": pa.array([f"{i:040d}" for i in range(n)], pa.string()),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                    "content": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    new = mk(["fresh doc one", "seen before"])
+    ref = mk(["seen before", "other ref doc"])
+    got = cross_corpus_new_docs(new, ref, broadcast_max_digests=0)
+    df = got.to_pandas() if isinstance(got, ray.data.Dataset) else got.to_pandas()
+    assert df.path.tolist() == ["0.py"]  # only the fresh doc survives

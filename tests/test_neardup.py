@@ -255,3 +255,35 @@ def test_join_assembly_matches_broadcast(ray_session):
     key = lambda df: sorted(zip(df.doc_id, df.sha256, df.cluster_id, df.source))
     assert key(forced) == key(base)
     assert len(base) > 0
+
+
+def test_near_dup_representatives_tiny_distributed(ray_session):
+    """Tiny corpus on the forced-distributed branch — regression for
+    zero-column blocks out of the cluster-min groupby, plus the
+    all-singleton zero-drop short-circuit."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.neardup import near_dup_representatives
+
+    def mk(texts):
+        n = len(texts)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                    "content": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    dup = mk(["alpha beta gamma delta epsilon zeta"] * 2 + ["unrelated words here now"])
+    got = near_dup_representatives(dup, driver_max_cluster_rows=0)
+    df = got.to_pandas() if isinstance(got, ray.data.Dataset) else got.to_pandas()
+    assert len(df) == 2  # one rep per dup pair + the singleton
+
+    uniq = mk(["first unique alpha beta gamma", "second unique delta epsilon zeta"])
+    got2 = near_dup_representatives(uniq, driver_max_cluster_rows=0)
+    df2 = got2.to_pandas() if isinstance(got2, ray.data.Dataset) else got2.to_pandas()
+    assert len(df2) == 2  # all singletons kept
