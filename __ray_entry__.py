@@ -968,6 +968,15 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_group(_docs(sf_dir), k=5)
 
 
+def _q_eval_sample_per_lang(sf_dir: str):
+    """Deterministic per-language eval sample: the 5 smallest content-hash
+    prefixes per lang (ties → min id) — stable across runs/partitionings,
+    content-keyed so duplicates can't straddle eval/train."""
+    from europa_ray.pipelines.topk import eval_sample_per_group
+
+    return eval_sample_per_group(_docs(sf_dir), k=5)
+
+
 def _event_parity_filter(want: int):
     """Vectorized odd/even event split shared by the join-shaped event
     queries (Ray's filter-expr parser cannot parse %). NOTE: uses the low
@@ -1383,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prev_event": wrap(_q_asof_prev_event),
         "range_join_counts": wrap(_q_range_join_counts),
         "top_docs_per_lang": wrap(_q_top_docs_per_lang),
+        "eval_sample_per_lang": wrap(_q_eval_sample_per_lang),
         "event_sessions": wrap(_q_event_sessions),
         "event_dedup_stats": wrap(_q_event_dedup_stats),
         "hash_sample": wrap(_q_hash_sample),
@@ -3038,6 +3048,17 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn
               FROM tf JOIN df USING (term)
             ) WHERE rn <= 5
+        """,
+        # Deterministic per-lang eval sample: smallest sha prefixes per
+        # lang; fixed-width lowercase hex order ≡ u64 order
+        "eval_sample_per_lang": """
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, h FROM (
+              SELECT lang, doc_id, substr(sha256(text), 1, 16) AS h,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(sha256(text), 1, 16), doc_id) AS rank
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ) WHERE rank <= 5
         """,
         "top_docs_per_lang": r"""
             WITH c AS (

@@ -95,3 +95,99 @@ def top_docs_per_group(
         .groupby("lang")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+EVAL_SAMPLE_SCHEMA = pa.schema(
+    [
+        pa.field("lang", pa.string()),
+        pa.field("rank", pa.int64()),
+        pa.field("doc_id", pa.int64()),
+        pa.field("h", pa.string()),
+    ]
+)
+
+
+def _partial_bottomk(
+    groups: np.ndarray, ids: np.ndarray, keys: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-group (key ASC, id ASC) bottom-k over one unsorted batch; also
+    returns the within-group rank (1-based) of each kept row."""
+    order = np.lexsort((ids, keys, groups))
+    gs = groups[order]
+    new = np.ones(gs.shape[0], dtype=bool)
+    new[1:] = gs[1:] != gs[:-1]
+    first_idx = np.flatnonzero(new)
+    row_first = np.repeat(first_idx, np.diff(np.append(first_idx, gs.shape[0])))
+    rank = np.arange(gs.shape[0], dtype=np.int64) - row_first + 1
+    keep = rank <= k
+    sel = order[keep]
+    return groups[sel], ids[sel], keys[sel], rank[keep]
+
+
+def eval_sample_per_group(
+    files: ray.data.Dataset,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+    text_col: str = "content",
+) -> ray.data.Dataset:
+    """Deterministic per-group eval/holdout sample: the ``k`` documents
+    with the SMALLEST content-hash prefix per group (hex order ≡ u64
+    order; ties → min id) — a stable, content-keyed selection that follows
+    a document across runs, partitionings, and corpus growth (only a new
+    globally-smaller hash can displace a member), keyed by the same
+    sha-prefix family as ``split_assign`` so exact duplicates can never
+    put the same content in both eval and train. Output
+    ``(group, rank, id, h)``, rank 1-based in (h ASC, id ASC) order.
+
+    Scale shape: the partial-bottom-k combiner caps every batch's
+    contribution at k rows per group seen, so the groupby moves ≤
+    k × groups × batches rows — never the corpus."""
+    import pyarrow.compute as pc
+
+    from europa_ray.util import sha256_hex_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            return EVAL_SAMPLE_SCHEMA.empty_table()
+        col = col.filter(valid)
+        keys = np.asarray(sha256_hex_arrow(col), dtype="S64").astype("S16")
+        gcol = batch[group_col]
+        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        groups = np.asarray(gcol.to_pylist(), dtype=object)
+        ids = batch[id_col].to_numpy()
+        g, i, h, r = _partial_bottomk(groups, ids, keys, k)
+        return pa.table(
+            {
+                "lang": pa.array(g.tolist(), pa.string()),
+                "rank": pa.array(r),
+                "doc_id": pa.array(i, pa.int64()),
+                "h": pa.array(h.astype("U16").astype(object), pa.string()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        groups = np.asarray(group["lang"].to_pylist(), dtype=object)
+        ids = group["doc_id"].to_numpy()
+        keys = group["h"].to_numpy(zero_copy_only=False).astype("S16")
+        g, i, h, r = _partial_bottomk(groups, ids, keys, k)
+        return pa.table(
+            {
+                "lang": pa.array(g.tolist(), pa.string()),
+                "rank": pa.array(r),
+                "doc_id": pa.array(i, pa.int64()),
+                "h": pa.array(h.astype("U16").astype(object), pa.string()),
+            }
+        )
+
+    return (
+        files.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+    )

