@@ -968,6 +968,15 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_group(_docs(sf_dir), k=5)
 
 
+def _q_priority_sample(sf_dir: str):
+    """Weight-proportional sample without replacement (priority sampling,
+    Duffield–Lund–Thorup): smallest hash // token-count keys — longer docs
+    proportionally likelier; deterministic, value-checked exactly."""
+    from europa_ray.pipelines.sampling import priority_sample
+
+    return priority_sample(_docs(sf_dir), k=50)
+
+
 def _q_eval_sample_per_lang(sf_dir: str):
     """Deterministic per-language eval sample: the 5 smallest content-hash
     prefixes per lang (ties → min id) — stable across runs/partitionings,
@@ -1393,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts": wrap(_q_range_join_counts),
         "top_docs_per_lang": wrap(_q_top_docs_per_lang),
         "eval_sample_per_lang": wrap(_q_eval_sample_per_lang),
+        "priority_sample": wrap(_q_priority_sample),
         "event_sessions": wrap(_q_event_sessions),
         "event_dedup_stats": wrap(_q_event_dedup_stats),
         "hash_sample": wrap(_q_hash_sample),
@@ -3048,6 +3058,18 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn
               FROM tf JOIN df USING (term)
             ) WHERE rn <= 5
+        """,
+        # Priority sampling: u64 // weight keys in UBIGINT floor
+        # arithmetic (integer DLT priorities), ties → min id
+        "priority_sample": r"""
+            SELECT doc_id, n_tokens, priority FROM (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(sha256(text), 1, 16))::UBIGINT
+                       // CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS UBIGINT) AS priority
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            ) WHERE n_tokens > 0
+            ORDER BY priority, doc_id LIMIT 50
         """,
         # Deterministic per-lang eval sample: smallest sha prefixes per
         # lang; fixed-width lowercase hex order ≡ u64 order

@@ -638,3 +638,94 @@ def split_thresholds(
         out.append((name, int(_rate_to_threshold(min(float(c), 1.0)))))
     out[-1] = (out[-1][0], 1 << 64)
     return out
+
+
+PRIORITY_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("priority", pa.uint64()),
+    ]
+)
+
+
+def _priority_partial(
+    batch: pa.Table, *, k: int, id_col: str, content_col: str
+) -> pa.Table:
+    """Per-batch bottom-k by priority = hash // weight (ties → min id);
+    zero-token docs are excluded (no weight to divide by)."""
+    import pyarrow.compute as pc
+
+    from europa_ray.functions.text import token_count_arrow
+    from europa_ray.util import sha256_hex_arrow
+
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
+    batch = batch.filter(valid)
+    if batch.num_rows == 0:
+        return PRIORITY_SCHEMA.empty_table()
+    col = col.filter(valid)
+    tok = token_count_arrow(col).astype(np.int64)
+    keep = tok > 0
+    if not keep.any():
+        return PRIORITY_SCHEMA.empty_table()
+    ids = batch[id_col].to_numpy()[keep]
+    tok = tok[keep]
+    sha = np.asarray(sha256_hex_arrow(col), dtype="U64")[keep]
+    u = np.array([int(h[:16], 16) for h in sha], dtype=_U64)
+    prio = u // tok.astype(_U64)
+    order = np.lexsort((ids, prio))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_tokens": pa.array(tok[order], pa.int64()),
+            "priority": pa.array(prio[order], pa.uint64()),
+        }
+    )
+
+
+def priority_sample(
+    files: ray.data.Dataset,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> pa.Table:
+    """Weight-proportional sample without replacement via PRIORITY
+    SAMPLING (Duffield–Lund–Thorup, JACM 2007): keep the ``k`` documents
+    with the smallest ``u64(sha256(content)[:16]) // n_tokens`` — the
+    integer-floor form of u/w priorities, so longer documents are
+    proportionally more likely to be kept and the whole draw is a pure
+    function of the input (deterministic, value-checked exactly; ties →
+    min id).
+
+    Scale shape: the per-batch bottom-k combiner caps every block's
+    contribution at k rows, and the driver folds block samples with an
+    O(k) merge — no shuffle at any corpus size (the KMV fold shape).
+    Output: (id, n_tokens, priority), (priority, id)-sorted."""
+    parts = files.map_batches(
+        _priority_partial,
+        fn_kwargs={"k": k, "id_col": id_col, "content_col": content_col},
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    ids = np.empty(0, np.int64)
+    toks = np.empty(0, np.int64)
+    prios = np.empty(0, _U64)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        if b.num_rows == 0:
+            continue
+        ids = np.concatenate([ids, b["doc_id"].to_numpy()])
+        toks = np.concatenate([toks, b["n_tokens"].to_numpy()])
+        prios = np.concatenate([prios, b["priority"].to_numpy().view(_U64)])
+        order = np.lexsort((ids, prios))[:k]
+        ids, toks, prios = ids[order], toks[order], prios[order]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "priority": pa.array(prios, pa.uint64()),
+        }
+    )

@@ -503,3 +503,44 @@ def test_split_assign_validation(ray_session):
             ray.data.from_arrow(_mk_files(10)),
             fractions=(("a", 0.5), ("b", 0.4)),
         )
+
+
+def test_priority_sample_matches_brute_force(ray_session):
+    """Integer DLT priorities vs an independent hashlib/regex truth,
+    partition-invariant; zero-token and empty docs excluded."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.pipelines.sampling import priority_sample
+
+    TOK = re.compile(r"\w+|[^\w\s]")
+    texts = [f"doc {'word ' * (i % 7)}{i}" for i in range(30)] + ["", None, "   "]
+
+    def brute(k):
+        rows = []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            n = len(TOK.findall(t))
+            if n == 0:
+                continue
+            u = int(hashlib.sha256(t.encode()).hexdigest()[:16], 16)
+            rows.append((u // n, i, n))
+        return sorted(rows)[:k]
+
+    want = brute(8)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "content": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(5)
+    got = priority_sample(ds, k=8)
+    assert list(
+        zip(got["priority"].to_pylist(), got["doc_id"].to_pylist(), got["n_tokens"].to_pylist())
+    ) == want
