@@ -262,14 +262,9 @@ def gram_novelty(
                 is_dup = (dg[pos] == g).astype(np.int64)
             else:
                 is_dup = np.zeros(g.shape[0], np.int64)
-            if g.shape[0]:
-                # reduceat indices must stay < len; zero-size segments are
-                # zeroed by the where() below
-                idx = np.minimum(uoff[:-1], g.shape[0] - 1)
-                ndup = np.add.reduceat(is_dup, idx)
-            else:
-                ndup = np.zeros(sizes.shape[0], np.int64)
-            ndup = np.where(sizes > 0, ndup, 0)
+            # prefix-sum segments (safe for zero-gram rows, unlike reduceat)
+            cs = np.concatenate([[0], np.cumsum(is_dup)])
+            ndup = cs[uoff[1:]] - cs[uoff[:-1]]
             return pa.table(
                 {
                     "doc_id": pa.array(ids_np, pa.int64()),

@@ -97,16 +97,6 @@ def top_docs_per_group(
     )
 
 
-EVAL_SAMPLE_SCHEMA = pa.schema(
-    [
-        pa.field("lang", pa.string()),
-        pa.field("rank", pa.int64()),
-        pa.field("doc_id", pa.int64()),
-        pa.field("h", pa.string()),
-    ]
-)
-
-
 def _partial_bottomk(
     groups: np.ndarray, ids: np.ndarray, keys: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -137,9 +127,13 @@ def eval_sample_per_group(
     order; ties → min id) — a stable, content-keyed selection that follows
     a document across runs, partitionings, and corpus growth (only a new
     globally-smaller hash can displace a member), keyed by the same
-    sha-prefix family as ``split_assign`` so exact duplicates can never
-    put the same content in both eval and train. Output
-    ``(group, rank, id, h)``, rank 1-based in (h ASC, id ASC) order.
+    sha-prefix family as ``split_assign``. NOTE: content-hash keying only
+    guarantees eval/train separation on a DEDUPED corpus — two byte-equal
+    copies share ``h`` but tie-break by id, so if they straddle rank k one
+    lands in eval while its twin stays in train. Run exact dedup first if
+    that separation matters. Output ``(group_col, rank, id, h)``, rank
+    1-based in (h ASC, id ASC) order; the group column is named after
+    ``group_col``.
 
     Scale shape: the partial-bottom-k combiner caps every batch's
     contribution at k rows per group seen, so the groupby moves ≤
@@ -148,6 +142,15 @@ def eval_sample_per_group(
 
     from europa_ray.util import sha256_hex_arrow
 
+    out_schema = pa.schema(
+        [
+            pa.field(group_col, pa.string()),
+            pa.field("rank", pa.int64()),
+            pa.field("doc_id", pa.int64()),
+            pa.field("h", pa.string()),
+        ]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
@@ -155,7 +158,7 @@ def eval_sample_per_group(
         valid = pc.and_(pc.is_valid(col), pc.greater(pc.utf8_length(col), 0))
         batch = batch.filter(valid)
         if batch.num_rows == 0:
-            return EVAL_SAMPLE_SCHEMA.empty_table()
+            return out_schema.empty_table()
         col = col.filter(valid)
         keys = np.asarray(sha256_hex_arrow(col), dtype="S64").astype("S16")
         gcol = batch[group_col]
@@ -165,7 +168,7 @@ def eval_sample_per_group(
         g, i, h, r = _partial_bottomk(groups, ids, keys, k)
         return pa.table(
             {
-                "lang": pa.array(g.tolist(), pa.string()),
+                group_col: pa.array(g.tolist(), pa.string()),
                 "rank": pa.array(r),
                 "doc_id": pa.array(i, pa.int64()),
                 "h": pa.array(h.astype("U16").astype(object), pa.string()),
@@ -173,13 +176,13 @@ def eval_sample_per_group(
         )
 
     def final(group: pa.Table) -> pa.Table:
-        groups = np.asarray(group["lang"].to_pylist(), dtype=object)
+        groups = np.asarray(group[group_col].to_pylist(), dtype=object)
         ids = group["doc_id"].to_numpy()
         keys = group["h"].to_numpy(zero_copy_only=False).astype("S16")
         g, i, h, r = _partial_bottomk(groups, ids, keys, k)
         return pa.table(
             {
-                "lang": pa.array(g.tolist(), pa.string()),
+                group_col: pa.array(g.tolist(), pa.string()),
                 "rank": pa.array(r),
                 "doc_id": pa.array(i, pa.int64()),
                 "h": pa.array(h.astype("U16").astype(object), pa.string()),
@@ -188,6 +191,6 @@ def eval_sample_per_group(
 
     return (
         files.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
+        .groupby(group_col)
         .map_groups(final, batch_format="pyarrow")
     )

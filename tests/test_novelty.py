@@ -46,6 +46,9 @@ def _corpus() -> list[str | None]:
         "tiny doc",  # exact dup of the short doc → both grams duplicated
         "",
         None,
+        # whitespace-only: nonempty but zero tokens — a trailing zero-gram
+        # segment must not shorten the previous doc's count (reduceat trap)
+        "   ",
     ]
 
 

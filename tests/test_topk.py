@@ -102,3 +102,16 @@ def test_eval_sample_per_group(ray_session):
     for lang, rows in want.items():
         sub = got[got.lang == lang].sort_values("rank")
         assert list(zip(sub["rank"], sub.doc_id, sub.h)) == rows
+
+    # non-default group_col: the output group column is named after it
+    ds2 = ds.map_batches(
+        lambda b: b.rename_columns(
+            [{"lang": "corpus"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    got2 = eval_sample_per_group(ds2, group_col="corpus", k=3).to_pandas()
+    assert "corpus" in got2.columns and "lang" not in got2.columns
+    for lang, rows in want.items():
+        sub = got2[got2.corpus == lang].sort_values("rank")
+        assert list(zip(sub["rank"], sub.doc_id, sub.h)) == rows
