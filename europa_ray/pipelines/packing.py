@@ -167,11 +167,9 @@ def _packing_plan_distributed(
         .materialize()
     )
 
-    refs = [
-        r
-        for bundle in sorted_meta.iter_internal_ref_bundles()
-        for r in bundle.block_refs
-    ]
+    from europa_ray.util import dataset_block_refs
+
+    refs = dataset_block_refs(sorted_meta)
     if not refs:
         return ray.data.from_arrow(PACKING_SCHEMA.empty_table())
 

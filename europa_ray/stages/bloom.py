@@ -141,14 +141,9 @@ def build_bloom(
 
     m_bits, n_hashes = bloom_params(n_keys, bits_per_key)
 
-    try:
-        refs = [
-            r
-            for bundle in digests_ds.iter_internal_ref_bundles()
-            for r in bundle.block_refs
-        ]
-    except AttributeError:  # older Ray without ref bundles
-        refs = digests_ds.get_internal_block_refs()
+    from europa_ray.util import dataset_block_refs
+
+    refs = dataset_block_refs(digests_ds)
     if not refs:
         return np.zeros((m_bits + 7) // 8, dtype=np.uint8), m_bits, n_hashes
 

@@ -305,12 +305,9 @@ def _gather_candidate_sigs(sig_ds, nodes_needed: np.ndarray, cfg: EngineConfig):
     than the filter-stage + driver-iter shape at 1M rows)."""
     import ray
 
-    try:
-        refs = [
-            r for bundle in sig_ds.iter_internal_ref_bundles() for r in bundle.block_refs
-        ]
-    except AttributeError:  # older Ray without ref bundles
-        refs = sig_ds.get_internal_block_refs()
+    from europa_ray.util import dataset_block_refs
+
+    refs = dataset_block_refs(sig_ds)
     nodes_ref = ray.put(nodes_needed)
     worker = ray.remote(num_cpus=1)(_pick_candidate_sigs)
     results = ray.get([worker.remote(r, nodes_ref, cfg.num_perm) for r in refs])

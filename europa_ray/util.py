@@ -312,3 +312,18 @@ def scrub_empty_blocks(ds, schema):
     if not refs:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(refs)
+
+
+def dataset_block_refs(ds) -> list:
+    """Block refs of a MATERIALIZED dataset, across Ray API generations.
+
+    Ray 2.47+ exposes ``iter_internal_ref_bundles``; older releases only
+    had ``get_internal_block_refs`` (now deprecation-warned). Single home
+    for the version dance so the next Ray bump is a one-line change here.
+    """
+    try:
+        return [
+            r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs
+        ]
+    except AttributeError:  # older Ray without ref bundles
+        return ds.get_internal_block_refs()
