@@ -1299,17 +1299,79 @@ def _q_multimodal_features(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
-def entry() -> Any:
-    """Flagship pipeline (near-dup detection + clustering) on sf0.001 at
-    the PRODUCTION config (banded LSH + estimate verify — what a real run
+def _q_audio_wav_stats(sf_dir: str):
+    """REAL-codec audio roundtrip, value-checked: documents → genuine
+    RIFF/WAVE synthesis (1 UTF-8 byte → 1 16-bit PCM sample at 8 kHz) →
+    actor-pool stdlib-``wave`` decode (an actual container parse — the one
+    codec present in this sandbox; round-5 recheck in BASELINE.md) →
+    per-lang aggregate of the DECODED frame counts. Matches the oracle only
+    if synthesis and decode round-trip exactly: decoded n_samples ≡
+    octet_length(text) and duration_us = samples·10⁶/8000 = samples·125.
+    Scale shape: decode is the per-row codec boundary (actor pool, small
+    batches); the aggregate combines in-batch to per-lang partials before
+    one tiny groupby — PCM never shuffles."""
+    import ray.data
+
+    from europa_ray.stages.multimodal import wav_stats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    st = wav_stats(docs)
+
+    def combine(b):
+        import pyarrow as _pa
+
+        df = b.select(["lang", "n_samples", "duration_us"]).to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_samples", "size"),
+            total_samples=("n_samples", "sum"),
+            total_duration_us=("duration_us", "sum"),
+        )
+        return _pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        st.map_batches(combine, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_docs", "total_samples", "total_duration_us"])
+        .rename_columns(
+            {
+                "sum(n_docs)": "n_docs",
+                "sum(total_samples)": "total_samples",
+                "sum(total_duration_us)": "total_duration_us",
+            }
+        )
+    )
+
+    def finish(b):
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": b["n_docs"].cast(_pa.int64()),
+                "total_samples": b["total_samples"].cast(_pa.int64()),
+                "total_duration_us": b["total_duration_us"].cast(_pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("lang")
+
+
+def entry(sf_dir: str = "/root/testdata/sf0.001") -> Any:
+    """Flagship pipeline (near-dup detection + clustering) at the
+    PRODUCTION config (banded LSH + estimate verify — what a real run
     uses; the driver-checked ``minhash_near_dup_clusters`` query runs the
-    same chain at the ≡-by-construction oracle config instead)."""
+    same chain at the ≡-by-construction oracle config instead).
+
+    ``sf_dir`` defaults to the driver's smoke-check scale (sf0.001) but
+    accepts any testdata scale dir — ``entry("/root/testdata/sf0.1")`` runs
+    the identical chain at 100× (exercised per round; see PROGRESS.jsonl)."""
     from europa_ray.pipelines.neardup import near_dup_pipeline
     from europa_ray.sources.augment import with_mutants
 
-    out = near_dup_pipeline(
-        with_mutants(_docs("/root/testdata/sf0.001")), id_cols=("doc_id",)
-    )
+    out = near_dup_pipeline(with_mutants(_docs(sf_dir)), id_cols=("doc_id",))
     return (
         out["clusters"]
         .select_columns(["doc_id", "sha256", "cluster_id", "source"])
@@ -1326,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a ~50-entry prefix of this dict each round (r1-r4 evidence), so
         # rotation order IS the correctness-evidence schedule. Tail = the
         # 50 entries already hash-green in CORRECTNESS_r04.
+        "audio_wav_stats": wrap(_q_audio_wav_stats),
         "dedup_report": wrap(_q_dedup_report),
         "stopwords_per_lang": wrap(_q_stopwords_per_lang),
         "code_line_stats": wrap(_q_code_line_stats),
@@ -3653,6 +3716,20 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_features"] = """
         SELECT doc_id AS media_id, 'image' AS kind, '' AS error
         FROM documents
+    """
+    # REAL-codec audio roundtrip: 1 UTF-8 byte → 1 PCM sample at 8 kHz, so
+    # decoded n_samples ≡ octet_length(text) and duration_us = samples·125
+    # exactly (stages/multimodal.py:_synth_wav/_decode_wav). The engine side
+    # reports stdlib-wave DECODED frame counts — the hash matches only if
+    # the RIFF synthesis + parse round-trips every document.
+    sql["audio_wav_stats"] = """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(COALESCE(strlen(text), 0)) AS BIGINT) AS total_samples,
+               CAST(sum(COALESCE(strlen(text), 0)) * 125 AS BIGINT) AS total_duration_us
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
     """
     # ---- flagship near-dup chain (value-checked at the oracle config:
     # complete candidates + exact verify ⇒ the engine's pair set equals the

@@ -119,3 +119,151 @@ def media_features(ds, *, strict: bool = False, concurrency=2, batch_size: int =
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode: RIFF/WAVE via stdlib ``wave`` (the one codec available
+# in this container — round-5 codec recheck found PIL/cv2/soundfile/librosa/
+# av all absent, ``wave`` present). This upgrades the audio half of the
+# decode boundary from stub to real: payloads are genuine WAV containers,
+# the stage parses the RIFF header and PCM frames with the actual codec,
+# and the oracle checks the decoded frame counts round-trip.
+#
+# Reference parity: Europa's audio path (SURVEY M9,
+# /root/reference/Api/Implementations/SimilarAudios/) fingerprints decoded
+# PCM; the fingerprint here is the same shape (windowed spectral-band
+# signature) over the stdlib-decoded stream.
+# --------------------------------------------------------------------------
+
+_WAV_RATE = 8000  # Hz; synthesis + decode both use 8 kHz 16-bit mono PCM
+
+
+def _synth_wav(data: bytes, rate: int = _WAV_RATE) -> bytes:
+    """Deterministic real WAV container: 1 byte of input → 1 PCM sample
+    ``(b − 128) << 8`` (16-bit mono). Sample count therefore equals the
+    UTF-8 byte length of the source text — the SQL-checkable invariant the
+    ``audio_wav_stats`` oracle relies on."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - np.int16(128)
+        ) * np.int16(256)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL decode: parse the RIFF/WAVE container with stdlib ``wave`` and
+    return ``(sample_rate, int16 PCM array)``. Raises on malformed input
+    (routed to the ``error`` column by the stage, never an exception)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError(
+                f"expected 16-bit mono, got width={w.getsampwidth()} "
+                f"channels={w.getnchannels()}"
+            )
+        rate = w.getframerate()
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return rate, pcm
+
+
+_FP_WINDOW = 256  # samples per fingerprint window
+_FP_BANDS = 16  # spectral bands → bits per window
+
+
+def wav_fingerprint(pcm: np.ndarray) -> np.ndarray:
+    """Windowed spectral-band fingerprint (Haitsma–Kalker HAS'02 shape):
+    non-overlapping windows of ``_FP_WINDOW`` samples → rFFT → 16 band
+    energies → 1 bit per band (energy above the window median). Returns a
+    uint16 array, one element per window. Robust to small edits: a changed
+    byte flips bits only in its own window, so similarity = fraction of
+    equal windows."""
+    n = (pcm.shape[0] // _FP_WINDOW) * _FP_WINDOW
+    if n == 0:
+        return np.zeros(0, dtype=np.uint16)
+    frames = pcm[:n].astype(np.float64).reshape(-1, _FP_WINDOW)
+    spec = np.abs(np.fft.rfft(frames, axis=1))[:, 1:]  # drop DC
+    bands = spec[:, : (spec.shape[1] // _FP_BANDS) * _FP_BANDS]
+    energy = bands.reshape(frames.shape[0], _FP_BANDS, -1).sum(axis=2)
+    bits = energy > np.median(energy, axis=1, keepdims=True)
+    return (bits << np.arange(_FP_BANDS, dtype=np.uint16)).sum(
+        axis=1, dtype=np.uint16
+    )
+
+
+def documents_as_wav(batch: pa.Table) -> pa.Table:
+    """Adapter: synthesize a REAL WAV payload per document (UTF-8 bytes →
+    PCM). The codec-boundary stand-in for reading an audio column."""
+    texts = batch["text"].to_pylist()
+    payloads = [_synth_wav((t or "").encode("utf-8")) for t in texts]
+    return pa.table(
+        {
+            "media_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+class WavStatsStage:
+    """Actor-pool stage: REAL stdlib-``wave`` decode → per-row PCM stats +
+    spectral fingerprint summary. Same lifecycle contract as
+    :class:`MediaFeatureStage` (state in ``__init__``, Arrow batch in/out,
+    errors as data); the decode itself is a real codec, not a stub."""
+
+    def __init__(self) -> None:
+        # per-actor constant state (window index vector for the fingerprint)
+        self._bit_weights = np.arange(_FP_BANDS, dtype=np.uint16)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy()
+        langs = batch["lang"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        n = len(ids)
+        n_samples = np.zeros(n, dtype=np.int64)
+        rates = np.zeros(n, dtype=np.int64)
+        peaks = np.zeros(n, dtype=np.int64)
+        n_windows = np.zeros(n, dtype=np.int64)
+        errors: list[str | None] = [None] * n
+        for i, p in enumerate(payloads):
+            try:
+                rate, pcm = _decode_wav(p or b"")
+                rates[i] = rate
+                n_samples[i] = pcm.shape[0]
+                peaks[i] = int(np.abs(pcm.astype(np.int64)).max()) if pcm.size else 0
+                n_windows[i] = wav_fingerprint(pcm).shape[0]
+            except Exception as e:  # error → data, not exception
+                errors[i] = f"{type(e).__name__}: {e}"
+        duration_us = n_samples * 1_000_000 // np.maximum(rates, 1)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "lang": pa.array(langs, pa.string()),
+                "n_samples": pa.array(n_samples),
+                "sample_rate": pa.array(rates),
+                "duration_us": pa.array(duration_us),
+                "peak": pa.array(peaks),
+                "n_windows": pa.array(n_windows),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+def wav_stats(ds, *, concurrency=2, batch_size: int = 128):
+    """documents → real-WAV synthesis → actor-pool decode/stat stage."""
+    media = ds.map_batches(documents_as_wav, batch_format="pyarrow")
+    return media.map_batches(
+        WavStatsStage,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

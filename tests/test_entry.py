@@ -168,6 +168,23 @@ def test_entry_smoke(entry_mod):
     assert df is not None and len(df.columns) >= 3
 
 
+def test_entry_sf_dir_cluster_consistency(entry_mod):
+    """entry(sf_dir) runs the flagship at the PRODUCTION config (banded
+    LSH + estimate verify); the oracle-checked ``minhash_near_dup_clusters``
+    runs the ≡-by-construction config. On the planted corpus the two must
+    agree on the cluster structure to within the engine's measured
+    precision band (pair precision 0.9989 — estimate-verify may admit a
+    few borderline pairs the exact config rejects, never miss planted
+    ones)."""
+    df = entry_mod.entry(SF_TINY)
+    oracle = _to_df(entry_mod.queries()["minhash_near_dup_clusters"](SF_TINY))
+    n_prod, n_oracle = df["cluster_id"].nunique(), oracle["cluster_id"].nunique()
+    assert n_oracle > 0
+    assert abs(n_prod - n_oracle) <= max(2, 0.05 * n_oracle), (n_prod, n_oracle)
+    # production members must be a superset of the oracle's (recall side)
+    assert set(oracle["doc_id"]) <= set(df["doc_id"])
+
+
 def test_near_dup_queries_nonempty_with_mutants(entry_mod):
     """The mutant augmentation guarantees near-dup structure even on a
     unique-document corpus — the flagship must find it."""
