@@ -184,10 +184,14 @@ def containment_candidates(
     content_col: str = "content",
     num_partitions: int | None = None,
     driver_max_explode_rows: int = 100_000_000,
+    parallel_pair_work_min: int = 4_000_000,
 ):
     """Filtered corpus Dataset → COMPLETE ordered candidate (a, b) Dataset
     for ``C(A→B) ≥ τ``. Driver gather below ``driver_max_explode_rows``
-    (~2.5 GB), distributed fallback above (budget-0 equivalence-tested)."""
+    (~2.5 GB), distributed fallback above (budget-0 equivalence-tested).
+    Within the driver path, the pairing/dedupe tail fans out to Ray tasks
+    when the raw-pair work estimate reaches ``parallel_pair_work_min``
+    (0 forces the fan-out — equivalence-tested in tests/test_containment)."""
     from europa_ray.stages.pairverify import _ranges_gather
     from europa_ray.stages.ppjoin import _dedupe_ab, _distinct_group_rows
     from europa_ray.util import default_num_partitions
@@ -236,6 +240,17 @@ def containment_candidates(
     newg = np.ones(g.shape[0], dtype=bool)
     newg[1:] = g[1:] != g[:-1]
     gid = np.cumsum(newg) - 1
+    # singleton buckets (one doc holds the gram) can never produce a pair —
+    # drop them before the distinct-group hash pass (they are typically the
+    # majority of distinct grams: unique body content)
+    multi = np.bincount(gid)[gid] > 1
+    if not multi.all():
+        g, nd, sz, pb = g[multi], nd[multi], sz[multi], pb[multi]
+        if g.shape[0] == 0:
+            return ray.data.from_arrow(_PAIR_AB.empty_table())
+        newg = np.ones(g.shape[0], dtype=bool)
+        newg[1:] = g[1:] != g[:-1]
+        gid = np.cumsum(newg) - 1
     dmask = _distinct_group_rows(gid, _combined_keys(nd, pb))
     g, nd, sz, pb = g[dmask], nd[dmask], sz[dmask], pb[dmask]
     newg = np.ones(g.shape[0], dtype=bool)
@@ -247,6 +262,16 @@ def containment_candidates(
     pi = np.nonzero(pb == 1)[0]
     if pi.shape[0] == 0:
         return ray.data.from_arrow(_PAIR_AB.empty_table())
+    # raw-pair work estimate (Σ per-bucket probe_rows × bucket_size). The
+    # pairing/dedupe tail is the driver path's dominant cost at bench scale
+    # (profiled round 5: 70M raw pairs → 12.5 s single-threaded of a 29.6 s
+    # total), yet its INPUT after the distinct-group collapse is tiny
+    # (~286k rows) — so above the threshold the tail fans out to Ray tasks
+    # over contiguous bucket ranges with hash-partitioned shard dedupe.
+    probe_per_group = np.bincount(gid[pi], minlength=counts.shape[0])
+    work = probe_per_group * counts
+    if int(work.sum()) >= parallel_pair_work_min:
+        return _parallel_bucket_pairs(g, nd, sz, pb, counts, work, tau)
     reps = counts[gid[pi]]
     a = np.repeat(nd[pi], reps)
     sa = np.repeat(sz[pi], reps)
@@ -259,6 +284,97 @@ def containment_candidates(
         return ray.data.from_arrow(_PAIR_AB.empty_table())
     a, b = _dedupe_ab(a, b)  # row-sort + uniq — ORDER-PRESERVING per pair
     return ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+
+
+def _pair_chunk_shards(g, nd, sz, pb, lo, hi, tau, num_parts):
+    """Ray task: ordered containment pairing over one contiguous bucket
+    range ``[lo, hi)`` of the distinct-group explode (rows sorted by gram,
+    so bucket boundaries never split), hash-partitioned by pair identity
+    into ``num_parts`` shards so the shard reducers can dedupe
+    independently (a given (a, b) always lands in the same shard)."""
+    from europa_ray.stages.pairverify import _ranges_gather
+    from europa_ray.util import splitmix64
+
+    g, nd, sz, pb = g[lo:hi], nd[lo:hi], sz[lo:hi], pb[lo:hi]
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    newg = np.ones(g.shape[0], dtype=bool)
+    newg[1:] = g[1:] != g[:-1]
+    gid = np.cumsum(newg) - 1
+    counts = np.bincount(gid) if gid.shape[0] else np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    pi = np.nonzero(pb == 1)[0]
+    if pi.shape[0] == 0:
+        return tuple(empty for _ in range(num_parts))
+    reps = counts[gid[pi]]
+    a = np.repeat(nd[pi], reps)
+    sa = np.repeat(sz[pi], reps)
+    b_idx = _ranges_gather(starts[gid[pi]], reps)
+    b = nd[b_idx]
+    sb = sz[b_idx]
+    keep = (a != b) & _size_keep(sa, sb, tau)
+    a, b = a[keep], b[keep]
+    if a.shape[0] == 0:
+        return tuple(empty for _ in range(num_parts))
+    part = (
+        splitmix64(splitmix64(a.view(np.uint64)) ^ b.view(np.uint64))
+        & np.uint64(num_parts - 1)
+    ).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    a, b, part = a[order], b[order], part[order]
+    bounds = np.searchsorted(part, np.arange(num_parts + 1))
+    return tuple(
+        (a[bounds[p] : bounds[p + 1]], b[bounds[p] : bounds[p + 1]])
+        for p in range(num_parts)
+    )
+
+
+def _dedupe_shard_table(*chunks):
+    """Ray task: concatenate one shard's per-task pair slices and dedupe
+    (cross-shard duplicates are impossible — hash partitioning)."""
+    from europa_ray.stages.ppjoin import _dedupe_ab
+
+    a = np.concatenate([c[0] for c in chunks])
+    b = np.concatenate([c[1] for c in chunks])
+    a, b = _dedupe_ab(a, b)
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def _parallel_bucket_pairs(g, nd, sz, pb, counts, work, tau):
+    """Driver-path pairing tail, parallelized: the input (distinct-group
+    explode rows) is tiny (~2 MB/100k rows) but expands quadratically per
+    bucket (profiled 286k rows → 70M raw pairs at bench scale), so the
+    expansion runs in Ray tasks over ~equal-work contiguous bucket ranges
+    and the dedupe runs in per-shard reducers — the 70M raw pairs never
+    exist in one process. Output: distinct (a, b) Dataset built from the
+    reducer blocks (no driver gather)."""
+    import ray as _ray
+
+    num_parts = 32  # power of 2 (shard mask)
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    num_tasks = max(1, min(64, cpus * 2))
+    ends = np.cumsum(counts)
+    cw = np.cumsum(work)
+    total_work = int(cw[-1])
+    targets = (np.arange(1, num_tasks) * (total_work / num_tasks)).astype(np.int64)
+    cut_groups = np.searchsorted(cw, targets)
+    row_cuts = np.unique(
+        np.concatenate([[0], ends[cut_groups], [g.shape[0]]])
+    ).astype(np.int64)
+    refs = [_ray.put(x) for x in (g, nd, sz, pb)]
+    task = _ray.remote(num_returns=num_parts)(_pair_chunk_shards)
+    shard_refs = [
+        task.remote(*refs, int(lo), int(hi), tau, num_parts)
+        for lo, hi in zip(row_cuts[:-1], row_cuts[1:])
+        if hi > lo
+    ]
+    if not shard_refs:
+        return ray.data.from_arrow(_PAIR_AB.empty_table())
+    reduce_task = _ray.remote(_dedupe_shard_table)
+    out_refs = [
+        reduce_task.remote(*[shard_refs[t][p] for t in range(len(shard_refs))])
+        for p in range(num_parts)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def _containment_distributed(kn, tau: float, num_partitions: int):
@@ -333,6 +449,7 @@ def containment_pairs(
     tau: float = 0.8,
     num_partitions: int | None = None,
     driver_max_explode_rows: int = 100_000_000,
+    parallel_pair_work_min: int = 4_000_000,
     with_sizes: bool = False,
 ) -> ray.data.Dataset:
     """Ordered exact-containment pairs ``(a, b, containment)`` with
@@ -352,6 +469,7 @@ def containment_pairs(
         cfg=cfg,
         num_partitions=num_partitions,
         driver_max_explode_rows=driver_max_explode_rows,
+        parallel_pair_work_min=parallel_pair_work_min,
     ).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(schema.empty_table())

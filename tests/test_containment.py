@@ -62,9 +62,17 @@ def _brute(t: pa.Table) -> dict[tuple[int, int], float]:
     return want
 
 
-@pytest.mark.parametrize("explode_budget", [100_000_000, 0])
-def test_containment_matches_bruteforce(ray_session, explode_budget):
-    """Driver path and forced-distributed path both equal brute force."""
+@pytest.mark.parametrize(
+    "explode_budget,pair_work_min",
+    [
+        (100_000_000, 1 << 62),  # driver path, inline pairing tail
+        (100_000_000, 0),  # driver path, FORCED parallel pairing tail
+        (0, 1 << 62),  # forced-distributed path
+    ],
+)
+def test_containment_matches_bruteforce(ray_session, explode_budget, pair_work_min):
+    """Driver path (inline AND forced-parallel pairing tail) and the
+    forced-distributed path all equal brute force."""
     import ray.data
 
     t = _mk_corpus()
@@ -72,6 +80,7 @@ def test_containment_matches_bruteforce(ray_session, explode_budget):
         ray.data.from_arrow(t).repartition(3),
         tau=TAU,
         driver_max_explode_rows=explode_budget,
+        parallel_pair_work_min=pair_work_min,
     ).to_pandas()
     got_map = {(a, b): c for a, b, c in zip(got.a, got.b, got.containment)}
     want = _brute(t)
