@@ -1299,6 +1299,24 @@ def _q_multimodal_features(sf_dir: str):
     return out.map_batches(fill, batch_format="pyarrow")
 
 
+def _q_enumerated_docs(sf_dir: str):
+    """Distributed global row-number over a sorted corpus — the training-
+    export enumerate (contiguous shard/example ids) Ray Data lacks
+    natively: ``sort(lang, doc_id)`` range-partitions; the row index is
+    attached per block from metadata prefix sums (util.add_global_row_index
+    — zero shuffle, blocks never move). Value-checked against DuckDB
+    ``ROW_NUMBER() OVER (ORDER BY lang, doc_id)``."""
+    import ray.data
+
+    from europa_ray.util import add_global_row_index
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    ordered = docs.sort(["lang", "doc_id"]).materialize()
+    return add_global_row_index(ordered, index_col="row_index")
+
+
 def _q_audio_wav_stats(sf_dir: str):
     """REAL-codec audio roundtrip, value-checked: documents → genuine
     RIFF/WAVE synthesis (1 UTF-8 byte → 1 16-bit PCM sample at 8 kHz) →
@@ -1389,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotation order IS the correctness-evidence schedule. Tail = the
         # 50 entries already hash-green in CORRECTNESS_r04.
         "audio_wav_stats": wrap(_q_audio_wav_stats),
+        "enumerated_docs": wrap(_q_enumerated_docs),
         "dedup_report": wrap(_q_dedup_report),
         "stopwords_per_lang": wrap(_q_stopwords_per_lang),
         "code_line_stats": wrap(_q_code_line_stats),
@@ -3722,6 +3741,14 @@ def oracle_sql() -> dict[str, str]:
     # exactly (stages/multimodal.py:_synth_wav/_decode_wav). The engine side
     # reports stdlib-wave DECODED frame counts — the hash matches only if
     # the RIFF synthesis + parse round-trips every document.
+    # distributed enumerate: exact ROW_NUMBER replica (0-based)
+    sql["enumerated_docs"] = """
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+                   AS row_index,
+               doc_id, lang
+        FROM documents
+        ORDER BY row_index
+    """
     sql["audio_wav_stats"] = """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -327,3 +327,54 @@ def dataset_block_refs(ds) -> list:
         ]
     except AttributeError:  # older Ray without ref bundles
         return ds.get_internal_block_refs()
+
+
+def _attach_row_index(block, offset: int, index_col: str):
+    import numpy as _np
+    import pyarrow as _pa
+
+    return block.append_column(
+        index_col,
+        _pa.array(offset + _np.arange(block.num_rows, dtype=_np.int64)),
+    )
+
+
+def add_global_row_index(ds, *, index_col: str = "row_index"):
+    """Contiguous global 0-based row index over a MATERIALIZED dataset —
+    the distributed ``ROW_NUMBER() OVER (ORDER BY <the sort you just
+    did>)`` Ray Data lacks. Blocks never move: per-block row counts come
+    from block metadata (one tiny counting task per block only when a
+    count is missing), the driver prefix-sums them, and one remote map per
+    block appends ``offset + arange`` — O(blocks) driver work, zero
+    shuffle, so a 100 TB sorted export enumerates for the cost of reading
+    each block once. Row order within and across blocks is preserved
+    (``from_arrow_refs`` keeps list order). Typical use: ``ds.sort(...)``
+    → ``add_global_row_index`` → sharded training export."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    refs: list = []
+    counts: list[int | None] = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(block_ref)
+            counts.append(meta.num_rows)
+    if not refs:
+        base = ds.schema()
+        schema = base.base_schema if hasattr(base, "base_schema") else base
+        return ray.data.from_arrow(
+            schema.empty_table().append_column(index_col, pa.array([], pa.int64()))
+        )
+    if any(c is None for c in counts):
+        count_task = ray.remote(lambda b: b.num_rows)
+        missing = [i for i, c in enumerate(counts) if c is None]
+        got = ray.get([count_task.remote(refs[i]) for i in missing])
+        for i, n in zip(missing, got):
+            counts[i] = n
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + int(c))
+    attach = ray.remote(_attach_row_index)
+    out = [attach.remote(r, off, index_col) for r, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

@@ -121,6 +121,8 @@ def test_all_queries_have_callables(entry_mod):
         "ann_topk_lsh",
         "near_dup_representatives",
         "multimodal_features",
+        "audio_wav_stats",
+        "enumerated_docs",
         "cross_corpus_new_docs",
         "cross_corpus_new_docs_bloom",
         "cross_corpus_near_dups",

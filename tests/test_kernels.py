@@ -275,3 +275,33 @@ def test_oph_chunked_equals_unchunked_layout():
         row = flat[off[i] : off[i + 1]]
         single = minhash_signatures_oph(row, np.array([0, len(row)], np.int64), 128, 11)
         assert (batch[i] == single[0]).all(), i
+
+
+def test_add_global_row_index(ray_session):
+    """Contiguous 0-based enumerate over a sorted dataset; order preserved
+    across blocks (block-metadata prefix sums, no shuffle)."""
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.util import add_global_row_index
+
+    t = pa.table({"k": list(range(100, 0, -1))})
+    ds = ray.data.from_arrow(t).repartition(7).sort("k").materialize()
+    out = add_global_row_index(ds).to_pandas()
+    assert out["row_index"].tolist() == list(range(100))
+    assert out["k"].tolist() == sorted(range(1, 101))
+    # custom column name
+    out2 = add_global_row_index(ds, index_col="pos").to_pandas()
+    assert out2["pos"].tolist() == list(range(100))
+
+
+def test_add_global_row_index_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from europa_ray.util import add_global_row_index
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())})).materialize()
+    out = add_global_row_index(ds)
+    df = out.to_pandas()
+    assert len(df) == 0
