@@ -135,6 +135,7 @@ def doc_top_terms(
     text_col: str = "content",
     id_col: str = "doc_id",
     df_broadcast_max: int = 30_000_000,
+    df_gather_max_rows: int = 50_000_000,
 ) -> ray.data.Dataset:
     """Top-``k`` distinctive terms per document (module docstring order).
     Dispatch on the df-table size: broadcast (vocabulary-sized, the norm)
@@ -142,24 +143,76 @@ def doc_top_terms(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     tf_kwargs = {"text_col": text_col, "id_col": id_col}
-    df_agg = (
-        files.map_batches(_doc_term_tf, fn_kwargs=tf_kwargs, batch_format="pyarrow")
-        .groupby("term")
-        .count()
-        .materialize()
-    )
-    if df_agg.count() <= df_broadcast_max:
-        terms_p: list[pa.Array] = []
-        dfs_p: list[np.ndarray] = []
-        for b in df_agg.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-            col = b["term"]
-            terms_p.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
-            dfs_p.append(b["count()"].to_numpy().astype(np.int64))
-        if not terms_p:
-            return ray.data.from_arrow(KEYWORDS_SCHEMA.empty_table())
-        ref = ray.put(
-            (pa.chunked_array(terms_p).combine_chunks(), np.concatenate(dfs_p))
+
+    # df-table build, size-dispatched like vocab.stopwords_per_lang: the
+    # per-batch partial (term → count of docs in batch) is vocabulary-
+    # bounded, and Ray's distributed sort-aggregate is the wrong tool for
+    # ~1M output groups (profiled round 5: the groupby(term).count() was
+    # the dominant cost of this pipeline at bench scale) — below the row
+    # budget, one driver gather + arrow C++ group_by folds the partials;
+    # above it, the distributed groupby stands.
+    def _partial_term_counts(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(batch, **tf_kwargs)
+        if tf.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        col = tf["term"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table(
+            {"term": vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
         )
+
+    partial = files.map_batches(_partial_term_counts, batch_format="pyarrow")
+    parts: list[pa.Table] = []
+    total = 0
+    over = False
+    for bt in partial.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        total += bt.num_rows
+        if total > df_gather_max_rows:
+            over = True
+            break
+        parts.append(bt)
+    if over:
+        df_agg = (
+            partial.groupby("term")
+            .sum("c")
+            .rename_columns({"sum(c)": "count()"})
+            .materialize()
+        )
+        n_terms = df_agg.count()
+    else:
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return ray.data.from_arrow(KEYWORDS_SCHEMA.empty_table())
+        folded = (
+            pa.concat_tables(parts).group_by("term").aggregate([("c", "sum")])
+        )
+        df_agg = None
+        n_terms = folded.num_rows
+
+    if n_terms <= df_broadcast_max:
+        if df_agg is None:
+            terms_arr = folded["term"]
+            if isinstance(terms_arr, pa.ChunkedArray):
+                terms_arr = terms_arr.combine_chunks()
+            dfs_arr = folded["c_sum"].to_numpy().astype(np.int64)
+        else:
+            terms_p: list[pa.Array] = []
+            dfs_p: list[np.ndarray] = []
+            for b in df_agg.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+                col = b["term"]
+                terms_p.extend(
+                    col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+                )
+                dfs_p.append(b["count()"].to_numpy().astype(np.int64))
+            if not terms_p:
+                return ray.data.from_arrow(KEYWORDS_SCHEMA.empty_table())
+            terms_arr = pa.chunked_array(terms_p).combine_chunks()
+            dfs_arr = np.concatenate(dfs_p)
+        ref = ray.put((terms_arr, dfs_arr))
 
         def rank_batch(batch: pa.Table) -> pa.Table:
             key = ref.hex()
@@ -192,12 +245,19 @@ def doc_top_terms(
     tf_ds = files.map_batches(
         _doc_term_tf, fn_kwargs=tf_kwargs, batch_format="pyarrow"
     )
-    df_side = df_agg.map_batches(
-        lambda b: pa.table(
-            {"__t": b["term"], "df": b["count()"].cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if df_agg is None:  # driver-folded vocab, too big to broadcast: join it
+        df_side = ray.data.from_arrow(
+            pa.table(
+                {"__t": folded["term"], "df": folded["c_sum"].cast(pa.int64())}
+            )
+        ).materialize()
+    else:
+        df_side = df_agg.map_batches(
+            lambda b: pa.table(
+                {"__t": b["term"], "df": b["count()"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
     joined = tf_ds.join(
         df_side,
         join_type="inner",

@@ -60,19 +60,16 @@ LM_SCHEMA = pa.schema(
 _WORKER_VOCAB_CACHE: dict = {}  # per worker process: ref.hex() → (words, logc)
 
 
-def _unigram_vocab(files: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
-    """(word, n) vocabulary Dataset — partial-count combiner then a
-    vocabulary-sized groupby (the :func:`vocab.vocab_top_words` front)."""
-    return (
-        files.map_batches(
-            _partial_word_counts,
-            fn_kwargs={"text_col": text_col},
-            batch_format="pyarrow",
-        )
-        .groupby("word")
-        .sum("n")
-        .rename_columns({"sum(n)": "n"})
-        .materialize()
+def _unigram_vocab(
+    files: ray.data.Dataset, text_col: str, gather_max_rows: int = 50_000_000
+) -> ray.data.Dataset:
+    """(word, n) vocabulary Dataset — delegates to
+    :func:`europa_ray.pipelines.vocab.word_count_table` (size-dispatched
+    driver fold / distributed groupby; round-5 consolidation)."""
+    from europa_ray.pipelines.vocab import word_count_table
+
+    return word_count_table(
+        files, text_col=text_col, gather_max_rows=gather_max_rows
     )
 
 

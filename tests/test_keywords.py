@@ -48,14 +48,26 @@ def _brute(t: pa.Table, k: int) -> set[tuple]:
     return out
 
 
-@pytest.mark.parametrize("budget", [30_000_000, 0])
-def test_doc_top_terms_matches_bruteforce(ray_session, budget):
-    """Broadcast path and forced join fallback both equal brute force."""
+@pytest.mark.parametrize(
+    "budget,gather_budget",
+    [
+        (30_000_000, 50_000_000),  # broadcast path, driver-folded df table
+        (30_000_000, 0),  # broadcast path, forced-distributed df groupby
+        (0, 50_000_000),  # forced join fallback, driver-folded df table
+        (0, 0),  # forced join fallback, forced-distributed df groupby
+    ],
+)
+def test_doc_top_terms_matches_bruteforce(ray_session, budget, gather_budget):
+    """Broadcast path and forced join fallback both equal brute force,
+    with the df table built either by driver fold or distributed groupby."""
     import ray.data
 
     t = _mk_docs()
     got = doc_top_terms(
-        ray.data.from_arrow(t).repartition(4), k=3, df_broadcast_max=budget
+        ray.data.from_arrow(t).repartition(4),
+        k=3,
+        df_broadcast_max=budget,
+        df_gather_max_rows=gather_budget,
     ).to_pandas()
     rows = set(zip(got.doc_id, got.term, got.tf, got.df, got["rank"]))
     assert rows == _brute(t, 3)

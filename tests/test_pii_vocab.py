@@ -97,7 +97,13 @@ def test_vocab_tie_break_is_word_asc(ray_session):
 # ---------------------------------------------------------------------------
 
 
-def test_stopwords_per_lang_matches_bruteforce(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("df_budget", [50_000_000, 0])
+def test_stopwords_per_lang_matches_bruteforce(ray_session, df_budget):
+    """Driver fast path (arrow group_by) and forced-distributed groupby
+    (df_budget=0) both equal brute force."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -123,7 +129,7 @@ def test_stopwords_per_lang_matches_bruteforce(ray_session):
     )
     K = 4
     got = stopwords_per_lang(
-        ray.data.from_arrow(t).repartition(5), k=K
+        ray.data.from_arrow(t).repartition(5), k=K, df_gather_max_rows=df_budget
     ).to_pandas()
     # brute force
     from collections import Counter
