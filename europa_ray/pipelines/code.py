@@ -176,21 +176,13 @@ def top_imports(
     """Top-``k`` imported modules corpus-wide, tie-broken (n DESC, module
     ASC) — per-batch partial counts bound the shuffle at (batches × batch
     module vocabulary) rows; the global aggregate is module-sized."""
+    from europa_ray.pipelines.vocab import fold_partial_counts
+
     partials = files.map_batches(
         _partial_import_counts, fn_kwargs={"text_col": text_col},
         batch_format="pyarrow",
     )
-    agg = (
-        partials.groupby("module")
-        .sum("n")
-        .rename_columns({"sum(n)": "n"})
-        .map_batches(
-            lambda b: b.set_column(
-                b.column_names.index("n"), "n", b["n"].cast(pa.int64())
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    agg = fold_partial_counts(partials, "module", "n")
     return agg.sort(["n", "module"], descending=[True, False]).limit(k)
 
 
@@ -388,21 +380,13 @@ def top_identifiers(
     tie-broken (n DESC, identifier ASC) — per-batch partial counts bound
     the shuffle at (batches × batch identifier vocabulary) rows; the
     global aggregate is vocabulary-sized (the top_imports shape)."""
+    from europa_ray.pipelines.vocab import fold_partial_counts
+
     partials = files.map_batches(
         _partial_ident_counts, fn_kwargs={"text_col": text_col},
         batch_format="pyarrow",
     )
-    agg = (
-        partials.groupby("identifier")
-        .sum("n")
-        .rename_columns({"sum(n)": "n"})
-        .map_batches(
-            lambda b: b.set_column(
-                b.column_names.index("n"), "n", b["n"].cast(pa.int64())
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    agg = fold_partial_counts(partials, "identifier", "n")
     return agg.sort(["n", "identifier"], descending=[True, False]).limit(k)
 
 

@@ -41,21 +41,19 @@ def _partial_word_counts(batch: pa.Table, *, text_col: str = "content") -> pa.Ta
     )
 
 
-def word_count_table(
-    files: ray.data.Dataset,
+def fold_partial_counts(
+    partial: ray.data.Dataset,
+    key_col: str,
+    n_col: str = "n",
     *,
-    text_col: str = "content",
     gather_max_rows: int = 50_000_000,
 ) -> ray.data.Dataset:
-    """(word, n) occurrence-count vocabulary Dataset — partial-count
-    combiner, size-dispatched (round-5 profile: Ray's distributed
-    sort-aggregate costs ~20 s at ~1M output groups where arrow's C++
-    group_by folds the same partials in ~0.5 s): below the row budget the
-    partials fold on the driver; above it (true web scale) the distributed
-    groupby stands."""
-    partial = files.map_batches(
-        _partial_word_counts, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
-    )
+    """Generic size-dispatched fold of a per-batch partial-count Dataset
+    ``(key_col, n_col)`` into global counts (round-5 profile: Ray's
+    distributed sort-aggregate costs ~20 s at ~1M output groups where
+    arrow's C++ group_by folds the identical partials in ~0.5 s): below
+    the row budget, one driver gather + arrow group_by; above it, the
+    distributed groupby stands (true web scale)."""
     parts: list[pa.Table] = []
     total = 0
     over = False
@@ -67,12 +65,12 @@ def word_count_table(
         parts.append(bt)
     if over:
         return (
-            partial.groupby("word")
-            .sum("n")
-            .rename_columns({"sum(n)": "n"})
+            partial.groupby(key_col)
+            .sum(n_col)
+            .rename_columns({f"sum({n_col})": n_col})
             .map_batches(
                 lambda b: b.set_column(
-                    b.column_names.index("n"), "n", b["n"].cast(pa.int64())
+                    b.column_names.index(n_col), n_col, b[n_col].cast(pa.int64())
                 ),
                 batch_format="pyarrow",
             )
@@ -81,12 +79,32 @@ def word_count_table(
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return ray.data.from_arrow(
-            pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+            pa.table(
+                {key_col: pa.array([], pa.string()), n_col: pa.array([], pa.int64())}
+            )
         ).materialize()
-    folded = pa.concat_tables(parts).group_by("word").aggregate([("n", "sum")])
+    folded = pa.concat_tables(parts).group_by(key_col).aggregate([(n_col, "sum")])
     return ray.data.from_arrow(
-        pa.table({"word": folded["word"], "n": folded["n_sum"].cast(pa.int64())})
+        pa.table(
+            {key_col: folded[key_col], n_col: folded[f"{n_col}_sum"].cast(pa.int64())}
+        )
     ).materialize()
+
+
+def word_count_table(
+    files: ray.data.Dataset,
+    *,
+    text_col: str = "content",
+    gather_max_rows: int = 50_000_000,
+) -> ray.data.Dataset:
+    """(word, n) occurrence-count vocabulary Dataset — per-batch partial
+    counts folded by :func:`fold_partial_counts`."""
+    partial = files.map_batches(
+        _partial_word_counts, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
+    )
+    return fold_partial_counts(
+        partial, "word", "n", gather_max_rows=gather_max_rows
+    )
 
 
 def vocab_top_words(
